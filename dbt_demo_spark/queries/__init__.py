@@ -1,0 +1,17 @@
+"""Differential-test query catalog.
+
+Every implemented operator from SURVEY.md §2 is represented by a QuerySpec:
+a Spark callable `(spark, sf_dir) -> DataFrame` plus (where SQL-expressible)
+an equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables.  `__spark_entry__.py`, `bench.py`, and the pytest parity harness all
+read this one registry.
+"""
+
+from .catalog import CATALOG, QuerySpec, query, get_queries, get_oracles
+
+# Importing these modules populates CATALOG via the @query decorator.
+from . import reference_surface  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
+from . import llm_pipeline  # noqa: E402,F401
+
+__all__ = ["CATALOG", "QuerySpec", "query", "get_queries", "get_oracles"]

@@ -1,0 +1,46 @@
+"""QuerySpec registry shared by the driver entry point, bench, and tests."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None        # DuckDB SQL; None -> driver does rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = True        # include in bench.py headline timing
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def query(name: str, *, oracle: str | None, tags: tuple[str, ...] = (),
+          bench: bool = True) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a catalog query.  The decorated function's docstring should
+    cite the reference file:line whose operator it exercises."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in CATALOG:
+            raise ValueError(f"duplicate query name: {name}")
+        CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags,
+                                  bench=bench, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def get_queries() -> dict[str, SparkQuery]:
+    return {n: s.fn for n, s in CATALOG.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in CATALOG.items() if s.oracle is not None}

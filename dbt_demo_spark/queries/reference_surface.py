@@ -1,0 +1,433 @@
+"""The reference's operator surface (SURVEY.md §2) on the driver's synthetic
+tables, per the role mapping in FIXTURES.md §B1:
+
+  loan_types (tiny dim)     -> nation / region      (J1 broadcast left join)
+  raw_loans (dated fact)    -> orders               (P2-P5, A1-A5, F1 rollup)
+  raw_loan_payments (txns)  -> lineitem             (A2-A4, J2 month alignment)
+  fan-out bug               -> month x status agg left-joined back to orders
+
+Every query here has a DuckDB oracle: the Spark DataFrame code and the SQL
+string compute the same thing with the same column names and the same
+rounding, so the driver's row-count + schema + value-hash comparison is
+exact.  Doubles that pass through aggregation are rounded at the final
+projection on BOTH sides (SURVEY.md §7.2 item 1: DuckDB and Spark may sum
+doubles in different orders; rounding collapses last-ulp drift).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import round2, sql_round2
+from ..sources.parquet import load_table
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# Staging layer: P1 star projection, P2 projection+rename, P3 cast-to-date
+# (reference: models/staging/stg_loans.sql:5-17, stg_loan_payments.sql:5-15)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stg_orders",
+    oracle="""
+        SELECT o_orderkey   AS order_id,
+               o_custkey    AS customer_id,
+               o_orderstatus AS order_status,
+               o_totalprice AS total_price,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority AS order_priority
+        FROM orders
+    """,
+    tags=("P1", "P2", "P3", "S1"),
+)
+def stg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging view: column selection + rename + date cast, the exact shape of
+    reference stg_loans (models/staging/stg_loans.sql:5-17)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderpriority").alias("order_priority"),
+    )
+
+
+@query(
+    "stg_payments",
+    oracle="""
+        SELECT l_orderkey  AS order_id,
+               l_linenumber AS line_number,
+               CAST(l_shipdate AS DATE) AS ship_date,
+               l_extendedprice AS payment_amount,
+               l_quantity  AS quantity,
+               l_returnflag AS payment_status
+        FROM lineitem
+    """,
+    tags=("P1", "P2", "P3", "S1"),
+)
+def stg_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging view over the transaction fact, the shape of reference
+    stg_loan_payments (models/staging/stg_loan_payments.sql:5-15)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").alias("payment_amount"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_returnflag").alias("payment_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fct layer: J1 broadcast dim join, F2 round, F3 power, F4 arithmetic,
+# F5 case/when NULL guard (reference: models/marts/fct_loan_details.sql)
+# ---------------------------------------------------------------------------
+
+# The reference's two derived metrics (fct_loan_details.sql:23-33), mapped:
+#   ltv_ratio  -> value_ratio  = round(total_price / acctbal * 100, 2),
+#                 NULL-guarded by acctbal > 0 (c_acctbal can be <= 0)
+#   estimated_monthly_payment -> same amortization formula, with a
+#                 deterministic synthetic rate derived from the order key so
+#                 both engines compute identical inputs.
+R2 = sql_round2
+
+_FCT_ORACLE = f"""
+    SELECT o.o_orderkey AS order_id,
+           o.o_custkey  AS customer_id,
+           c.c_name     AS customer_name,
+           c.c_mktsegment AS mkt_segment,
+           n.n_name     AS nation_name,
+           r.r_name     AS region_name,
+           o.o_totalprice AS total_price,
+           c.c_acctbal  AS acct_balance,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CASE WHEN c.c_acctbal > 0
+                THEN {R2("(o.o_totalprice / c.c_acctbal) * 100")}
+                ELSE NULL
+           END AS value_ratio,
+           {R2('''
+               o.o_totalprice * ((3.5 + (o.o_orderkey % 40) * 0.1) / 100 / 12) *
+               POWER(1 + ((3.5 + (o.o_orderkey % 40) * 0.1) / 100 / 12), 360) /
+               (POWER(1 + ((3.5 + (o.o_orderkey % 40) * 0.1) / 100 / 12), 360) - 1)
+           ''')} AS estimated_monthly_payment
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@query("fct_order_details", oracle=_FCT_ORACLE,
+       tags=("J1", "F2", "F3", "F4", "F5", "P5"))
+def fct_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment fact, the shape of reference fct_loan_details
+    (models/marts/fct_loan_details.sql:8-36): LEFT broadcast joins to tiny
+    dims, a CASE-guarded ratio (:23-27) and the amortization formula
+    (:28-33).  nation (25 rows) and region (5 rows) are explicit
+    `F.broadcast`; customer is left to Catalyst/AQE (at 100 TB customer is
+    itself large -> sort-merge on the shuffle key, which AQE can convert to
+    broadcast when a filter shrinks it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    rate = (F.lit(3.5) + (F.col("o_orderkey") % 40) * 0.1) / 100 / 12
+    growth = F.pow(F.lit(1) + rate, 360)
+
+    return (
+        orders
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("mkt_segment"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("c_acctbal").alias("acct_balance"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.when(F.col("c_acctbal") > 0,
+                   round2(F.col("o_totalprice") / F.col("c_acctbal") * 100))
+             .otherwise(F.lit(None))
+             .alias("value_ratio"),
+            round2(
+                F.col("o_totalprice") * rate * growth / (growth - 1)
+            ).alias("estimated_monthly_payment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg layer: A1-A5 grouped aggregates over a truncated month (F1), J2 full
+# outer month alignment + F6/F7 coalesce idiom, O1 presentation sort
+# (reference: models/marts/agg_monthly_loans.sql)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_monthly_orders",
+    oracle=f"""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               o_orderstatus AS order_status,
+               COUNT(DISTINCT o_orderkey) AS orders_placed,
+               {sql_round2('SUM(o_totalprice)')} AS total_amount,
+               {sql_round2(sql_round2('SUM(o_totalprice)') + ' / COUNT(o_totalprice)')} AS avg_order_value
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    tags=("A1", "A3", "A4", "A5", "F1", "P3"),
+)
+def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly originations rollup, the shape of monthly_originations
+    (models/marts/agg_monthly_loans.sql:10-18): cast(date_trunc(month) as
+    date) group keys, count(distinct), sum, avg.  Spark's HashAggregate does
+    partial (map-side) + final aggregation automatically — one shuffle on the
+    two group keys, which is the minimum for an exact distinct count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+            F.col("o_orderstatus").alias("order_status"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("orders_placed"),
+            round2(F.sum("o_totalprice")).alias("total_amount"),
+            # avg is derived from the ROUNDED sum: an unrounded engine sum can
+            # differ by 1 ulp between Spark and DuckDB (different add order),
+            # and avg of 2-decimal money frequently sits exactly on a
+            # half-cent boundary, where that ulp flips the rounding.
+            # Canonicalizing the sum first makes the division bit-identical.
+            round2(round2(F.sum("o_totalprice")) / F.count("o_totalprice"))
+            .alias("avg_order_value"),
+        )
+    )
+
+
+@query(
+    "agg_monthly_shipments",
+    oracle=f"""
+        SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month_start,
+               COUNT(DISTINCT l_orderkey) AS orders_shipped,
+               COUNT(*) AS lines_shipped,
+               {sql_round2('SUM(l_extendedprice)')} AS shipped_value,
+               {sql_round2('SUM(l_quantity)')} AS shipped_quantity
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("A2", "A3", "A4", "A6", "F1"),
+)
+def agg_monthly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly payments rollup, the shape of monthly_payments
+    (models/marts/agg_monthly_loans.sql:21-29)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month_start"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders_shipped"),
+            F.count(F.lit(1)).alias("lines_shipped"),
+            round2(F.sum("l_extendedprice")).alias("shipped_value"),
+            round2(F.sum("l_quantity")).alias("shipped_quantity"),
+        )
+    )
+
+
+_COMBINED_ORACLE = f"""
+    WITH monthly_orders AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               o_orderstatus AS order_status,
+               COUNT(DISTINCT o_orderkey) AS orders_placed,
+               {sql_round2('SUM(o_totalprice)')} AS total_amount
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    monthly_shipments AS (
+        SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month_start,
+               COUNT(DISTINCT l_orderkey) AS orders_shipped,
+               {sql_round2('SUM(l_extendedprice)')} AS shipped_value
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT COALESCE(o.month_start, s.month_start) AS month,
+           o.order_status,
+           COALESCE(o.orders_placed, 0) AS new_orders,
+           COALESCE(o.total_amount, 0) AS amount_ordered,
+           COALESCE(s.orders_shipped, 0) AS orders_shipped,
+           COALESCE(s.shipped_value, 0) AS shipped_value
+    FROM monthly_orders o
+    FULL OUTER JOIN monthly_shipments s ON o.month_start = s.month_start
+"""
+
+
+@query("agg_monthly_combined", oracle=_COMBINED_ORACLE,
+       tags=("J2", "F6", "F7", "O1", "A1", "A2"))
+def agg_monthly_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER month alignment + coalesce idiom, the shape of reference
+    agg_monthly_loans' combined CTE WITHOUT the fan-out join — i.e. the fixed
+    variant of docs/bug-analysis.md:161-174.  Both inputs are aliased before
+    the join so the coalesced key is unambiguous (SURVEY.md §7.2 item 3).
+    The join keys are month grains (~tens of rows per side after
+    aggregation), so this full outer join is cheap at any scale — the heavy
+    lifting happened in the partial aggregations upstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    o = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.col("o_orderstatus").alias("order_status"))
+        .agg(F.countDistinct("o_orderkey").alias("orders_placed"),
+             round2(F.sum("o_totalprice")).alias("total_amount"))
+        .alias("o")
+    )
+    s = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month_start"))
+        .agg(F.countDistinct("l_orderkey").alias("orders_shipped"),
+             round2(F.sum("l_extendedprice")).alias("shipped_value"))
+        .alias("s")
+    )
+    return (
+        o.join(s, F.col("o.month_start") == F.col("s.month_start"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.month_start"), F.col("s.month_start")).alias("month"),
+            F.col("o.order_status").alias("order_status"),
+            F.coalesce(F.col("o.orders_placed"), F.lit(0)).alias("new_orders"),
+            F.coalesce(F.col("o.total_amount"), F.lit(0)).alias("amount_ordered"),
+            F.coalesce(F.col("s.orders_shipped"), F.lit(0)).alias("orders_shipped"),
+            F.coalesce(F.col("s.shipped_value"), F.lit(0)).alias("shipped_value"),
+        )
+        .orderBy(F.desc("month"), F.asc("order_status"))
+    )
+
+
+_FANOUT_ORACLE = f"""
+    WITH monthly_orders AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               o_orderstatus AS order_status,
+               COUNT(DISTINCT o_orderkey) AS orders_placed,
+               {sql_round2('SUM(o_totalprice)')} AS total_amount
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2
+    ),
+    monthly_shipments AS (
+        SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month_start,
+               COUNT(DISTINCT l_orderkey) AS orders_shipped
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    )
+    SELECT COALESCE(o.month_start, s.month_start) AS month,
+           o.order_status,
+           d.o_custkey AS customer_id,
+           COALESCE(o.orders_placed, 0) AS new_orders,
+           COALESCE(o.total_amount, 0) AS amount_ordered,
+           COALESCE(s.orders_shipped, 0) AS orders_shipped
+    FROM monthly_orders o
+    FULL OUTER JOIN monthly_shipments s ON o.month_start = s.month_start
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01') d
+        ON o.order_status = d.o_orderstatus
+"""
+
+
+@query("agg_monthly_fanout", oracle=_FANOUT_ORACLE,
+       tags=("J3", "J2", "F6", "F7"), bench=False)
+def agg_monthly_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deliberate fan-out bug, reproduced faithfully
+    (models/marts/agg_monthly_loans.sql:48-49, analyzed in
+    docs/bug-analysis.md:36-58): an aggregate at (month, status) grain is
+    LEFT-joined back to detail rows on the NON-unique status key, multiplying
+    every aggregate row by the number of detail rows of that status.  A
+    1995-only filter bounds the blast radius while keeping the fan-out
+    semantics exact (the reference seeds are 10 rows; unfiltered at sf0.1
+    this would be a ~12M-row bug demo)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1996-01-01")
+
+    o = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.col("o_orderstatus").alias("order_status"))
+        .agg(F.countDistinct("o_orderkey").alias("orders_placed"),
+             round2(F.sum("o_totalprice")).alias("total_amount"))
+        .alias("o")
+    )
+    s = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month_start"))
+        .agg(F.countDistinct("l_orderkey").alias("orders_shipped"))
+        .alias("s")
+    )
+    detail = orders.alias("d")
+    return (
+        o.join(s, F.col("o.month_start") == F.col("s.month_start"), "full_outer")
+        .join(detail, F.col("o.order_status") == F.col("d.o_orderstatus"), "left")
+        .select(
+            F.coalesce(F.col("o.month_start"), F.col("s.month_start")).alias("month"),
+            F.col("o.order_status").alias("order_status"),
+            F.col("d.o_custkey").alias("customer_id"),
+            F.coalesce(F.col("o.orders_placed"), F.lit(0)).alias("new_orders"),
+            F.coalesce(F.col("o.total_amount"), F.lit(0)).alias("amount_ordered"),
+            F.coalesce(F.col("s.orders_shipped"), F.lit(0)).alias("orders_shipped"),
+        )
+    )
+
+
+@query(
+    "grain_check_fanout",
+    oracle="""
+        WITH agg AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+                   o_orderstatus AS order_status
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2
+        ),
+        fanned AS (
+            SELECT a.month_start, a.order_status
+            FROM agg a
+            LEFT JOIN (SELECT * FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1996-01-01') d
+                ON a.order_status = d.o_orderstatus
+        )
+        SELECT (SELECT COUNT(*) FROM agg) AS expected_rows,
+               (SELECT COUNT(*) FROM fanned) AS actual_rows
+        HAVING expected_rows != actual_rows
+    """,
+    tags=("A6", "A7", "A8", "P7", "F9"), bench=False)
+def grain_check_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality grain test specified in docs/bug-analysis.md:139-157:
+    expected distinct grain count vs actual row count, HAVING != — returns a
+    violation row exactly when the fan-out bug is present.  Uses Spark SQL
+    scalar subqueries (A7) and HAVING-without-GROUP-BY (A8)."""
+    from ..sources.parquet import register_views
+    register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH agg AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+                   o_orderstatus AS order_status
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2
+        ),
+        fanned AS (
+            SELECT a.month_start, a.order_status
+            FROM agg a
+            LEFT JOIN (SELECT * FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1996-01-01') d
+                ON a.order_status = d.o_orderstatus
+        )
+        SELECT expected_rows, actual_rows FROM (
+            SELECT (SELECT COUNT(*) FROM agg) AS expected_rows,
+                   (SELECT COUNT(*) FROM fanned) AS actual_rows
+        ) WHERE expected_rows != actual_rows
+    """)

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local runs use ``local[N]``; the same config block is what we would ship to a
+1000-executor cluster — AQE on (runtime re-planning, skew-join handling,
+shuffle-partition coalescing), explicit session timezone (UTC) so
+timestamp→date truncation is calendar-stable and matches the DuckDB oracle's
+naive timestamps, and Arrow enabled for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB these two are cluster-tuned (shuffle partitions ~ 2-3x total
+# cores; AQE coalesces down at runtime).  Locally we keep them small so
+# 600k-row benches aren't dominated by empty-task overhead.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "dbt_demo_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable parts of our config to a session we did not
+    build (the driver hands us one in ``__spark_entry__.entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

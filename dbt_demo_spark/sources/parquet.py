@@ -1,0 +1,35 @@
+"""Parquet source registry for the driver's synthetic test tables.
+
+At 100 TB these reads stay exactly as written: `spark.read.parquet` is the
+DataSource V1/V2 scan with column pruning + predicate pushdown built in —
+downstream `.select`/`.filter` reach the scan via Catalyst, so narrow queries
+read narrow bytes (verify with `.explain`: ReadSchema / PushedFilters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view so `spark.sql` queries see the same
+    catalog names the DuckDB oracle does."""
+    for n in (names or TESTDATA_TABLES):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

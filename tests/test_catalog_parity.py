@@ -1,0 +1,33 @@
+"""Local mirror of the driver's t2 gate: every oracled catalog query must
+hash-match its DuckDB oracle on the same parquet inputs (strict value
+equality after the queries' own explicit rounding)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_demo_spark.queries import CATALOG
+from dbt_demo_spark.testing import compare, duckdb_connection
+from tests.conftest import SF_SMOKE
+
+ORACLED = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, con, name):
+    spec = CATALOG[name]
+    res = compare(name, spec.fn(spark, SF_SMOKE), con, spec.oracle)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
