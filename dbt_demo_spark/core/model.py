@@ -1,0 +1,105 @@
+"""Model registry — the Spark-native analog of dbt's manifest.
+
+In the reference, a model is a SQL file whose ``{{ ref('x') }}`` calls define
+DAG edges and whose folder selects a materialization (reference:
+dbt_project.yml:17-22; ref call sites at models/staging/stg_loans.sql:2,
+models/marts/fct_loan_details.sql:2,6, models/marts/agg_monthly_loans.sql:2,6).
+Here a model is a Python function ``(refs: dict[str, DataFrame]) -> DataFrame``
+whose declared ``deps`` are the ref edges; the "compile" step is building a
+Catalyst logical plan through the DataFrame API, and everything downstream
+(analysis, optimization, physical planning) is Spark's, not ours.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+ModelFn = Callable[[dict[str, DataFrame]], DataFrame]
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    name: str
+    deps: tuple[str, ...]
+    materialized: str            # "view" | "table"  (dbt_project.yml:19-22)
+    fn: ModelFn
+    partition_by: tuple[str, ...] = ()   # table layout at scale (month keys)
+    doc: str = ""
+
+
+class ModelRegistry:
+    def __init__(self) -> None:
+        self._models: dict[str, ModelDef] = {}
+
+    def register(self, mdef: ModelDef) -> None:
+        if mdef.name in self._models:
+            raise ValueError(f"duplicate model: {mdef.name}")
+        self._models[mdef.name] = mdef
+
+    def __getitem__(self, name: str) -> ModelDef:
+        return self._models[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._models
+
+    def names(self) -> list[str]:
+        return list(self._models)
+
+    def model(self, name: str, *, deps: tuple[str, ...] = (),
+              materialized: str = "view",
+              partition_by: tuple[str, ...] = ()) -> Callable[[ModelFn], ModelFn]:
+        """Decorator: register a model function on this registry."""
+
+        def deco(fn: ModelFn) -> ModelFn:
+            self.register(ModelDef(name=name, deps=tuple(deps),
+                                   materialized=materialized, fn=fn,
+                                   partition_by=tuple(partition_by),
+                                   doc=fn.__doc__ or ""))
+            return fn
+
+        return deco
+
+    def topo_order(self, select: list[str] | None = None) -> list[str]:
+        """Topological execution order over ref edges (dbt run semantics;
+        reference: README.md:50-51).  ``select`` limits to those models plus
+        their upstream closure.  Deps that are not registered models are
+        treated as sources the caller must provide."""
+        wanted = set(select or self._models)
+        # expand upstream closure
+        frontier = list(wanted)
+        while frontier:
+            n = frontier.pop()
+            if n not in self._models:
+                continue
+            for d in self._models[n].deps:
+                if d in self._models and d not in wanted:
+                    wanted.add(d)
+                    frontier.append(d)
+
+        order: list[str] = []
+        state: dict[str, int] = {}  # 0=visiting, 1=done
+
+        def visit(n: str) -> None:
+            if n not in self._models or n not in wanted:
+                return
+            if state.get(n) == 1:
+                return
+            if state.get(n) == 0:
+                raise ValueError(f"cycle through model {n}")
+            state[n] = 0
+            for d in self._models[n].deps:
+                visit(d)
+            state[n] = 1
+            order.append(n)
+
+        for n in sorted(wanted):
+            visit(n)
+        return order
+
+
+# The default registry used by the Fiction Bank project.
+DEFAULT_REGISTRY = ModelRegistry()
+model = DEFAULT_REGISTRY.model

@@ -1,0 +1,68 @@
+"""Topo-sort model runner — the Spark-native ``dbt run``.
+
+Materialization mirrors the reference policy (dbt_project.yml:17-22):
+
+  * ``view``  -> ``createOrReplaceTempView`` + the lazy DataFrame is passed
+    downstream.  Zero storage, recomputed on read — exactly a SQL view, and
+    Catalyst inlines it into consumers so column pruning / predicate
+    pushdown cross the view boundary for free.
+  * ``table`` -> written as parquet under the warehouse dir (partitioned by
+    the model's ``partition_by`` columns) and read back, so downstream
+    models consume the materialized table rather than recomputing the
+    lineage — the same compute-once semantics as dbt's CREATE TABLE AS,
+    and at 100 TB the partition columns give static/dynamic partition
+    pruning on every downstream read.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .model import ModelRegistry
+
+
+class Runner:
+    def __init__(self, spark: SparkSession, registry: ModelRegistry,
+                 warehouse_dir: str | None = None) -> None:
+        self.spark = spark
+        self.registry = registry
+        self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
+
+    def run(self, sources: dict[str, DataFrame],
+            select: list[str] | None = None) -> dict[str, DataFrame]:
+        """Execute models in dependency order.  ``sources`` provides seed /
+        external relations (the dbt-seed layer); returns every relation
+        (sources + built models) by name."""
+        relations: dict[str, DataFrame] = dict(sources)
+        for name in self.registry.topo_order(select):
+            mdef = self.registry[name]
+            missing = [d for d in mdef.deps if d not in relations]
+            if missing:
+                raise KeyError(f"model {name}: unresolved refs {missing}")
+            refs = {d: relations[d] for d in mdef.deps}
+            df = mdef.fn(refs)
+            if mdef.materialized == "table":
+                df = self._materialize_table(name, df, mdef.partition_by)
+            else:
+                df.createOrReplaceTempView(name)
+            relations[name] = df
+        return relations
+
+    def _materialize_table(self, name: str, df: DataFrame,
+                           partition_by: tuple[str, ...]) -> DataFrame:
+        path = os.path.join(self.warehouse_dir, name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        return out
+
+    def clean(self) -> None:
+        """dbt clean analog (dbt_project.yml:13-15): drop the warehouse."""
+        shutil.rmtree(self.warehouse_dir, ignore_errors=True)

@@ -75,7 +75,9 @@ def _canon_table(tbl: pa.Table) -> tuple[list[str], list[str]]:
 
 def compare(name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection,
             oracle: str) -> CompareResult:
-    spark_tbl = pa.Table.from_pandas(spark_df.toPandas(), preserve_index=False)
+    # toArrow (Spark 4) preserves logical types exactly — toPandas would
+    # coerce nullable int64 columns to float64 and corrupt the comparison.
+    spark_tbl = spark_df.toArrow()
     oracle_tbl = con.execute(oracle).arrow()
 
     s_cols, s_rows = _canon_table(spark_tbl)

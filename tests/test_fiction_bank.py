@@ -1,0 +1,197 @@
+"""Reference-fidelity tests for the Fiction Bank models (SURVEY.md §5.2):
+
+1. Hand-checkable goldens on the exact reference seeds (FIXTURES.md §A5).
+2. Grain tests: FAIL on the faithful-buggy agg model, PASS on the fixed one
+   (docs/bug-analysis.md:139-157), incl. the Feb-2023 fan-out shape
+   (docs/bug-analysis.md:84-98).
+3. Full differential vs DuckDB executing the dbt-compiled SQL of each model
+   on the same seed data.
+4. The CSV seed-reader path: quoted embedded commas + empty->NULL.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dbt_demo_spark.models.fiction_bank import (FICTION_BANK_TESTS,
+                                                build_fiction_bank)
+from dbt_demo_spark.models.seeds import (SEED_SCHEMAS, load_seed_dataframes,
+                                         seed_csv_text, seed_rows)
+from dbt_demo_spark.core.datatests import run_data_tests
+from dbt_demo_spark.sources.csv import read_seed_csv
+
+
+@pytest.fixture(scope="module")
+def relations(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    return build_fiction_bank(spark, warehouse_dir=wh)
+
+
+def test_fct_loan_details_goldens(relations):
+    fct = {r["loan_id"]: r for r in relations["fct_loan_details"].collect()}
+    assert len(fct) == 10  # one row per loan: the dim join is 1:1
+    # L001: round(250000/300000*100, 2) = 83.33 (fct_loan_details.sql:23-27)
+    assert fct["L001"]["ltv_ratio"] == 83.33
+    # L004/L008 have NULL property_value -> CASE falls to ELSE NULL
+    assert fct["L004"]["ltv_ratio"] is None
+    assert fct["L008"]["ltv_ratio"] is None
+    # amortization at P=250000, r=3.5%/12, n=360 (FIXTURES.md §A5)
+    assert fct["L001"]["estimated_monthly_payment"] == pytest.approx(1122.61, abs=0.01)
+    # dim enrichment carried through
+    assert fct["L001"]["loan_type_name"] == "Mortgage"
+    assert fct["L004"]["loan_type_name"] == "Personal"
+
+
+def test_grain_tests_distinguish_buggy_from_fixed(relations):
+    results = {r.name: r for r in run_data_tests(FICTION_BANK_TESTS, relations)}
+    assert not results["grain_agg_monthly_loans"].passed  # bug present by design
+    assert results["grain_agg_monthly_loans_fixed"].passed
+
+
+def test_feb_2023_fanout_shape(relations):
+    """docs/bug-analysis.md:84-98: in the buggy model each (month, type) row
+    is multiplied by the number of loans of that type; in the fixed model
+    Feb-2023 Mortgage is exactly one row."""
+    buggy = relations["agg_monthly_loans"].filter(
+        "month = DATE'2023-02-01' AND loan_type_name = 'Mortgage'").collect()
+    fixed = relations["agg_monthly_loans_fixed"].filter(
+        "month = DATE'2023-02-01' AND loan_type_name = 'Mortgage'").collect()
+    n_mortgage_loans = relations["fct_loan_details"].filter(
+        "loan_type_name = 'Mortgage'").count()
+    assert len(fixed) == 1
+    assert len(buggy) == n_mortgage_loans  # fan-out x (#loans of that type)
+    # every fanned row repeats the same aggregate values
+    assert {r["amount_originated"] for r in buggy} == {450000}
+
+
+def test_payment_only_month_survives_full_outer(relations):
+    """2023-09 has payments but no originations (raw_loan_payments.csv:16) —
+    the FULL OUTER + coalesce idiom must keep it with zero-filled
+    origination metrics and NULL loan_type_name."""
+    rows = relations["agg_monthly_loans_fixed"].filter("month = DATE'2023-09-01'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["loan_type_name"] is None
+    assert r["new_loans"] == 0 and r["amount_originated"] == 0
+    assert r["payments_received"] == 1
+    assert r["payment_volume"] == pytest.approx(610.54)
+
+
+# --- differential vs DuckDB running the dbt-compiled SQL on the same seeds --
+
+_STG_LOANS_SQL = """
+    SELECT loan_id, customer_id, loan_type_id, loan_amount, interest_rate,
+           CAST(loan_start_date AS DATE) AS loan_start_date,
+           loan_term_months, property_address, property_value
+    FROM raw_loans
+"""
+
+_FCT_SQL = """
+    SELECT loans.loan_id, loans.customer_id, loans.loan_type_id,
+           loan_types.loan_type_name,
+           loan_types.description AS loan_type_description,
+           loans.loan_amount, loans.interest_rate, loans.loan_start_date,
+           loans.loan_term_months, loan_types.typical_term_months,
+           loans.property_address, loans.property_value,
+           CASE WHEN loans.property_value > 0
+                THEN ROUND((CAST(loans.loan_amount AS DOUBLE)
+                            / CAST(loans.property_value AS DOUBLE)) * 100, 2)
+                ELSE NULL END AS ltv_ratio,
+           ROUND(loans.loan_amount * (loans.interest_rate / 100 / 12) *
+                 POWER(1 + (loans.interest_rate / 100 / 12), loans.loan_term_months) /
+                 (POWER(1 + (loans.interest_rate / 100 / 12), loans.loan_term_months) - 1),
+                 2) AS estimated_monthly_payment
+    FROM (SELECT * FROM stg_loans) loans
+    LEFT JOIN loan_types ON loans.loan_type_id = loan_types.loan_type_id
+"""
+
+_AGG_SQL = """
+    WITH loans AS (SELECT * FROM fct_loan_details),
+    payments AS (
+        SELECT payment_id, loan_id, CAST(payment_date AS DATE) AS payment_date,
+               payment_amount, principal_paid, interest_paid, payment_status
+        FROM raw_loan_payments
+    ),
+    monthly_originations AS (
+        SELECT CAST(DATE_TRUNC('month', loan_start_date) AS DATE) AS month_start,
+               loan_type_name,
+               COUNT(DISTINCT loan_id) AS loans_originated,
+               SUM(loan_amount) AS total_amount_originated,
+               AVG(loan_amount) AS avg_loan_amount,
+               AVG(interest_rate) AS avg_interest_rate
+        FROM loans GROUP BY 1, 2
+    ),
+    monthly_payments AS (
+        SELECT CAST(DATE_TRUNC('month', payment_date) AS DATE) AS month_start,
+               COUNT(DISTINCT payment_id) AS total_payments,
+               SUM(payment_amount) AS total_payment_amount,
+               SUM(principal_paid) AS total_principal_paid,
+               SUM(interest_paid) AS total_interest_paid
+        FROM payments GROUP BY 1
+    )
+    SELECT COALESCE(orig.month_start, pay.month_start) AS month,
+           orig.loan_type_name,
+           loans.customer_id,
+           COALESCE(orig.loans_originated, 0) AS new_loans,
+           COALESCE(orig.total_amount_originated, 0) AS amount_originated,
+           COALESCE(orig.avg_loan_amount, 0) AS avg_loan_size,
+           COALESCE(orig.avg_interest_rate, 0) AS avg_rate,
+           COALESCE(pay.total_payments, 0) AS payments_received,
+           COALESCE(pay.total_payment_amount, 0) AS payment_volume,
+           COALESCE(pay.total_principal_paid, 0) AS principal_collected,
+           COALESCE(pay.total_interest_paid, 0) AS interest_collected
+    FROM monthly_originations orig
+    FULL OUTER JOIN monthly_payments pay ON orig.month_start = pay.month_start
+    LEFT JOIN loans ON orig.loan_type_name = loans.loan_type_name
+"""
+
+
+@pytest.fixture(scope="module")
+def duck_fb():
+    """DuckDB warehouse seeded with the same data, models compiled the way
+    dbt-duckdb would run them (views for staging, tables for marts)."""
+    con = duckdb.connect()
+    for name in ("loan_types", "raw_loans", "raw_loan_payments"):
+        cols = ", ".join(f.name for f in SEED_SCHEMAS[name].fields)
+        placeholders = ", ".join("?" for _ in SEED_SCHEMAS[name].fields)
+        typed = ", ".join(
+            f"{f.name} {'DOUBLE' if f.dataType.typeName() == 'double' else 'BIGINT' if f.dataType.typeName() == 'long' else 'VARCHAR'}"
+            for f in SEED_SCHEMAS[name].fields)
+        con.execute(f"CREATE TABLE {name} ({typed})")
+        con.executemany(f"INSERT INTO {name} ({cols}) VALUES ({placeholders})",
+                        seed_rows(name))
+    con.execute(f"CREATE VIEW stg_loans AS {_STG_LOANS_SQL}")
+    con.execute(f"CREATE TABLE fct_loan_details AS {_FCT_SQL}")
+    con.execute(f"CREATE TABLE agg_monthly_loans AS {_AGG_SQL}")
+    return con
+
+
+@pytest.mark.parametrize("model_name,sql", [
+    ("stg_loans", "SELECT * FROM stg_loans"),
+    ("fct_loan_details", "SELECT * FROM fct_loan_details"),
+    ("agg_monthly_loans", "SELECT * FROM agg_monthly_loans"),
+])
+def test_models_match_duckdb(relations, duck_fb, model_name, sql):
+    from dbt_demo_spark.testing import compare
+
+    res = compare(model_name, relations[model_name], duck_fb, sql)
+    assert res.ok, f"{model_name}: {res.detail}"
+
+
+# --- CSV seed-reader path (S1) ---------------------------------------------
+
+def test_csv_seed_reader_quoting_and_nulls(spark, tmp_path):
+    p = tmp_path / "raw_loans.csv"
+    p.write_text(seed_csv_text("raw_loans"))
+    df = read_seed_csv(spark, str(p), SEED_SCHEMAS["raw_loans"])
+    rows = {r["loan_id"]: r for r in df.collect()}
+    assert len(rows) == 10
+    # embedded comma inside quotes survives (raw_loans.csv:2)
+    assert rows["L001"]["property_address"] == "123 Main St, Austin TX"
+    # empty CSV fields -> NULL for both string and numeric columns (:5,:9)
+    assert rows["L004"]["property_address"] is None
+    assert rows["L004"]["property_value"] is None
+    # matches the embedded-seed DataFrame exactly
+    embedded = load_seed_dataframes(spark)["raw_loans"]
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, embedded.collect()))
