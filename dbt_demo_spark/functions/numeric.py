@@ -36,3 +36,24 @@ def sql_roundn(expr: str, n: int = 2) -> str:
 
 def sql_round2(expr: str) -> str:
     return sql_roundn(expr, 2)
+
+
+# --- integer-scaled money aggregation --------------------------------------
+#
+# Even the floor-trick flips when (a) two engines' double sums differ by an
+# ulp AND (b) the true decimal value sits exactly on a rounding boundary —
+# which for 4-decimal revenue terms like extprice*(1-discount) happens in
+# ~1% of groups.  The only order-independent sum is an integer sum: scale
+# fixed-decimal money to int64 first, sum exactly, divide once at the end.
+# Both engines then hold bit-identical inputs for every later operation.
+# (DuckDB's sum(BIGINT) widens to HUGEINT — divide by a float scale right
+# away so the surfaced column is DOUBLE in both engines.)
+
+
+def scaled_long(col: Column, decimals: int = 2) -> Column:
+    """Money column with `decimals` fixed decimals -> exact integer units."""
+    return F.round(col * float(10 ** decimals), 0).cast("long")
+
+
+def sql_scaled_long(expr: str, decimals: int = 2) -> str:
+    return f"CAST(ROUND(({expr}) * {float(10 ** decimals)!r}, 0) AS BIGINT)"
