@@ -1,0 +1,94 @@
+"""Text-analysis column functions, built as Spark higher-order functions
+(JVM-side, whole-stage-codegen'd — no Python UDFs in the hot path).
+
+Cross-engine portability: the differential oracle (DuckDB) must compute
+byte-identical values, so the token/shingle hashes here use only integer
+arithmetic over `ascii`/`length`/`substr` — primitives whose semantics are
+identical in Spark SQL and DuckDB.  The production-scale variant of the same
+operators can swap in `F.xxhash64` (cheaper, better-mixed, Spark-only); the
+operators take the hash as a parameter.
+
+`sql_*` helpers emit the DuckDB expression computing the same value.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+HASH_P = 1_000_003  # prime modulus for all portable hashes
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (documents are single-space word sequences)."""
+    return F.split(text, " ")
+
+
+def sql_tokens(expr: str = "text") -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def char_hash(tok: Column) -> Column:
+    """Portable per-token hash from first/second/last chars + length.
+    Injective on small vocabularies; swap for xxhash64 at scale."""
+    first = F.ascii(F.substring(tok, 1, 1))
+    second = F.ascii(F.substring(tok, 2, 1))          # ascii('') = 0, both engines
+    last = F.ascii(tok.substr(F.length(tok), F.lit(1)))
+    return (first * 31 + second * 17 + last * 7 + F.length(tok) * 131) % HASH_P
+
+
+def sql_char_hash(tok: str) -> str:
+    return (f"(ascii(substr({tok}, 1, 1)) * 31 + ascii(substr({tok}, 2, 1)) * 17"
+            f" + ascii(substr({tok}, length({tok}), 1)) * 7"
+            f" + length({tok}) * 131) % {HASH_P}")
+
+
+def token_hashes(text: Column) -> Column:
+    """array<long> of per-token portable hashes."""
+    return F.transform(tokens(text), lambda t: char_hash(t).cast("long"))
+
+
+def sql_token_hashes(expr: str = "text") -> str:
+    return f"list_transform({sql_tokens(expr)}, t -> CAST({sql_char_hash('t')} AS BIGINT))"
+
+
+def shingle_hashes(th: Column) -> Column:
+    """Hashes of 3-token shingles from the token-hash array (1-based
+    element_at, matching DuckDB's 1-based list indexing).  Caller must
+    ensure >= 3 tokens (Spark's `sequence` runs DESCENDING when stop <
+    start, which would fabricate junk shingles)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(th) - 2),
+        lambda i: ((F.element_at(th, i) * 31 + F.element_at(th, i + 1)) * 31
+                   + F.element_at(th, i + 2)) % HASH_P,
+    )
+
+
+def sql_shingle_hashes(th: str) -> str:
+    return (f"[((({th}[i]) * 31 + ({th}[i+1])) * 31 + ({th}[i+2])) % {HASH_P}"
+            f" for i in generate_series(1, len({th}) - 2)]")
+
+
+def stopword_count(toks: Column, stopwords: list[str]) -> Column:
+    lits = [F.lit(s) for s in stopwords]
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def sql_stopword_count(toks: str, stopwords: list[str]) -> str:
+    inlist = ", ".join(f"'{s}'" for s in stopwords)
+    return f"len(list_filter({toks}, t -> t IN ({inlist})))"
+
+
+def position_weighted_fingerprint(th: Column) -> Column:
+    """Order-sensitive document fingerprint: sum_i h(tok_i) * w(i) mod P,
+    with w(i) = (i * 2654435761) % P.  Commutative to COMPUTE (safe under
+    any execution order) yet sensitive to token ORDER — a reordered
+    document fingerprints differently."""
+    weighted = F.transform(
+        th, lambda x, i: (x * (((i + 1) * F.lit(2654435761)) % HASH_P)) % HASH_P)
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v) % HASH_P
+
+
+def sql_position_weighted_fingerprint(th: str) -> str:
+    return (f"CAST(list_sum([(({th}[i]) * ((i * 2654435761) % {HASH_P})) % {HASH_P}"
+            f" for i in generate_series(1, len({th}))]) % {HASH_P} AS BIGINT)")

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as opaque
+`binary` columns with typed metadata, processed by Arrow-batched Pandas
+functions over `mapInPandas`.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake derived from the payload bytes, or NotImplementedError
+in strict mode) — but everything Spark-side is real and tested: the binary
+schema, the mapInPandas batch shape, the output StructType, and the
+partitioning story (payload tables partitioned by modality; metadata
+extraction is embarrassingly parallel so the only scale concern is batch
+size via spark.sql.execution.arrow.maxRecordsPerBatch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+PAYLOAD_SCHEMA = StructType([
+    StructField("item_id", LongType()),
+    StructField("modality", StringType()),      # image | audio | video | text
+    StructField("payload", BinaryType()),
+])
+
+DECODED_META_SCHEMA = StructType([
+    StructField("item_id", LongType()),
+    StructField("modality", StringType()),
+    StructField("byte_len", LongType()),
+    StructField("sha256", StringType()),
+    StructField("width", IntegerType()),        # fake-decoded dimensions
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+])
+
+
+def to_payload_table(docs: DataFrame, modality: str = "text",
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wrap a text table as a payload table (UTF-8 bytes) — the test stand-in
+    for real image/audio payload parquet."""
+    return docs.select(
+        F.col(id_col).alias("item_id"),
+        F.lit(modality).alias("modality"),
+        F.col(text_col).cast("binary").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: dimensions derived from content.
+    Replace with PIL / torchaudio / pyav in a real deployment."""
+    h = hashlib.sha256(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 32
+
+
+def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas metadata extraction: one Arrow batch in, one batch out.
+    strict=True raises NotImplementedError where the real codec would run —
+    marking exactly the integration point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; "
+                    "plug a real decoder into _fake_decode")
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "item_id": pdf["item_id"],
+                "modality": pdf["modality"],
+                "byte_len": [len(p) for p in pdf["payload"]],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+            })
+
+    return payloads.mapInPandas(run, DECODED_META_SCHEMA)
+
+
+def payload_stats(payloads: DataFrame) -> DataFrame:
+    """JVM-side payload statistics (no Python): byte length + sha256 —
+    the cheap always-available metadata path."""
+    return payloads.select(
+        "item_id", "modality",
+        F.octet_length("payload").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )

@@ -1,7 +1,488 @@
-"""LLM-training-data pipeline operators over documents / embeddings / events.
+"""LLM-training-data pipeline operators over documents / embeddings / events,
+as oracle-checked catalog queries.
 
-Dedup (exact + near-dup), similarity search, text analysis, multimodal
-plumbing, and the streaming twin's batch form.  Populated in M4.
+Determinism architecture (what makes these differentially testable at all):
+  * token/shingle hashing uses the portable integer char-hash
+    (functions/text.py) — identical in Spark SQL and DuckDB;
+  * similarity scores are IEEE-exact folds (functions/vectors.py), verified
+    bit-identical against DuckDB's list_dot_product;
+  * LSH planes and minhash coefficients come from fixed integer formulas,
+    not RNG;
+  * anything divided is divided from exact integers.
+
+The production-scale variants (xxhash64 hashing, Spark ML MinHashLSH, etc.)
+live in operators/ — these queries pin the portable semantics.
 """
 
 from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import round2, scaled_long, sql_round2, sql_scaled_long
+from ..functions.text import (HASH_P, position_weighted_fingerprint,
+                              sql_position_weighted_fingerprint,
+                              sql_stopword_count, sql_token_hashes,
+                              sql_tokens, stopword_count, token_hashes, tokens)
+from ..functions.vectors import (as_double, cosine, lsh_bucket, sql_cosine,
+                                 sql_lsh_bucket)
+from ..operators import dedup, similarity
+from ..sources.events import load_events
+from ..sources.parquet import load_table
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_distinct,
+               COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+        FROM documents
+    """,
+    tags=("dedup", "A3", "A6"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exact-duplicate statistics (hash-groupBy dedup, stats form)."""
+    return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+        SELECT MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies,
+               text
+        FROM documents
+        GROUP BY text
+    """,
+    tags=("dedup", "A1", "A4"),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping lowest doc_id per distinct text — the canonical
+    one-shuffle exact dedup."""
+    return dedup.exact_dedup_keep_first(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_shingled(alias: str = "shingled") -> str:
+    """CTE text: documents -> hashed 3-token shingle arrays (>= 3 tokens)."""
+    th = sql_token_hashes("text")
+    return f"""
+        {alias} AS (
+            SELECT doc_id, sh FROM (
+                SELECT doc_id,
+                       [((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % {HASH_P}
+                        for i in generate_series(1, len(th) - 2)] AS sh
+                FROM (SELECT doc_id, {th} AS th FROM documents)
+                WHERE len(th) >= 3
+            )
+        )
+    """
+
+
+_MINHASH_MS = ", ".join(
+    f"list_min(list_transform(sh, s -> (s * {a} + {b}) % {HASH_P})) AS m{i}"
+    for i, (a, b) in enumerate(zip(dedup._A[:dedup.K_MINHASH], dedup._B[:dedup.K_MINHASH]))
+)
+_BAND_KEYS = ", ".join(
+    "((" + " * 31 + ".join(
+        [f"CAST(m{b * dedup.ROWS_PER_BAND} AS BIGINT)"]
+        + [f"m{b * dedup.ROWS_PER_BAND + r}" for r in range(1, dedup.ROWS_PER_BAND)]
+    ) + f")) AS band{b}"
+    for b in range(dedup.BANDS)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sigs"
+    for b in range(dedup.BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH {_sql_shingled()},
+    sigs AS (
+        SELECT doc_id, {_BAND_KEYS} FROM (
+            SELECT doc_id, {_MINHASH_MS} FROM shingled
+        )
+    ),
+    bands AS ({_BAND_UNION}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(sh) AS ss, len(list_distinct(sh)) AS n
+             FROM shingled)
+    SELECT d1, d2,
+           (len(list_intersect(s1.ss, s2.ss)) * 1.0)
+               / (s1.n + s2.n - len(list_intersect(s1.ss, s2.ss))) AS jaccard
+    FROM cand
+    JOIN sets s1 ON cand.d1 = s1.doc_id
+    JOIN sets s2 ON cand.d2 = s2.doc_id
+    WHERE (len(list_intersect(s1.ss, s2.ss)) * 1.0)
+              / (s1.n + s2.n - len(list_intersect(s1.ss, s2.ss))) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: shingle -> K-minhash signature ->
+    banded bucket join -> exact shingle-Jaccard verify >= 0.5.  The full
+    scale path for corpus-level near-dedup (operators/dedup.py)."""
+    return dedup.minhash_near_dups(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.5)
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_VOTES = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h & {1 << b}) > 0 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        SELECT doc_id, CAST({_SIMHASH_VOTES} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents)
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (bit-vote aggregation over token hashes);
+    equal/near fingerprints -> near-duplicate candidates."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"),
+                         n_bits=_SIMHASH_BITS)
+
+
+_NGRAM_ORACLE = f"""
+    WITH {_sql_shingled()},
+    q AS (SELECT doc_id AS qid, list_distinct(sh) AS qs FROM shingled
+          WHERE doc_id % 20 = 0),
+    c AS (SELECT doc_id AS cid, list_distinct(sh) AS cs FROM shingled),
+    qx AS (SELECT qid, unnest(qs) AS h, len(qs) AS qn FROM q),
+    cx AS (SELECT cid, unnest(cs) AS h, len(cs) AS cn FROM c),
+    inter AS (
+        SELECT qid, cid, qn, cn, COUNT(*) AS i
+        FROM qx JOIN cx USING (h)
+        WHERE qid != cid
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT qid, cid, (i * 1.0) / (qn + cn - i) AS jaccard
+    FROM inter
+    WHERE (i * 1.0) / (qn + cn - i) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "jaccard"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard of a 5% query sample against the corpus via
+    inverted-index join — the incremental-ingest dedup shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 20 == 0),
+                                  docs, threshold=0.5)
+        .select("qid", "cid", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE_TMPL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {score} AS score
+        FROM q {join} embeddings c
+        {cond}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+        WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=_TOPK_ORACLE_TMPL.format(
+        score=sql_cosine("q.qv", "c.embedding"), join="CROSS JOIN", cond=""),
+    tags=("similarity", "window"), bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a 2% query sample — the brute-force
+    baseline (query x corpus cross join + window rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=_TOPK_ORACLE_TMPL.format(
+        score=sql_cosine("q.qv", "c.embedding"),
+        join="JOIN",
+        cond=f"ON {sql_lsh_bucket('q.qv')} = {sql_lsh_bucket('c.embedding')}"),
+    tags=("similarity", "lsh", "window"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: deterministic hyperplane-LSH buckets prune the
+    candidate set ~2^planes-fold before exact scoring — the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               len({sql_tokens('text')}) AS n_tokens,
+               {sql_round2(f"(length(text) - len({sql_tokens('text')}) + 1.0)"
+                           f" / len({sql_tokens('text')})")} AS avg_token_len,
+               {sql_round2(sql_stopword_count(sql_tokens('text'), _STOPWORDS)
+                           + f" * 1.0 / len({sql_tokens('text')})")} AS stopword_ratio,
+               {sql_round2(
+                   f"LEAST(len({sql_tokens('text')}) / 50.0, 1.0) * 40.0"
+                   f" + LEAST((length(text) - len({sql_tokens('text')}) + 1.0)"
+                   f"   / len({sql_tokens('text')}) / 5.0, 1.0) * 30.0"
+                   f" + (1.0 - {sql_stopword_count(sql_tokens('text'), _STOPWORDS)}"
+                   f"   * 1.0 / len({sql_tokens('text')})) * 30.0")} AS quality_score
+        FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, average token length,
+    stopword ratio, and a bounded composite score — all JVM-side
+    higher-order functions, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    avg_len = (F.length("text") - n + 1.0) / n
+    stop_ratio = stopword_count(toks, _STOPWORDS) * 1.0 / n
+    score = (F.least(n / 50.0, F.lit(1.0)) * 40.0
+             + F.least(avg_len / 5.0, F.lit(1.0)) * 30.0
+             + (1.0 - stop_ratio) * 30.0)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        round2(avg_len).alias("avg_token_len"),
+        round2(stop_ratio).alias("stopword_ratio"),
+        round2(score).alias("quality_score"),
+    )
+
+
+_LANG_MARKERS = [
+    ("en", "the"), ("en", "a"), ("en", "data"),
+    ("fr", "table"), ("fr", "line"), ("fr", "column"),
+    ("es", "row"), ("es", "value"), ("es", "key"),
+    ("de", "order"), ("de", "sort"), ("de", "merge"),
+    ("zh", "scan"), ("zh", "hash"), ("zh", "join"),
+]
+_MARKER_VALUES = ", ".join(f"('{lang}', '{tok}')" for lang, tok in _LANG_MARKERS)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+        ),
+        markers(lang, tok) AS (VALUES {_MARKER_VALUES}),
+        scores AS (
+            SELECT t.doc_id, m.lang AS cand, COUNT(*) AS matches
+            FROM toks t JOIN markers m ON t.tok = m.tok
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id, cand, matches,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY matches DESC, cand) AS rn
+            FROM scores
+        )
+        SELECT d.doc_id,
+               d.lang AS actual_lang,
+               COALESCE(r.cand, 'unknown') AS predicted_lang,
+               COALESCE(r.matches, 0) AS marker_matches
+        FROM documents d
+        LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+    """,
+    tags=("text", "langid", "window"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: explode tokens, join a broadcast marker
+    lexicon, majority-vote per document with deterministic tie-break.
+    (The synthetic corpus shares one vocabulary across langs, so accuracy is
+    chance — the operator mechanics are what's under test.)"""
+    spark_markers = F.array(*[
+        F.struct(F.lit(lang).alias("lang"), F.lit(tok).alias("tok"))
+        for lang, tok in _LANG_MARKERS])
+    docs = load_table(spark, sf_dir, "documents")
+    markers = (spark.range(1).select(F.explode(spark_markers).alias("m"))
+               .select("m.lang", "m.tok"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    scores = (toks.join(F.broadcast(markers), "tok")
+              .groupBy("doc_id", F.col("lang").alias("cand"))
+              .agg(F.count(F.lit(1)).alias("matches")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("matches"), F.asc("cand"))
+    best = (scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("doc_id", "cand", "matches"))
+    return (
+        docs.alias("d").join(best.alias("r"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("d.lang").alias("actual_lang"),
+            F.coalesce(F.col("r.cand"), F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce(F.col("r.matches"), F.lit(0)).alias("marker_matches"),
+        )
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len({sql_tokens('text')}) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, alphabetic regex runs,
+    and the chars/4 BPE estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).alias("alpha_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               {sql_position_weighted_fingerprint(sql_token_hashes('text'))} AS fingerprint
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive position-weighted document fingerprint (rolling-hash
+    family, computed commutatively so execution order never matters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        position_weighted_fingerprint(token_hashes(F.col("text"))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+        SELECT doc_id AS item_id,
+               'text' AS modality,
+               CAST(length(text) AS BIGINT) AS byte_len,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata (byte length + content hash) over a binary
+    payload column — the JVM-side half of the multimodal pipeline; the
+    Pandas-UDF decode half is operators/multimodal.py (tested, not
+    oracle-able).  Corpus text is ASCII so char length == byte length."""
+    from ..operators.multimodal import payload_stats, to_payload_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return payload_stats(to_payload_table(docs))
+
+
+@query(
+    "events_hourly_rollup",
+    oracle=f"""
+        SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM({sql_scaled_long('value')}) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming-twin", "A1", "A3", "F1"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup of the event stream — the batch twin of the
+    Structured Streaming window aggregation (streaming/rollup.py runs the
+    same logical shape with a watermark)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        # Spark's date_trunc returns TIMESTAMP_LTZ even for NTZ input; cast
+        # back so the schema matches DuckDB's naive TIMESTAMP.
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+            "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(scaled_long(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("multimodal", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: parse the JSON payload column (from_json into
+    a typed struct — schema-on-read) and aggregate a typed field."""
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )

@@ -1,0 +1,3 @@
+from .rollup import read_event_stream, streaming_hourly_rollup
+
+__all__ = ["read_event_stream", "streaming_hourly_rollup"]

@@ -1,0 +1,64 @@
+"""Structured Streaming twin of the monthly/hourly rollup pattern.
+
+The reference's only "window" is date_trunc + GROUP BY (reference:
+models/marts/agg_monthly_loans.sql:10-18); its streaming twin is a tumbling
+`F.window` aggregation with a watermark bounding state for late data
+(SURVEY.md §2.9).  The same logical shape runs over any streaming source;
+tests drive it with the parquet events table under trigger(availableNow),
+which processes the backlog exactly once and stops — so the result is
+directly comparable to the batch rollup.
+
+Scale notes: state size = (#open windows x #event types); the watermark
+closes windows so state is bounded regardless of stream length.  Exact
+countDistinct is not available under incremental aggregation —
+approx_count_distinct is the streaming-legal counterpart (and the same
+opt-in we'd take for 100 TB batch).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),            # TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming read of an events landing DIRECTORY (the file source tails
+    a directory; in production this would be Kafka/Kinesis with the same
+    downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    # LTZ, not NTZ: watermarks/event-time windows require TIMESTAMP type
+    # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the session runs UTC so the
+    # wall-clock values line up with the batch (NTZ) path.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def streaming_hourly_rollup(events: DataFrame,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type",
+                "n_events", "approx_users", "total_value")
+    )

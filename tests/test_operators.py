@@ -1,0 +1,123 @@
+"""Behavioral unit tests for the LLM-pipeline operators — properties the
+oracle differentials can't express (planted near-dup recovery, Hamming
+locality, Pandas-UDF batch plumbing, streaming-vs-batch equivalence)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_demo_spark.operators import dedup, multimodal, similarity
+from dbt_demo_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    """The generator plants near-identical doc pairs (e.g. 8/12 share a long
+    prefix); MinHash-LSH must recover them."""
+    pairs = {(r.d1, r.d2) for r in dedup.minhash_near_dups(docs, 0.5).collect()}
+    assert (8, 12) in pairs
+    # and every reported pair really is >= 0.5 exact jaccard (verify step)
+    assert all(r.jaccard >= 0.5 for r in
+               dedup.minhash_near_dups(docs, 0.5).collect())
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    near = bin(fp[8] ^ fp[12]).count("1")
+    # hamming distance of a planted near-dup pair is far below random (~8)
+    assert near <= 3
+
+
+def test_exact_dedup_keep_first_on_synthetic_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string")
+    out = {r.text: r for r in dedup.exact_dedup_keep_first(df).collect()}
+    assert out["same text"].keep_id == 1 and out["same text"].n_copies == 2
+    assert out["other"].n_copies == 1
+
+
+def test_brute_force_topk_is_exact_and_ranked(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.brute_force_topk(emb.filter("vec_id = 0"), emb, k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].score >= out[1].score >= out[2].score
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    """LSH candidates are a subset of the corpus, so each LSH score must
+    equal the brute-force score for that same pair (bit-exact pruning, no
+    approximation in the scoring itself)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id % 100 = 0")
+    bf = {(r.query_id, r.neighbor_id): r.score
+          for r in similarity.brute_force_topk(q, emb, k=50).collect()}
+    lsh = similarity.lsh_topk(q, emb, k=5).collect()
+    hits = [p for p in lsh if (p.query_id, p.neighbor_id) in bf]
+    assert hits, "LSH should overlap brute-force top-50"
+    assert all(bf[(p.query_id, p.neighbor_id)] == p.score for p in hits)
+
+
+def test_multimodal_decode_batches(spark, docs):
+    payloads = multimodal.to_payload_table(docs.limit(20))
+    meta = multimodal.decode_metadata(payloads)
+    rows = meta.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r.modality == "text" and r.byte_len > 0
+    assert len(r.sha256) == 64
+    assert 16 <= r.width < 256 and 16 <= r.height < 256 and 1 <= r.n_frames <= 32
+    # deterministic: same payload -> same fake decode
+    again = multimodal.decode_metadata(payloads).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_strict_marks_codec_boundary(spark, docs):
+    payloads = multimodal.to_payload_table(docs.limit(1))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_metadata(payloads, strict=True).collect()
+
+
+def test_multimodal_payload_stats_match_decode(spark, docs):
+    payloads = multimodal.to_payload_table(docs.limit(10))
+    jvm = {r.item_id: r for r in multimodal.payload_stats(payloads).collect()}
+    py = {r.item_id: r for r in multimodal.decode_metadata(payloads).collect()}
+    for k in jvm:
+        assert jvm[k].sha256 == py[k].sha256
+        assert jvm[k].byte_len == py[k].byte_len
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.streaming import read_event_stream, streaming_hourly_rollup
+
+    # the file source tails a directory; stage one with the events file
+    events_dir = tmp_path / "events_landing"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+
+    stream = streaming_hourly_rollup(read_event_stream(spark, str(events_dir)))
+    q = (stream.writeStream.format("memory").queryName("hourly")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.hour_start, r.event_type): (r.n_events, round(r.total_value, 2))
+           for r in spark.sql("SELECT * FROM hourly").collect()}
+
+    ev = load_events(spark, SF_SMOKE)
+    # batch side: cast NTZ back to LTZ (session is UTC) to match the
+    # streaming window starts
+    want = {(r.hour_start, r.event_type): (r.n_events, round(r.total_value, 2))
+            for r in ev.groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour_start"),
+                                "event_type")
+                       .agg(F.count(F.lit(1)).alias("n_events"),
+                            F.sum("value").alias("total_value")).collect()}
+    assert got == want
