@@ -53,15 +53,20 @@ def sql_token_hashes(expr: str = "text") -> str:
 
 
 def shingle_hashes(th: Column) -> Column:
-    """Hashes of 3-token shingles from the token-hash array (1-based
-    element_at, matching DuckDB's 1-based list indexing).  Caller must
-    ensure >= 3 tokens (Spark's `sequence` runs DESCENDING when stop <
-    start, which would fabricate junk shingles)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(th) - 2),
-        lambda i: ((F.element_at(th, i) * 31 + F.element_at(th, i + 1)) * 31
-                   + F.element_at(th, i + 2)) % HASH_P,
-    )
+    """Hashes of 3-token shingles from the token-hash array.  Caller must
+    ensure >= 3 tokens (`slice` with non-positive length errors).
+
+    Built as slice+zip_with over three shifted copies rather than
+    transform(sequence, i -> element_at(th, i)): Catalyst's CollapseProject
+    inlines the full token-hash expression into every element_at reference,
+    so the per-element form recomputes the whole token-hash array O(len)
+    times per row (measured 30s for 5000 docs at sf0.1; this form is
+    ~constant references per row)."""
+    n = F.size(th) - 2
+    ab = F.zip_with(F.slice(th, 1, n), F.slice(th, 2, n),
+                    lambda x, y: x * 31 + y)
+    return F.zip_with(ab, F.slice(th, 3, n),
+                      lambda xy, z: (xy * 31 + z) % HASH_P)
 
 
 def sql_shingle_hashes(th: str) -> str:
