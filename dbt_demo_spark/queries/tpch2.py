@@ -1,0 +1,568 @@
+"""TPC-H continuation: the spec shapes not covered in tpch.py, adapted to
+the driver tables' columns (no partsupp / commitdate / comment columns in
+the synthetic schema — see TESTDATA.md; where the official query needs one,
+the adaptation keeps the operator shape and swaps the predicate to an
+available column).
+
+New operator coverage vs tpch.py: anti joins (NOT EXISTS), correlated
+scalar subqueries, CASE-conditional aggregation, LIKE filters, scalar
+subquery thresholds, substring grouping, multi-nation self-pair joins,
+ratio-of-sums metrics.
+
+Money/parity discipline identical to tpch.py: integer-scaled sums
+(functions/numeric.py) so partial/final shuffle aggregation is
+order-independent and bit-identical to DuckDB's sequential sum.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import round2, scaled_long, sql_round2, sql_scaled_long
+from ..sources.parquet import load_table
+from .catalog import query
+from .tpch import _revenue_cents, _sql_revenue_cents
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}) / 10000.0 AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+    tags=("J1", "A1", "A4", "P5"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    Both nation dims broadcast; the OR-of-pairs predicate lands after the
+    joins (it references both sides), but nation is 25 rows so the
+    broadcast-hash joins are free and lineitem is filtered on shipdate at
+    the scan."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(_revenue_cents()) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+        WITH all_nations AS (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   {_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')} AS volume_units,
+                   n2.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND p.p_type = 'PROMO'
+        )
+        SELECT o_year,
+               {sql_round2("(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume_units ELSE 0 END)"
+                           " * 100.0) / SUM(volume_units)")} AS mkt_share_pct
+        FROM all_nations
+        GROUP BY o_year
+    """,
+    tags=("J1", "A1", "A4", "F5"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — ratio of conditional sum to total
+    sum per year.  Both sums are exact integer units, so the ratio is a
+    single deterministic double division; 8-way join with all dims
+    broadcast, facts joined on their natural keys."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _revenue_cents()
+    nat5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))
+    return (
+        F.broadcast(p).join(li, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(round2(F.sum(nat5) * 100.0 / F.sum(vol)).alias("mkt_share_pct"))
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation_name,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}
+                   - {sql_scaled_long('p.p_retailprice')} * CAST(l.l_quantity AS BIGINT) * 100)
+                   / 10000.0 AS profit
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    tags=("J1", "A1", "A4", "F4", "LIKE"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation and year over a LIKE-selected
+    part family.  The schema has no ps_supplycost, so cost is the part's
+    retail price x quantity — same join graph and aggregation shape.
+    All in exact integer 1/10000-units before one final division."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit_units = _revenue_cents() - (
+        scaled_long(F.col("p_retailprice")) * F.col("l_quantity").cast("long") * 100)
+    return (
+        F.broadcast(p).join(li, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit_units) / 10000.0).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+        SELECT l.l_returnflag AS return_flag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_priority_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_priority_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+    """,
+    tags=("J1", "A1", "F5"),
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-conditional counts split by priority class
+    over late-shipped lines (no l_shipmode/commitdate in the schema:
+    return_flag stands in for the mode grouping, shipdate-vs-orderdate+30d
+    for the late predicate — same conditional-aggregation operator)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("J1", "A1", "A6"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer distribution via filtered LEFT JOIN
+    and two stacked aggregations (count of non-null keys preserves
+    zero-order customers).  Second groupBy is on an integer — trivially
+    skew-safe."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT {sql_round2(
+            "(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+            + _sql_revenue_cents('l.l_extendedprice', 'l.l_discount')
+            + " ELSE 0 END) * 100.0) / SUM("
+            + _sql_revenue_cents('l.l_extendedprice', 'l.l_discount') + ")")} AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    tags=("J1", "A4", "F5"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — global CASE-ratio
+    aggregate, part dim broadcast, single deterministic division of exact
+    integer sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01"))
+    p = load_table(spark, sf_dir, "part")
+    vol = _revenue_cents()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(round2(F.sum(promo) * 100.0 / F.sum(vol)).alias("promo_revenue_pct"))
+    )
+
+
+_Q15_REVENUE = f"""
+        SELECT l_suppkey AS supplier_no,
+               SUM({_sql_revenue_cents()}) AS total_units
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+"""
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS ({_Q15_REVENUE})
+        SELECT s.s_suppkey AS supplier_key,
+               s.s_name AS supplier_name,
+               r.total_units / 10000.0 AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_units = (SELECT MAX(total_units) FROM revenue)
+    """,
+    tags=("J1", "A1", "A7"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarterly revenue view + scalar-subquery MAX filter.
+    The revenue aggregate is computed once and self-referenced: Spark
+    evaluates the MAX as a scalar subquery over the reused plan (exact
+    integer units, so max-equality is safe — no double ties)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue_cents()).alias("total_units"))
+    )
+    max_units = revenue.agg(F.max("total_units").alias("m"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_units), F.col("total_units") == F.col("m"))
+        .select(F.col("s_suppkey").alias("supplier_key"),
+                F.col("s_name").alias("supplier_name"),
+                (F.col("total_units") / 10000.0).alias("total_revenue"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+        SELECT p.p_brand AS brand,
+               p.p_type AS type,
+               p.p_size AS size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+    """,
+    tags=("J-anti", "A3", "P5"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT-IN supplier exclusion (negative balance stands in for the
+    complaints LIKE — same anti-join + COUNT DISTINCT operators; lineitem
+    is the part-supplier relation since the schema has no partsupp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("p_type").alias("type"),
+                 F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*) AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0 / 7.0
+                   AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN part_avg a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#2'
+          AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+    tags=("J1", "A5", "A7", "P5"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity order revenue — the correlated AVG
+    subquery decorrelated into a per-part aggregate join (exactly what
+    Catalyst's RewriteCorrelatedScalarSubquery does to the SQL form).
+    avg_qty is computed as exact-int sum / count so the 0.2x threshold is
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    part_avg = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.sum(F.col("l_quantity").cast("long")) * 1.0
+              / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(part_avg, F.col("pa_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(scaled_long(F.col("l_extendedprice"))) / 100.0 / 7.0)
+             .alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+        SELECT SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}) / 10000.0 AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("J1", "A4", "P5"),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of brand/size/quantity triples — the
+    OR-of-conjunctions predicate evaluated post-join (it mixes columns of
+    both sides); part broadcast so no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg((F.sum(_revenue_cents()) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    oracle="""
+        SELECT s.s_name AS supplier_name, n.n_name AS nation_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'SMALL'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+        )
+    """,
+    tags=("J-semi", "A1", "A8"),
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that moved >50 units of any SMALL part in
+    1996 — nested IN collapsed to a HAVING-filtered aggregate + semi join
+    (the schema has no partsupp, so availability is measured by shipped
+    quantity)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    movers = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation_name"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '1997-06-01'
+        )
+        SELECT s.s_name AS supplier_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY 1
+    """,
+    tags=("J-semi", "J-anti", "A1"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier on multi-supplier finished
+    orders — EXISTS -> left_semi, NOT EXISTS -> left_anti, both with the
+    suppkey-inequality condition in the join (no commit/receipt dates in
+    the schema: 'late' = shipped after a cutoff)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1997-06-01").select(
+        "l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    return (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")), "left_semi")
+        .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")), "left_anti")
+        .join(F.broadcast(s), s.s_suppkey == F.col("l1.l_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+        WITH pos_avg AS (
+            SELECT SUM({sql_scaled_long('c_acctbal')}) * 1.0 / COUNT(*) AS avg_units
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT substr(c.c_name, 10, 2) AS cust_group,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               SUM({sql_scaled_long('c.c_acctbal')}) / 100.0 AS totacctbal
+        FROM customer c
+        WHERE {sql_scaled_long('c.c_acctbal')} > (SELECT avg_units FROM pos_avg)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+        GROUP BY 1
+    """,
+    tags=("J-anti", "A5", "A7", "F-substr"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers grouped by a substring
+    key (digits of c_name stand in for the phone country code).  The
+    positive-balance average is a broadcast scalar; inactivity is a
+    left_anti join on orders.  Balances compared in exact integer cents."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pos_avg = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(scaled_long(F.col("c_acctbal"))) * 1.0
+              / F.count(F.lit(1))).alias("avg_units"))
+    )
+    return (
+        c.join(F.broadcast(pos_avg),
+               scaled_long(F.col("c_acctbal")) > F.col("avg_units"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cust_group"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             (F.sum(scaled_long(F.col("c_acctbal"))) / 100.0).alias("totacctbal"))
+    )
