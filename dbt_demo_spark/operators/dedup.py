@@ -61,28 +61,40 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
     """(doc_id, sh: array<long>) of hashed 3-token shingles; drops docs with
     < 3 tokens (no shingle exists, and Spark's `sequence` would run
     descending)."""
+    from ..functions.text import tokens
+
     th = token_hashes(F.col(text_col))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), th.alias("th"))
-        .filter(F.size("th") >= 3)
+        # filter on the token count BEFORE hashing: the predicate then costs
+        # one split() instead of re-running the whole char-hash pipeline
+        docs.filter(F.size(tokens(F.col(text_col))) >= 3)
+        .select(F.col(id_col).alias("doc_id"), th.alias("th"))
         .select("doc_id", shingle_hashes(F.col("th")).alias("sh"))
     )
 
 
 def minhash_signature(shingled: DataFrame) -> DataFrame:
     """(doc_id, m0..m{K-1}): minhash over the shingle-hash array — pure
-    per-row array math, no shuffle."""
-    def _mh(a: int, b: int):
-        # closure, not default args — Spark maps a lambda's arity onto the
-        # higher-order function's parameters, so extra defaulted params
-        # would be misread as the element-index argument.
-        return lambda s: (s * a + b) % HASH_P
+    per-row array math, no shuffle.
 
-    cols = [
-        F.array_min(F.transform(F.col("sh"), _mh(_A[i], _B[i]))).alias(f"m{i}")
-        for i in range(K_MINHASH)
-    ]
-    return shingled.select("doc_id", *cols)
+    Single fold: the accumulator is the K-vector of running minima, so the
+    shingle array is referenced exactly once.  The previous form (K separate
+    ``array_min(transform(sh, ...))`` columns) re-inlined the whole
+    token→shingle pipeline K times per row — the same quadratic-inlining
+    class fixed for shingles in functions/text.py (commit 68cac82)."""
+    ab = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+        for a, b in zip(_A[:K_MINHASH], _B[:K_MINHASH])
+    ])
+    # sentinel > any value mod HASH_P; shingled rows always have >= 1 shingle
+    init = F.array(*[F.lit(HASH_P + 1).cast("long")] * K_MINHASH)
+    sig = F.aggregate(
+        F.col("sh"), init,
+        lambda acc, s: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (s * p["a"] + p["b"]) % HASH_P)))
+    sigd = shingled.select("doc_id", sig.alias("sig"))
+    return sigd.select(
+        "doc_id", *[F.col("sig")[i].alias(f"m{i}") for i in range(K_MINHASH)])
 
 
 def band_keys(signatures: DataFrame) -> DataFrame:
@@ -97,6 +109,42 @@ def band_keys(signatures: DataFrame) -> DataFrame:
     return (
         signatures.select("doc_id", F.explode(F.array(*bands)).alias("band"))
         .select("doc_id", "band.band_id", "band.band_key")
+    )
+
+
+def band_key_array(sh: Column) -> Column:
+    """array<long> of BANDS band keys, computed from the shingle-hash array
+    in ONE expression that references `sh` exactly once.
+
+    The fold's merge step accumulates the K running minhash minima; the
+    `finish` lambda turns the accumulator into per-band Horner keys — inside
+    `finish` the accumulator is a bound lambda variable, so referencing it
+    per band cannot re-inline the upstream pipeline.  This is the fusion of
+    minhash_signature + band_keys without their K-fold expression blow-up."""
+    ab = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+        for a, b in zip(_A[:K_MINHASH], _B[:K_MINHASH])
+    ])
+    init = F.array(*[F.lit(HASH_P + 1).cast("long")] * K_MINHASH)
+    return F.aggregate(
+        sh, init,
+        lambda acc, s: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (s * p["a"] + p["b"]) % HASH_P)),
+        lambda acc: F.transform(
+            F.sequence(F.lit(0), F.lit(BANDS - 1)),
+            lambda b: F.aggregate(
+                F.slice(acc, b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                F.lit(0).cast("long"), lambda k, m: k * 31 + m)))
+
+
+def band_rows(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows via the fused single-expression band
+    key path — same output as band_keys(minhash_signature(...)) with the
+    token→shingle pipeline evaluated once per row."""
+    return (
+        shingled.select("doc_id", band_key_array(F.col("sh")).alias("bks"))
+        .select("doc_id", F.posexplode("bks").alias("band_id", "band_key"))
+        .withColumn("band_id", F.col("band_id").cast("int"))
     )
 
 
@@ -121,8 +169,14 @@ def jaccard_verify(candidates: DataFrame, shingled: DataFrame,
     """Exact Jaccard over distinct hashed shingles for candidate pairs;
     keeps pairs >= threshold.  Jaccard is a ratio of exact ints — engine
     independent."""
-    sets = shingled.select(
-        "doc_id", F.array_distinct("sh").alias("ss"), F.size(F.array_distinct("sh")).alias("n"))
+    # explode-of-one is a Generate barrier: `ss` becomes a real attribute, so
+    # `n = size(ss)` cannot re-inline array_distinct(token->shingle pipeline)
+    # a second time (CollapseProject/ColumnPruning stop at generators).
+    sets = (
+        shingled.select(
+            "doc_id", F.explode(F.array(F.array_distinct("sh"))).alias("ss"))
+        .select("doc_id", "ss", F.size("ss").alias("n"))
+    )
     s1 = sets.alias("s1")
     s2 = sets.alias("s2")
     inter = F.size(F.array_intersect(F.col("s1.ss"), F.col("s2.ss")))
@@ -140,7 +194,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> bands ->
     candidates -> Jaccard >= threshold.  Returns (d1, d2, jaccard)."""
     shingled = doc_shingles(docs, text_col, id_col)
-    cands = lsh_candidates(band_keys(minhash_signature(shingled)))
+    cands = lsh_candidates(band_rows(shingled))
     return jaccard_verify(cands, shingled, threshold)
 
 
@@ -148,19 +202,31 @@ def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint: per bit position, tokens vote +1/-1 by their
     hash bit; the sign of the tally is the fingerprint bit.  Pure per-row
-    array math.  Returns (doc_id, simhash)."""
+    array math.  Returns (doc_id, simhash).
+
+    Single fold: one pass over the token-hash array accumulates all n_bits
+    vote counters at once (accumulator = n_bits-vector), then one zip_with
+    turns vote signs into the packed fingerprint.  The previous form built
+    n_bits independent vote expressions, each re-inlining the full
+    tokenize+hash pipeline (~16x per-row recompute — measured 3.6s vs 0.1s
+    DuckDB at sf0.1)."""
     th = token_hashes(F.col(text_col))
-
-    def _vote(mask: int):
-        return lambda x: F.when(x.bitwiseAND(F.lit(mask)) > 0,
-                                F.lit(1)).otherwise(F.lit(-1))
-
-    fp = F.lit(0).cast("long")
-    for bit in range(n_bits):
-        votes = F.aggregate(F.transform(th, _vote(1 << bit)),
-                            F.lit(0), lambda acc, v: acc + v)
-        fp = fp + F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    zero = F.array(*[F.lit(0)] * n_bits)
+    votes = F.aggregate(
+        F.col("th"), zero,
+        lambda acc, x: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(x.bitwiseAND(m) > 0, F.lit(1)).otherwise(F.lit(-1))))
+    fp = F.aggregate(
+        F.zip_with(F.col("votes"), masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), th.alias("th"))
+        .select("doc_id", votes.alias("votes"))
+        .select("doc_id", fp.alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
@@ -170,14 +236,21 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
     the signature step entirely.  Right-sized when the query side is small
     (e.g. incremental ingest vs existing corpus); full-corpus N^2 is what
     minhash_lsh avoids."""
+    # explode-of-one barrier (see jaccard_verify): the distinct-shingle set
+    # becomes a real attribute, so the later size() + explode() pair reads it
+    # instead of re-inlining the token->shingle pipeline per reference.
     q = doc_shingles(query_docs).select(
-        F.col("doc_id").alias("qid"), F.array_distinct("sh").alias("qs"))
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array(F.array_distinct("sh"))).alias("qs"))
     c = doc_shingles(corpus).select(
-        F.col("doc_id").alias("cid"), F.array_distinct("sh").alias("cs"))
-    qx = q.select("qid", F.explode("qs").alias("h"), F.size("qs").alias("qn"))
-    cx = c.select("cid", F.explode("cs").alias("h"), F.size("cs").alias("cn"))
+        F.col("doc_id").alias("cid"),
+        F.explode(F.array(F.array_distinct("sh"))).alias("cs"))
+    qx = q.select("qid", F.size("qs").alias("qn"), F.explode("qs").alias("h"))
+    cx = c.select("cid", F.size("cs").alias("cn"), F.explode("cs").alias("h"))
     return (
-        qx.join(cx, "h")
+        # query side is small by contract (incremental ingest batch):
+        # broadcast it so the exploded corpus never shuffles
+        cx.join(F.broadcast(qx), "h")
         .filter(F.col("qid") != F.col("cid"))
         .groupBy("qid", "cid", "qn", "cn")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vectors import as_double, cosine, lsh_bucket
+from ..functions.vectors import as_double, dot, lsh_bucket, norm
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -31,20 +31,39 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _with_norm(vectors: DataFrame, id_col: str, vec_col: str,
+               id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    """(id, vec, ||vec||) with the norm computed ONCE per vector instead of
+    once per scored pair (cuts ~2/3 of the pairwise flops).  The
+    explode-of-one Generate barrier makes `vec` a real attribute so the norm
+    fold cannot re-inline the cast per reference.  score = dot/(qn*cn) is
+    bit-identical to dot/( sqrt(dot(q,q)) * sqrt(dot(c,c)) ) computed
+    pairwise — same expressions on the same inputs."""
+    v = as_double(F.col(vec_col))
+    return (
+        vectors.select(F.col(id_col).alias(id_alias),
+                       F.explode(F.array(v)).alias(vec_alias))
+        .select(id_alias, vec_alias, norm(F.col(vec_alias)).alias(norm_alias))
+    )
+
+
+def _score(scored: DataFrame) -> DataFrame:
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("qv"), F.col("cv"))
+                 / (F.col("qn") * F.col("cn"))).alias("score"))
+    )
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k of each query vector against the corpus."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      as_double(F.col(vec_col)).alias("cv"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("score"))
-    )
-    return _ranked_topk(scored, k)
+    """Exact cosine top-k of each query vector against the corpus.  The
+    query side is small by contract — broadcast it so the cartesian product
+    is a BroadcastNestedLoopJoin, never a shuffled CartesianProduct."""
+    q = _with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+    c = _with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    return _ranked_topk(_score(F.broadcast(q).crossJoin(c)), k)
 
 
 def bucketed_vectors(vectors: DataFrame, id_col: str = "vec_id",
@@ -61,13 +80,8 @@ def bucketed_vectors(vectors: DataFrame, id_col: str = "vec_id",
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: score only same-bucket candidates."""
-    q = bucketed_vectors(queries, id_col, vec_col).withColumnsRenamed(
-        {"vid": "query_id", "vec": "qv"})
-    c = bucketed_vectors(corpus, id_col, vec_col).withColumnsRenamed(
-        {"vid": "neighbor_id", "vec": "cv"})
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
-    )
-    return _ranked_topk(scored, k)
+    q = (_with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+         .withColumn("bucket", lsh_bucket(F.col("qv"))))
+    c = (_with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+         .withColumn("bucket", lsh_bucket(F.col("cv"))))
+    return _ranked_topk(_score(F.broadcast(q).join(c, "bucket")), k)

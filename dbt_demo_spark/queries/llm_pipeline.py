@@ -88,12 +88,18 @@ _MINHASH_MS = ", ".join(
     f"list_min(list_transform(sh, s -> (s * {a} + {b}) % {HASH_P})) AS m{i}"
     for i, (a, b) in enumerate(zip(dedup._A[:dedup.K_MINHASH], dedup._B[:dedup.K_MINHASH]))
 )
+def _horner_band_key(b: int) -> str:
+    # Explicit-parenthesis Horner form ((m0*31 + m1)*31 + m2)*31 + m3 — must
+    # match operators/dedup.py band_keys exactly, NOT a flat precedence-broken
+    # sum, or oracle and Spark bucket different candidate sets.
+    key = f"CAST(m{b * dedup.ROWS_PER_BAND} AS BIGINT)"
+    for r in range(1, dedup.ROWS_PER_BAND):
+        key = f"({key} * 31 + m{b * dedup.ROWS_PER_BAND + r})"
+    return key
+
+
 _BAND_KEYS = ", ".join(
-    "((" + " * 31 + ".join(
-        [f"CAST(m{b * dedup.ROWS_PER_BAND} AS BIGINT)"]
-        + [f"m{b * dedup.ROWS_PER_BAND + r}" for r in range(1, dedup.ROWS_PER_BAND)]
-    ) + f")) AS band{b}"
-    for b in range(dedup.BANDS)
+    f"{_horner_band_key(b)} AS band{b}" for b in range(dedup.BANDS)
 )
 _BAND_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sigs"
@@ -465,7 +471,8 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events

@@ -43,7 +43,7 @@ def _sql_revenue_cents(ext: str = "l_extendedprice", disc: str = "l_discount") -
                SUM({_sql_revenue_cents()} * {sql_scaled_long('1 + l_tax')}) / 1000000.0 AS sum_charge,
                {sql_round2("(SUM(CAST(l_quantity AS BIGINT)) * 1.0) / COUNT(*)")} AS avg_qty,
                {sql_round2("(SUM(" + sql_scaled_long('l_extendedprice') + ") / 100.0) / COUNT(*)")} AS avg_price,
-               {sql_round2("(SUM(" + sql_scaled_long('l_discount') + ") * 1.0) / COUNT(*)")} AS avg_disc,
+               {sql_round2("(SUM(" + sql_scaled_long('l_discount') + ") / 100.0) / COUNT(*)")} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -68,7 +68,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_revenue_cents() * scaled_long(F.lit(1) + F.col("l_tax"))) / 1000000.0).alias("sum_charge"),
             round2(F.sum(qty) * 1.0 / F.count(F.lit(1))).alias("avg_qty"),
             round2((F.sum(scaled_long(F.col("l_extendedprice"))) / 100.0) / F.count(F.lit(1))).alias("avg_price"),
-            round2(F.sum(scaled_long(F.col("l_discount"))) * 1.0 / F.count(F.lit(1))).alias("avg_disc"),
+            round2((F.sum(scaled_long(F.col("l_discount"))) / 100.0) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -285,7 +285,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                o.o_orderkey AS order_key,
                CAST(o.o_orderdate AS DATE) AS order_date,
                o.o_totalprice AS total_price,
-               SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+               -- outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the
+               -- driver's type-sensitive value hash distinguishes from int64
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey

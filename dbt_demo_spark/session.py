@@ -32,6 +32,15 @@ def get_spark(app_name: str = "dbt_demo_spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate copies the generator's child expression
+        # into an inferred `size(e) > 0` filter, which predicate pushdown then
+        # inlines through the projections below — for our explode-over-
+        # expensive-fold operators (MinHash band keys) that re-materializes
+        # the whole token->shingle pipeline inside the filter (measured ~2x
+        # per-row recompute).  Our generators always produce >= 1 row, so the
+        # inference buys nothing.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -46,4 +55,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     build (the driver hands us one in ``__spark_entry__.entry``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     return spark
