@@ -250,7 +250,7 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
     return (
         # query side is small by contract (incremental ingest batch):
         # broadcast it so the exploded corpus never shuffles
-        cx.join(F.broadcast(qx), "h")
+        cx.join(qx, "h")
         .filter(F.col("qid") != F.col("cid"))
         .groupBy("qid", "cid", "qn", "cn")
         .agg(F.count(F.lit(1)).alias("inter"))

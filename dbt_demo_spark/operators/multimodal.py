@@ -87,6 +87,8 @@ def payload_stats(payloads: DataFrame) -> DataFrame:
     the cheap always-available metadata path."""
     return payloads.select(
         "item_id", "modality",
-        F.octet_length("payload").alias("byte_len"),
+        # long, not int: metadata columns are int64 across the engine (and
+        # the DuckDB oracle's length() is BIGINT)
+        F.octet_length("payload").cast("long").alias("byte_len"),
         F.sha2(F.col("payload"), 256).alias("sha256"),
     )

@@ -84,4 +84,4 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
          .withColumn("bucket", lsh_bucket(F.col("qv"))))
     c = (_with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
          .withColumn("bucket", lsh_bucket(F.col("cv"))))
-    return _ranked_topk(_score(F.broadcast(q).join(c, "bucket")), k)
+    return _ranked_topk(_score(q.join(c, "bucket")), k)

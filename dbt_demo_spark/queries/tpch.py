@@ -187,7 +187,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp),
+        .join(supp,
               (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg((F.sum(_revenue_cents()) / 10000.0).alias("revenue"))
@@ -312,7 +312,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(cust, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(F.col("c_name").alias("customer_name"),

@@ -122,9 +122,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = _revenue_cents()
     nat5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))
+    # part and supplier GROW with sf (a p_type filter is not selective at
+    # 100x) — no broadcast hint; AQE converts to broadcast at runtime when
+    # the filtered side is actually small.  Only fixed-size nation/region
+    # keep explicit hints.
     return (
-        F.broadcast(p).join(li, p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
@@ -165,9 +169,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     profit_units = _revenue_cents() - (
         scaled_long(F.col("p_retailprice")) * F.col("l_quantity").cast("long") * 100)
+    # part/supplier scale with sf — let AQE pick the join strategy (see q8)
     return (
-        F.broadcast(p).join(li, p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"),
@@ -266,7 +271,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _revenue_cents()
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(round2(F.sum(promo) * 100.0 / F.sum(vol)).alias("promo_revenue_pct"))
     )
 
@@ -346,8 +351,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, p.p_partkey == li.l_partkey)
         .groupBy(F.col("p_brand").alias("brand"),
                  F.col("p_type").alias("type"),
                  F.col("p_size").alias("size"))
@@ -388,7 +393,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
               / F.count(F.lit(1))).alias("avg_qty"))
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .join(part_avg, F.col("pa_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((F.sum(scaled_long(F.col("l_extendedprice"))) / 100.0 / 7.0)
@@ -427,7 +432,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (q >= 20) & (q <= 30))
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .filter(cond)
         .agg((F.sum(_revenue_cents()) / 10000.0).alias("revenue"))
     )
@@ -461,7 +466,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     movers = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -470,7 +475,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        s.join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(F.col("s_name").alias("supplier_name"),
                 F.col("n_name").alias("nation_name"))
@@ -521,7 +526,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")), "left_semi")
         .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
               & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")), "left_anti")
-        .join(F.broadcast(s), s.s_suppkey == F.col("l1.l_suppkey"))
+        # supplier scales with sf — AQE decides (see q8)
+        .join(s, s.s_suppkey == F.col("l1.l_suppkey"))
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -60,17 +60,42 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+def _canon_type(t: pa.DataType) -> str:
+    """Canonical arrow type name for schema comparison.
+
+    The driver's value hash is TYPE-sensitive (round 1 shipped three oracle
+    bugs where DuckDB's SUM(BIGINT)->decimal128 hashed differently from
+    Spark's int64 while a name-only schema check stayed green), so the local
+    gate must compare types too.  Equivalences are granted only where round-1
+    driver evidence shows its hash ignores the difference:
+      * integer width (text_token_count int32 vs len() int64: hash_match=true)
+      * timestamp timezone tag (events_hourly_rollup: hash_match=true)
+    decimal vs integer stays DISTINCT — that's the class that shipped."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
 def _canon_table(tbl: pa.Table) -> tuple[list[str], list[str]]:
-    """Column-name-sorted, order-insensitive canonical form: (sorted column
-    names, sorted row strings)."""
+    """Column-name-sorted, order-insensitive canonical form:
+    (sorted "name:type" strings, sorted row strings)."""
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
+    sig = [f"{c}:{_canon_type(tbl.schema.field(c).type)}" for c in cols]
     rows = [
         "|".join(_canon_cell(v) for v in row)
         for row in zip(*(tbl.column(c).to_pylist() for c in cols))
     ]
     rows.sort()
-    return cols, rows
+    return sig, rows
 
 
 def compare(name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection,

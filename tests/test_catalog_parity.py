@@ -1,6 +1,9 @@
 """Local mirror of the driver's t2 gate: every oracled catalog query must
 hash-match its DuckDB oracle on the same parquet inputs (strict value
-equality after the queries' own explicit rounding)."""
+equality after the queries' own explicit rounding, arrow types compared).
+
+Runs at SF_GATE (sf0.01) — the driver's own scale — because round 1 proved
+sf0.001 can green-light queries that fail at gate scale."""
 
 from __future__ import annotations
 
@@ -8,20 +11,20 @@ import pytest
 
 from dbt_demo_spark.queries import CATALOG
 from dbt_demo_spark.testing import compare, duckdb_connection
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_GATE
 
 ORACLED = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
 
 
 @pytest.fixture(scope="module")
 def con():
-    return duckdb_connection(SF_SMOKE)
+    return duckdb_connection(SF_GATE)
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, con, name):
     spec = CATALOG[name]
-    res = compare(name, spec.fn(spark, SF_SMOKE), con, spec.oracle)
+    res = compare(name, spec.fn(spark, SF_GATE), con, spec.oracle)
     assert res.ok, f"{name}: {res.detail}"
 
 

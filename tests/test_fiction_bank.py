@@ -117,7 +117,8 @@ _AGG_SQL = """
         SELECT CAST(DATE_TRUNC('month', loan_start_date) AS DATE) AS month_start,
                loan_type_name,
                COUNT(DISTINCT loan_id) AS loans_originated,
-               SUM(loan_amount) AS total_amount_originated,
+               -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT; Spark sums long
+               CAST(SUM(loan_amount) AS BIGINT) AS total_amount_originated,
                AVG(loan_amount) AS avg_loan_amount,
                AVG(interest_rate) AS avg_interest_rate
         FROM loans GROUP BY 1, 2
