@@ -151,7 +151,7 @@ def _combined_cols() -> list:
 
 
 @_model("agg_monthly_loans", deps=("fct_loan_details", "stg_loan_payments"),
-        materialized="table")
+        materialized="table", partition_by=("month",))
 def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
     """REFERENCE-FAITHFUL (buggy) monthly rollup
     (models/marts/agg_monthly_loans.sql:1-53), including the fan-out join
@@ -175,10 +175,16 @@ def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
 
 
 @_model("agg_monthly_loans_fixed",
-        deps=("fct_loan_details", "stg_loan_payments"), materialized="table")
+        deps=("fct_loan_details", "stg_loan_payments"),
+        materialized="incremental", partition_by=("month",))
 def agg_monthly_loans_fixed(refs: dict[str, DataFrame]) -> DataFrame:
     """The corrected rollup per docs/bug-analysis.md:161-174: no loan-level
-    join, grain is exactly one row per (month, loan_type_name)."""
+    join, grain is exactly one row per (month, loan_type_name).
+
+    Materialized INCREMENTALLY, month-partitioned: a run fed only new
+    payments/loans overwrites just the emitted month partitions — the
+    100 TB scale posture for the reference's table-rebuild policy (SURVEY.md
+    §7.1 M6); downstream month-filtered reads partition-prune."""
     orig = _monthly_originations(refs["fct_loan_details"]).alias("orig")
     pay = _monthly_payments(refs["stg_loan_payments"]).alias("pay")
     return (
