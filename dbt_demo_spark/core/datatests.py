@@ -4,13 +4,20 @@ dbt compiles each test to a SELECT returning violating rows and fails on
 row count > 0 (reference: README.md:53-54; the intended grain test is
 specified in prose at docs/bug-analysis.md:139-157).  Same contract here:
 a DataTest produces a DataFrame of violations; non-empty -> fail.
+
+Alongside bespoke tests, the four generic tests dbt ships in schema.yml
+form (unique / not_null / accepted_values / relationships — public dbt-core
+surface) are provided as builders returning DataTests.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import functools
+import operator
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
@@ -28,6 +35,61 @@ class DataTestResult:
 
     def __bool__(self) -> bool:
         return self.passed
+
+
+def unique(relation: str, columns: Sequence[str]) -> DataTest:
+    """dbt `unique` (multi-column = grain uniqueness): violating rows are the
+    key groups appearing more than once.  One shuffle on the key."""
+    cols = list(columns)
+
+    def fn(rel: dict[str, DataFrame]) -> DataFrame:
+        return (
+            rel[relation].groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") > 1)
+        )
+
+    return DataTest(f"unique__{relation}__{'_'.join(cols)}", fn)
+
+
+def not_null(relation: str, columns: Sequence[str]) -> DataTest:
+    """dbt `not_null` over one or more columns: violations are rows where
+    any listed column is NULL.  Pure scan-side filter."""
+    cols = list(columns)
+
+    def fn(rel: dict[str, DataFrame]) -> DataFrame:
+        cond = functools.reduce(
+            operator.or_, [F.col(c).isNull() for c in cols])
+        return rel[relation].filter(cond)
+
+    return DataTest(f"not_null__{relation}__{'_'.join(cols)}", fn)
+
+
+def accepted_values(relation: str, column: str,
+                    values: Sequence[str]) -> DataTest:
+    """dbt `accepted_values`: violations are non-NULL values outside the
+    allowed set (dbt's version ignores NULLs — that's not_null's job)."""
+
+    def fn(rel: dict[str, DataFrame]) -> DataFrame:
+        c = F.col(column)
+        return rel[relation].filter(c.isNotNull() & ~c.isin(*values))
+
+    return DataTest(f"accepted_values__{relation}__{column}", fn)
+
+
+def relationships(relation: str, column: str,
+                  to_relation: str, to_column: str) -> DataTest:
+    """dbt `relationships` (referential integrity): violations are child
+    rows whose non-NULL key has no parent — a LEFT ANTI join, which AQE
+    broadcasts when the parent key set is small."""
+
+    def fn(rel: dict[str, DataFrame]) -> DataFrame:
+        child = rel[relation].filter(F.col(column).isNotNull())
+        parent = rel[to_relation].select(F.col(to_column).alias(column)).distinct()
+        return child.join(parent, column, "left_anti")
+
+    return DataTest(
+        f"relationships__{relation}__{column}__{to_relation}", fn)
 
 
 def run_data_tests(tests: list[DataTest],

@@ -52,6 +52,17 @@ def sql_token_hashes(expr: str = "text") -> str:
     return f"list_transform({sql_tokens(expr)}, t -> CAST({sql_char_hash('t')} AS BIGINT))"
 
 
+def token_hashes_xxhash(text: Column) -> Column:
+    """Production-scale token hash: per-token ``xxhash64`` — cheaper and far
+    better mixed than the portable char hash, but Spark-only (DuckDB has no
+    xxhash64 twin), so operators built on it are pytest-verified rather than
+    oracle-checked.  ``pmod`` folds the full signed-64 output into the same
+    [0, HASH_P) field the portable hash lives in, so every downstream
+    shingle/minhash expression keeps its overflow-free integer arithmetic
+    (Spark 4 runs ANSI mode: silent wraparound is an error)."""
+    return F.transform(tokens(text), lambda t: F.pmod(F.xxhash64(t), F.lit(HASH_P)).cast("long"))
+
+
 def shingle_hashes(th: Column) -> Column:
     """Hashes of 3-token shingles from the token-hash array.  Caller must
     ensure >= 3 tokens (`slice` with non-positive length errors).

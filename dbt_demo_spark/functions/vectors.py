@@ -52,8 +52,15 @@ def sql_cosine(a: str, b: str) -> str:
 # Plane coefficients are derived from a deterministic integer formula (no
 # RNG, no libm) so both engines build the exact same planes:
 #   plane(j, d) = ((j+1)*65537 + (d+1)*2654435761) % P) / P - 0.5
+#
+# 16 planes -> 65,536 buckets: a same-bucket join prunes ~65,536x, and the
+# recall lost to the finer partitioning is bought back with multi-probe
+# (probe_buckets: the bucket plus its 16 Hamming-1 neighbors), so the
+# candidate set is ~17/65,536 of the corpus instead of 1/256 as with the
+# previous 8-plane single-probe variant — the difference between a bounded
+# and an effectively quadratic within-bucket join at 100 TB.
 
-N_PLANES = 8
+N_PLANES = 16
 DIM = 64
 
 
@@ -63,13 +70,25 @@ def _plane(j: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column) -> Column:
-    """0..2^N_PLANES-1 bucket id from sign bits of N_PLANES plane dots."""
-    bucket = F.lit(0)
-    for j in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane(j)])
-        bit = F.when(dot(vec, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+    """0..2^N_PLANES-1 bucket id from sign bits of N_PLANES plane dots —
+    ONE zip_with pass over the plane matrix.  `vec` should be a plain column
+    reference (the callers select it into an attribute first), so the
+    per-plane references stay cheap."""
+    planes = F.array(*[
+        F.array(*[F.lit(v) for v in _plane(j)]) for j in range(N_PLANES)])
+    bits = F.array(*[F.lit(1 << j) for j in range(N_PLANES)])
+    return F.aggregate(
+        F.zip_with(planes, bits,
+                   lambda p, b: F.when(dot(vec, p) > 0, b).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, v: acc + v)
+
+
+def probe_buckets(bucket: Column) -> Column:
+    """Multi-probe set: the bucket and its N_PLANES Hamming-1 neighbors
+    (flip each sign bit once).  All 1+N_PLANES values are distinct, so a
+    probe join produces each candidate pair at most once."""
+    return F.array(bucket,
+                   *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)])
 
 
 def sql_lsh_bucket(vec: str) -> str:
@@ -80,3 +99,11 @@ def sql_lsh_bucket(vec: str) -> str:
             f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {plane}) > 0"
             f" THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def sql_probe_join(cbucket: str, qbucket: str) -> str:
+    """DuckDB join condition matching probe_buckets: corpus bucket equals
+    the query bucket or any Hamming-1 neighbor of it."""
+    terms = [f"{cbucket} = {qbucket}"] + [
+        f"{cbucket} = xor({qbucket}, {1 << j})" for j in range(N_PLANES)]
+    return "(" + " OR ".join(terms) + ")"

@@ -19,7 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..core.datatests import DataTest
+from ..core.datatests import (DataTest, accepted_values, not_null,
+                              relationships, unique)
 from ..core.model import ModelRegistry
 from ..core.runner import Runner
 from .seeds import load_seed_dataframes
@@ -210,6 +211,12 @@ FICTION_BANK_TESTS = [
              lambda rel: _grain_violations(rel["agg_monthly_loans"])),
     DataTest("grain_agg_monthly_loans_fixed",
              lambda rel: _grain_violations(rel["agg_monthly_loans_fixed"])),
+    # generic schema tests — the dbt test surface README.md:53-54 advertises
+    unique("fct_loan_details", ["loan_id"]),
+    not_null("fct_loan_details", ["loan_id", "customer_id", "loan_amount"]),
+    unique("agg_monthly_loans_fixed", ["month", "loan_type_name"]),
+    accepted_values("stg_loan_payments", "payment_status", ["completed"]),
+    relationships("stg_loan_payments", "loan_id", "stg_loans", "loan_id"),
 ]
 
 

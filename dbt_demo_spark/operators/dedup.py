@@ -57,13 +57,19 @@ def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text",
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 token_hash=token_hashes) -> DataFrame:
     """(doc_id, sh: array<long>) of hashed 3-token shingles; drops docs with
     < 3 tokens (no shingle exists, and Spark's `sequence` would run
-    descending)."""
+    descending).
+
+    ``token_hash`` selects the per-token hash column builder: the portable
+    char hash (default, oracle-checkable) or
+    functions.text.token_hashes_xxhash (production: cheaper, better mixed,
+    Spark-only)."""
     from ..functions.text import tokens
 
-    th = token_hashes(F.col(text_col))
+    th = token_hash(F.col(text_col))
     return (
         # filter on the token count BEFORE hashing: the predicate then costs
         # one split() instead of re-running the whole char-hash pipeline
@@ -148,11 +154,25 @@ def band_rows(shingled: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(bands: DataFrame) -> DataFrame:
+def lsh_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (d1 < d2) sharing any band bucket.  The
     self-join shuffles on (band_id, band_key) — at 100 TB this is the only
-    quadratic-risk step, bounded by bucket size; oversized buckets (degenerate
-    content) should be dropped with a bucket-count filter upstream."""
+    quadratic-risk step, quadratic in BUCKET size.
+
+    ``max_bucket`` is the degenerate-bucket guard: buckets with more members
+    (boilerplate/empty-ish content that collides whole shards of the corpus)
+    are dropped BEFORE the self-join, bounding any single bucket's pair
+    blow-up at max_bucket^2.  Members of a dropped bucket can still pair
+    through their other bands; truly degenerate clusters are better handled
+    by exact dedup upstream (they are exact-ish duplicates by definition)."""
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+        bands = bands.join(keep, ["band_id", "band_key"])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -190,16 +210,21 @@ def jaccard_verify(candidates: DataFrame, shingled: DataFrame,
 
 
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      token_hash=token_hashes,
+                      max_bucket: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> bands ->
-    candidates -> Jaccard >= threshold.  Returns (d1, d2, jaccard)."""
-    shingled = doc_shingles(docs, text_col, id_col)
-    cands = lsh_candidates(band_rows(shingled))
+    candidates -> Jaccard >= threshold.  Returns (d1, d2, jaccard).
+
+    ``token_hash``: portable char hash (default) or xxhash64 for production.
+    ``max_bucket``: drop degenerate LSH buckets (see lsh_candidates)."""
+    shingled = doc_shingles(docs, text_col, id_col, token_hash)
+    cands = lsh_candidates(band_rows(shingled), max_bucket)
     return jaccard_verify(cands, shingled, threshold)
 
 
 def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", token_hash=token_hashes) -> DataFrame:
     """SimHash fingerprint: per bit position, tokens vote +1/-1 by their
     hash bit; the sign of the tally is the fingerprint bit.  Pure per-row
     array math.  Returns (doc_id, simhash).
@@ -209,8 +234,12 @@ def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
     turns vote signs into the packed fingerprint.  The previous form built
     n_bits independent vote expressions, each re-inlining the full
     tokenize+hash pipeline (~16x per-row recompute — measured 3.6s vs 0.1s
-    DuckDB at sf0.1)."""
-    th = token_hashes(F.col(text_col))
+    DuckDB at sf0.1).
+
+    ``token_hash`` swaps the per-token hash (portable char hash vs
+    xxhash64); bit votes read the low n_bits, which are well-mixed under
+    either."""
+    th = token_hash(F.col(text_col))
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
     zero = F.array(*[F.lit(0)] * n_bits)
     votes = F.aggregate(
@@ -230,12 +259,20 @@ def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
-                        threshold: float) -> DataFrame:
+                        threshold: float,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact shingle-Jaccard of each query doc against the corpus via an
     inverted-index join on shingle hash (explode -> join -> count), skipping
     the signature step entirely.  Right-sized when the query side is small
     (e.g. incremental ingest vs existing corpus); full-corpus N^2 is what
-    minhash_lsh avoids."""
+    minhash_lsh avoids.
+
+    ``max_doc_freq`` is the hot-shingle (stop-shingle) guard: shingles whose
+    corpus document frequency exceeds it are dropped from the inverted index
+    BEFORE the join — without it one boilerplate shingle joins every query
+    against the whole corpus at scale.  Dropped shingles still count in
+    qn/cn, so reported Jaccard becomes a conservative lower bound (a pair
+    overlapping ONLY on boilerplate stops matching — usually the point)."""
     # explode-of-one barrier (see jaccard_verify): the distinct-shingle set
     # becomes a real attribute, so the later size() + explode() pair reads it
     # instead of re-inlining the token->shingle pipeline per reference.
@@ -247,6 +284,13 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
         F.explode(F.array(F.array_distinct("sh"))).alias("cs"))
     qx = q.select("qid", F.size("qs").alias("qn"), F.explode("qs").alias("h"))
     cx = c.select("cid", F.size("cs").alias("cn"), F.explode("cs").alias("h"))
+    if max_doc_freq is not None:
+        hot = (
+            cx.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("h")
+        )
+        cx = cx.join(hot, "h", "left_anti")
     return (
         # query side is small by contract (incremental ingest batch):
         # broadcast it so the exploded corpus never shuffles

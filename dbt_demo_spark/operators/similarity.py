@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vectors import as_double, dot, lsh_bucket, norm
+from ..functions.vectors import as_double, dot, lsh_bucket, norm, probe_buckets
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -68,20 +68,26 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
 def bucketed_vectors(vectors: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """(id, vec, bucket) with the deterministic hyperplane LSH bucket —
+    """(vid, vec, bucket) with the deterministic hyperplane LSH bucket —
     per-row math, no shuffle; at scale this is the write-side partition key."""
-    return vectors.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("vec"),
-        lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),
+    return (
+        vectors.select(F.col(id_col).alias("vid"),
+                       F.explode(F.array(as_double(F.col(vec_col)))).alias("vec"))
+        .select("vid", "vec", lsh_bucket(F.col("vec")).alias("bucket"))
     )
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates."""
+    """Approximate top-k with multi-probe: each query scores candidates in
+    its own bucket plus the N_PLANES Hamming-1 neighbor buckets
+    (functions/vectors.py probe_buckets).  Probe values are pairwise
+    distinct, so no candidate pair is produced twice."""
     q = (_with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
-         .withColumn("bucket", lsh_bucket(F.col("qv"))))
+         .withColumn("bucket0", lsh_bucket(F.col("qv"))))
+    qprobes = q.select(
+        "query_id", "qv", "qn",
+        F.explode(probe_buckets(F.col("bucket0"))).alias("bucket"))
     c = (_with_norm(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
          .withColumn("bucket", lsh_bucket(F.col("cv"))))
-    return _ranked_topk(_score(q.join(c, "bucket")), k)
+    return _ranked_topk(_score(qprobes.join(c, "bucket")), k)

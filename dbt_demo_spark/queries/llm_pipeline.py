@@ -25,7 +25,7 @@ from ..functions.text import (HASH_P, position_weighted_fingerprint,
                               sql_stopword_count, sql_token_hashes,
                               sql_tokens, stopword_count, token_hashes, tokens)
 from ..functions.vectors import (as_double, cosine, lsh_bucket, sql_cosine,
-                                 sql_lsh_bucket)
+                                 sql_lsh_bucket, sql_probe_join)
 from ..operators import dedup, similarity
 from ..sources.events import load_events
 from ..sources.parquet import load_table
@@ -106,17 +106,29 @@ _BAND_UNION = " UNION ALL ".join(
     for b in range(dedup.BANDS)
 )
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(max_bucket: int | None = None) -> str:
+    """MinHash-LSH oracle; max_bucket adds the degenerate-bucket guard CTE
+    (buckets with more members dropped before the self-join) mirroring
+    operators/dedup.lsh_candidates."""
+    guard = ""
+    bands_src = "bands"
+    if max_bucket is not None:
+        guard = f""",
+    keep AS (SELECT band_id, band_key FROM bands
+             GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}),
+    kept AS (SELECT bands.* FROM bands JOIN keep USING (band_id, band_key))"""
+        bands_src = "kept"
+    return f"""
     WITH {_sql_shingled()},
     sigs AS (
         SELECT doc_id, {_BAND_KEYS} FROM (
             SELECT doc_id, {_MINHASH_MS} FROM shingled
         )
     ),
-    bands AS ({_BAND_UNION}),
+    bands AS ({_BAND_UNION}){guard},
     cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b
+        FROM {bands_src} a JOIN {bands_src} b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ),
@@ -133,13 +145,27 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "lsh"))
+_MAX_BUCKET = 16
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: shingle -> K-minhash signature ->
     banded bucket join -> exact shingle-Jaccard verify >= 0.5.  The full
     scale path for corpus-level near-dedup (operators/dedup.py)."""
     return dedup.minhash_near_dups(load_table(spark, sf_dir, "documents"),
                                    threshold=0.5)
+
+
+@query("dedup_minhash_lsh_guarded", oracle=_minhash_oracle(_MAX_BUCKET),
+       tags=("dedup", "lsh", "guard"))
+def dedup_minhash_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the degenerate-bucket guard: band buckets holding
+    > MAX_BUCKET docs (boilerplate clusters) are dropped before the
+    self-join, bounding the bucket-join blow-up at 100 TB
+    (operators/dedup.py lsh_candidates max_bucket)."""
+    return dedup.minhash_near_dups(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.5, max_bucket=_MAX_BUCKET)
 
 
 _SIMHASH_BITS = 16
@@ -165,16 +191,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_bits=_SIMHASH_BITS)
 
 
-_NGRAM_ORACLE = f"""
+def _ngram_oracle(max_doc_freq: int | None = None) -> str:
+    """n-gram Jaccard oracle; max_doc_freq adds the hot-shingle guard
+    (corpus-side shingles above the document-frequency cutoff removed from
+    the inverted index) mirroring operators/dedup.ngram_jaccard_pairs."""
+    guard = ""
+    cx_src = "cx"
+    if max_doc_freq is not None:
+        guard = f""",
+    hot AS (SELECT h FROM cx GROUP BY h HAVING COUNT(*) > {max_doc_freq}),
+    cx_kept AS (SELECT cx.* FROM cx ANTI JOIN hot USING (h))"""
+        cx_src = "cx_kept"
+    return f"""
     WITH {_sql_shingled()},
     q AS (SELECT doc_id AS qid, list_distinct(sh) AS qs FROM shingled
           WHERE doc_id % 20 = 0),
     c AS (SELECT doc_id AS cid, list_distinct(sh) AS cs FROM shingled),
     qx AS (SELECT qid, unnest(qs) AS h, len(qs) AS qn FROM q),
-    cx AS (SELECT cid, unnest(cs) AS h, len(cs) AS cn FROM c),
+    cx AS (SELECT cid, unnest(cs) AS h, len(cs) AS cn FROM c){guard},
     inter AS (
         SELECT qid, cid, qn, cn, COUNT(*) AS i
-        FROM qx JOIN cx USING (h)
+        FROM qx JOIN {cx_src} USING (h)
         WHERE qid != cid
         GROUP BY 1, 2, 3, 4
     )
@@ -184,7 +221,10 @@ _NGRAM_ORACLE = f"""
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "jaccard"))
+_MAX_DOC_FREQ = 50
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_oracle(), tags=("dedup", "jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard of a 5% query sample against the corpus via
     inverted-index join — the incremental-ingest dedup shape."""
@@ -192,6 +232,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 20 == 0),
                                   docs, threshold=0.5)
+        .select("qid", "cid", "jaccard")
+    )
+
+
+@query("dedup_ngram_jaccard_guarded", oracle=_ngram_oracle(_MAX_DOC_FREQ),
+       tags=("dedup", "jaccard", "guard"))
+def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with the hot-shingle cutoff: shingles appearing in
+    > MAX_DOC_FREQ corpus docs are dropped from the inverted index before
+    the join, so boilerplate n-grams cannot join every query against the
+    whole corpus (operators/dedup.py ngram_jaccard_pairs max_doc_freq)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 20 == 0),
+                                  docs, threshold=0.5,
+                                  max_doc_freq=_MAX_DOC_FREQ)
         .select("qid", "cid", "jaccard")
     )
 
@@ -236,17 +292,42 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_LSH_TOPK_ORACLE = f"""
+    WITH qb AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {sql_lsh_bucket('embedding')} AS qbucket
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cb AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv,
+               {sql_lsh_bucket('embedding')} AS cbucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {sql_cosine('qv', 'cv')} AS score
+        FROM qb JOIN cb ON {sql_probe_join('cbucket', 'qbucket')}
+        WHERE query_id != neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 5
+"""
+
+
 @query(
     "sim_topk_lsh",
-    oracle=_TOPK_ORACLE_TMPL.format(
-        score=sql_cosine("q.qv", "c.embedding"),
-        join="JOIN",
-        cond=f"ON {sql_lsh_bucket('q.qv')} = {sql_lsh_bucket('c.embedding')}"),
+    oracle=_LSH_TOPK_ORACLE,
     tags=("similarity", "lsh", "window"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: deterministic hyperplane-LSH buckets prune the
-    candidate set ~2^planes-fold before exact scoring — the 100 TB path."""
+    """Approximate top-5: 16-plane hyperplane-LSH buckets with Hamming-1
+    multi-probe prune the candidate set ~(1+16)/2^16-fold before exact
+    scoring — the 100 TB path."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import duckdb
+import pyspark.sql.functions as F
 import pytest
 
 from dbt_demo_spark.models.fiction_bank import (FICTION_BANK_TESTS,
@@ -47,6 +48,43 @@ def test_grain_tests_distinguish_buggy_from_fixed(relations):
     results = {r.name: r for r in run_data_tests(FICTION_BANK_TESTS, relations)}
     assert not results["grain_agg_monthly_loans"].passed  # bug present by design
     assert results["grain_agg_monthly_loans_fixed"].passed
+    # generic schema tests (dbt unique/not_null/accepted_values/relationships)
+    # all pass on the clean reference seeds
+    for name, r in results.items():
+        if name.startswith(("unique__", "not_null__", "accepted_values__",
+                            "relationships__")):
+            assert r.passed, name
+
+
+def test_generic_tests_catch_seeded_violations(spark, relations):
+    """Each generic test builder fails on a deliberately corrupted relation
+    and passes on the clean one (dbt test contract: violations -> fail)."""
+    from dbt_demo_spark.core.datatests import (accepted_values, not_null,
+                                               relationships, unique)
+
+    clean = relations["fct_loan_details"]
+    dup = clean.unionByName(clean.limit(1))                       # duplicate key
+    nulled = clean.unionByName(
+        clean.limit(1).withColumn("customer_id", F.lit(None).cast("string")))
+    rel = dict(relations)
+    rel["fct_dup"] = dup
+    rel["fct_nulled"] = nulled
+    # orphan payment: loan_id not present in stg_loans
+    rel["orphan_payments"] = relations["stg_loan_payments"].limit(1).withColumn(
+        "loan_id", F.lit("L999"))
+    rel["bad_status"] = relations["stg_loan_payments"].withColumn(
+        "payment_status", F.lit("exploded"))
+
+    assert not run_data_tests([unique("fct_dup", ["loan_id"])], rel)[0].passed
+    assert run_data_tests([unique("fct_loan_details", ["loan_id"])], rel)[0].passed
+    assert not run_data_tests(
+        [not_null("fct_nulled", ["customer_id"])], rel)[0].passed
+    assert not run_data_tests(
+        [relationships("orphan_payments", "loan_id", "stg_loans", "loan_id")],
+        rel)[0].passed
+    assert not run_data_tests(
+        [accepted_values("bad_status", "payment_status", ["completed"])],
+        rel)[0].passed
 
 
 def test_feb_2023_fanout_shape(relations):

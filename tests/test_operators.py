@@ -34,6 +34,66 @@ def test_simhash_near_dups_have_close_fingerprints(spark, docs):
     assert near <= 3
 
 
+def test_lsh_bucket_guard_bounds_degenerate_candidates(spark, docs):
+    """A planted degenerate cluster (100 identical docs) explodes the
+    unguarded candidate count quadratically; max_bucket drops its buckets
+    while an ordinary planted near-dup pair (8, 12) survives via its own
+    small buckets."""
+    base = docs.select("doc_id", "text")
+    clones = (spark.range(100).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every shard of the corpus"
+              ).alias("text")))
+    corpus = base.unionByName(clones)
+
+    shingled = dedup.doc_shingles(corpus)
+    bands = dedup.band_rows(shingled)
+    unguarded = dedup.lsh_candidates(bands).count()
+    guarded = dedup.lsh_candidates(bands, max_bucket=16).count()
+    # the clone cluster alone contributes C(100,2) = 4950 pairs
+    assert unguarded >= 4950
+    assert guarded <= unguarded - 4950
+    guarded_pairs = {(r.d1, r.d2) for r in
+                     dedup.minhash_near_dups(corpus, 0.5, max_bucket=16).collect()}
+    assert (8, 12) in guarded_pairs
+    assert not any(d1 >= 1_000_000 and d2 >= 1_000_000
+                   for d1, d2 in guarded_pairs)
+
+
+def test_ngram_hot_shingle_guard(spark, docs):
+    """With a hot-shingle cutoff, boilerplate-only overlap stops matching
+    (scores become conservative lower bounds) while the planted near-dup
+    pair keeps its exact Jaccard — its shingles are not hot."""
+    q = docs.filter(F.col("doc_id").isin(8, 12))
+    exact = {(r.qid, r.cid): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(q, docs, 0.5).collect()}
+    guarded = {(r.qid, r.cid): r.jaccard for r in
+               dedup.ngram_jaccard_pairs(q, docs, 0.5, max_doc_freq=50).collect()}
+    assert (8, 12) in guarded
+    assert guarded[(8, 12)] == exact[(8, 12)]
+    # guard can only remove or lower, never add or raise
+    assert set(guarded) <= set(exact)
+    assert all(guarded[k] <= exact[k] for k in guarded)
+
+
+def test_xxhash_production_variants(spark, docs):
+    """The pluggable production hash (xxhash64): same operator shapes, same
+    planted-pair recovery, deterministic output — pytest-only (DuckDB has no
+    xxhash64 twin, so no oracle)."""
+    from dbt_demo_spark.functions.text import token_hashes_xxhash
+
+    pairs = {(r.d1, r.d2) for r in dedup.minhash_near_dups(
+        docs, 0.5, token_hash=token_hashes_xxhash).collect()}
+    assert (8, 12) in pairs
+
+    fp = {r.doc_id: r.simhash for r in
+          dedup.simhash(docs, token_hash=token_hashes_xxhash).collect()}
+    again = {r.doc_id: r.simhash for r in
+             dedup.simhash(docs, token_hash=token_hashes_xxhash).collect()}
+    assert fp == again
+    assert bin(fp[8] ^ fp[12]).count("1") <= 3
+
+
 def test_exact_dedup_keep_first_on_synthetic_dups(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string")
@@ -62,6 +122,42 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
     hits = [p for p in lsh if (p.query_id, p.neighbor_id) in bf]
     assert hits, "LSH should overlap brute-force top-50"
     assert all(bf[(p.query_id, p.neighbor_id)] == p.score for p in hits)
+
+
+def test_multiprobe_expands_single_probe_candidates(spark):
+    """Multi-probe (Hamming-1) candidate pairs are a strict superset of the
+    same-bucket pairs, and still a small fraction of the full cross
+    product; scores stay bit-exact (checked by
+    test_lsh_topk_subset_of_bruteforce_scores)."""
+    from dbt_demo_spark.functions.vectors import N_PLANES, probe_buckets
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    q = similarity.bucketed_vectors(emb.filter("vec_id % 100 = 0")) \
+        .withColumnsRenamed({"vid": "qid", "vec": "qv"})
+    c = similarity.bucketed_vectors(emb).withColumnsRenamed(
+        {"vid": "cid", "vec": "cv"})
+    nq = q.count()
+
+    single = {(r.qid, r.cid) for r in q.join(c, "bucket")
+              .filter("qid != cid").select("qid", "cid").collect()}
+    probes = q.select("qid", F.explode(probe_buckets(F.col("bucket"))).alias("bucket"))
+    multi = {(r.qid, r.cid) for r in probes.join(c, "bucket")
+             .filter("qid != cid").select("qid", "cid").collect()}
+
+    assert single <= multi
+    assert len(multi) > len(single)
+    # pruning: candidates are a small fraction of the |Q| x |C| cross product
+    assert len(multi) < 0.25 * nq * n
+
+
+def test_lsh_topk_has_no_duplicate_neighbors(spark):
+    """Probe values are pairwise distinct, so no (query, neighbor) pair may
+    be ranked twice."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.lsh_topk(emb.filter("vec_id % 100 = 0"), emb, k=5).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs))
 
 
 def test_multimodal_decode_batches(spark, docs):
