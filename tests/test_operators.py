@@ -151,6 +151,24 @@ def test_multiprobe_expands_single_probe_candidates(spark):
     assert len(multi) < 0.25 * nq * n
 
 
+def test_arrow_bucket_norm_bit_identical_to_jvm(spark):
+    """The vectorized mapInPandas bucket+norm path must be BIT-identical to
+    the JVM higher-order-function fold (same sequential-over-dimensions
+    accumulation), or LSH candidate sets silently diverge from the oracle."""
+    from dbt_demo_spark.functions.vectors import lsh_bucket
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    jvm = {r.vid: (r.norm, r.bucket) for r in
+           similarity._with_norm(emb, "vec_id", "embedding", "vid", "vec", "norm")
+           .withColumn("bucket", lsh_bucket(F.col("vec")))
+           .select("vid", "norm", "bucket").collect()}
+    arrow = {r.vid: (r.norm, r.bucket) for r in
+             similarity._with_norm_bucket_arrow(
+                 emb, "vec_id", "embedding", "vid", "vec", "norm", "bucket")
+             .select("vid", "norm", "bucket").collect()}
+    assert jvm == arrow  # exact float equality, not approx
+
+
 def test_lsh_topk_has_no_duplicate_neighbors(spark):
     """Probe values are pairwise distinct, so no (query, neighbor) pair may
     be ranked twice."""
