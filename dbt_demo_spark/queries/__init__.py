@@ -14,5 +14,6 @@ from . import reference_surface  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import llm_pipeline  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query", "get_queries", "get_oracles"]

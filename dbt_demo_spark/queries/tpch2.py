@@ -534,6 +534,54 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_setops",
+    oracle="""
+        WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                       AND o_orderdate < TIMESTAMP '1996-01-01'),
+             y96 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT 'retained' AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+        UNION ALL
+        SELECT 'churned', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        UNION ALL
+        SELECT 'new', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+    tags=("set-ops", "union", "intersect", "except"),
+)
+def cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer retention cohorts via the three set operators (the family
+    the reference never uses, SURVEY.md §2.7): year-over-year INTERSECT
+    (retained), EXCEPT both ways (churned / new), UNION ALL to stack the
+    counts.  Spark plans set ops as aggregates/joins on the hashed key —
+    each leg is one shuffle, and the distinct inputs are small after
+    dedup."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_custs(y: int) -> DataFrame:
+        return (o.filter((F.col("o_orderdate") >= f"{y}-01-01")
+                         & (F.col("o_orderdate") < f"{y + 1}-01-01"))
+                .select("o_custkey").distinct())
+
+    y95, y96 = year_custs(1995), year_custs(1996)
+
+    def counted(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers")
+
+    return (
+        counted(y95.intersect(y96), "retained")
+        .unionAll(counted(y95.exceptAll(y96), "churned"))
+        .unionAll(counted(y96.exceptAll(y95), "new"))
+    )
+
+
+@query(
     "tpch_q22_global_sales_opportunity",
     oracle=f"""
         WITH pos_avg AS (

@@ -1,0 +1,140 @@
+"""Window-function queries over the event stream: sessionization
+(gaps-and-islands), running frames, and lag/lead — the window surface a
+training-data pipeline needs beyond the reference's aggregate-only models
+(the reference itself has no OVER clause anywhere, SURVEY.md §2.5; these
+extend coverage with the public SQL window operator family).
+
+Scale notes: every window here partitions by user_id — one shuffle on the
+user key, then per-partition sorted evaluation, the same plan a
+1000-executor cluster runs; no global sort, no driver collection.  Skewed
+power users are the known hazard (a single partition holds one user's whole
+history) — the mitigation at 100 TB is splitting user histories by
+time-range salt before sessionizing, then merging boundary sessions.
+
+Determinism: window order is (ts, event_id) — event_id breaks timestamp
+ties, so frames are identical across engines; money math uses the
+scaled-integer discipline (functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import round2, scaled_long, sql_round2, sql_scaled_long
+from ..sources.events import load_events
+from .catalog import query
+
+SESSION_GAP_S = 1800  # 30 min inactivity ends a session
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+        WITH gaps AS (
+            -- microsecond diffs: date_diff('second') counts BOUNDARY
+            -- crossings (engine-specific at sub-second offsets); at the
+            -- microsecond grain boundary-count == exact difference in both
+            -- engines, so the gap comparison is bit-identical
+            SELECT user_id, event_id, ts,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_S} * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM gaps
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                    AS BIGINT) AS duration_s
+        FROM sess
+        GROUP BY 1, 2
+    """,
+    tags=("window", "sessionization", "streaming-twin"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks after 30 min of
+    user inactivity.  LAG marks session starts, a running SUM numbers the
+    islands, then one aggregate per (user, session).  This is the batch twin
+    of streaming session windows (session_window / applyInPandasWithState);
+    expressed relationally it is two window passes over one user-key
+    shuffle."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond grain matches the oracle exactly (see oracle comment)
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    flagged = (
+        ev.select("user_id", "event_id", "ts",
+                  F.lag("ts").over(w).alias("_prev_ts"))
+        .withColumn(
+            "is_new",
+            F.when(F.col("_prev_ts").isNull() | (gap > SESSION_GAP_S * 1_000_000),
+                   F.lit(1)).otherwise(F.lit(0)))
+    )
+    sess = flagged.select(
+        "user_id", "ts",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.expr("CAST(timestampdiff(MICROSECOND, MIN(ts), MAX(ts)) DIV 1000000"
+                   " AS BIGINT)").alias("duration_s"),
+        )
+    )
+
+
+@query(
+    "events_user_running_stats",
+    oracle=f"""
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+               SUM({sql_scaled_long('value')}) OVER (w ROWS UNBOUNDED PRECEDING)
+                   / 100.0 AS running_value,
+               {sql_round2(
+                   f"(SUM({sql_scaled_long('value')}) OVER (w ROWS 2 PRECEDING)"
+                   f" / 100.0) / COUNT(*) OVER (w ROWS 2 PRECEDING)")}
+                   AS moving_avg3,
+               LAG(event_type) OVER w AS prev_type,
+               LEAD(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "frames", "lag-lead"),
+)
+def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running frames: cumulative value (ROWS UNBOUNDED PRECEDING),
+    3-event moving average (ROWS 2 PRECEDING), and lag/lead neighbors.
+    Money sums use exact integer units inside the frame so partial orders
+    never flip a cent; the single shuffle is the user-key window exchange."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    sv = scaled_long(F.col("value"))
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        (F.sum(sv).over(cum) / 100.0).alias("running_value"),
+        round2((F.sum(sv).over(last3) / 100.0)
+               / F.count(F.lit(1)).over(last3)).alias("moving_avg3"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

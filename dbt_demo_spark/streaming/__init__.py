@@ -1,3 +1,3 @@
-from .rollup import read_event_stream, streaming_hourly_rollup
+from .rollup import read_event_stream, session_rollup, streaming_hourly_rollup
 
-__all__ = ["read_event_stream", "streaming_hourly_rollup"]
+__all__ = ["read_event_stream", "session_rollup", "streaming_hourly_rollup"]

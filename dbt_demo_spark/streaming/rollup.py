@@ -62,3 +62,22 @@ def streaming_hourly_rollup(events: DataFrame,
         .select(F.col("w.start").alias("hour_start"), "event_type",
                 "n_events", "approx_users", "total_value")
     )
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str | None = "2 hours") -> DataFrame:
+    """Per-user session aggregation via ``session_window`` — the streaming
+    counterpart of the gaps-and-islands sessionization in
+    queries/windows.py.  Works identically as a batch plan (watermark=None)
+    and as an incremental streaming plan: sessions merge while events arrive
+    within ``gap`` of the window and close once the watermark passes the
+    gap — closed-session state is dropped, so state stays bounded by the
+    number of OPEN sessions regardless of stream length."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "total_value")
+    )

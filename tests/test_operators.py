@@ -207,6 +207,36 @@ def test_multimodal_payload_stats_match_decode(spark, docs):
         assert jvm[k].byte_len == py[k].byte_len
 
 
+def test_streaming_session_rollup_matches_batch(spark, tmp_path):
+    """session_window sessionization: the incremental streaming plan
+    (watermark, availableNow backlog replay) must produce exactly the batch
+    plan's sessions — merge logic, boundaries, aggregates."""
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.streaming import read_event_stream, session_rollup
+
+    events_dir = tmp_path / "events_landing"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+
+    stream = session_rollup(read_event_stream(spark, str(events_dir)))
+    q = (stream.writeStream.format("memory").queryName("sessions")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.session_end):
+           (r.n_events, round(r.total_value, 2))
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+
+    ev = load_events(spark, SF_SMOKE).withColumn(
+        "ts", F.col("ts").cast("timestamp"))  # session_window wants LTZ
+    want = {(r.user_id, r.session_start, r.session_end):
+            (r.n_events, round(r.total_value, 2))
+            for r in session_rollup(ev, watermark=None).collect()}
+    assert got == want
+    assert len(want) > 100  # real sessionization, not one blob
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     from dbt_demo_spark.sources.events import load_events
     from dbt_demo_spark.streaming import read_event_stream, streaming_hourly_rollup
