@@ -19,8 +19,8 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 PAYLOAD_SCHEMA = StructType([
     StructField("item_id", LongType()),
@@ -80,6 +80,78 @@ def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
             })
 
     return payloads.mapInPandas(run, DECODED_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("item_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_offset", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4,
+                  frame_len: int = 64) -> DataFrame:
+    """Frame sampling for video/audio payloads: one row PER FRAME
+    (item_id, frame_idx, frame_offset, frame bytes), evenly spaced over the
+    payload.  A real deployment decodes containers with pyav/ffmpeg at the
+    marked boundary; here frames are raw byte slices so the Spark-side
+    plumbing — fan-out row multiplication inside mapInPandas, binary frame
+    column, deterministic offsets — is real and testable.  Embarrassingly
+    parallel; downstream per-frame operators (feature extraction) see an
+    ordinary table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"item_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                # >>> codec boundary: replace slicing with real frame decode
+                n = max(len(payload), 1)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    rows["item_id"].append(item_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame"].append(bytes(payload[off:off + frame_len]))
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("item_id", LongType()),
+    StructField("feature", StringType()),       # 'mean','std','entropy_q'
+    StructField("value", DoubleType()),
+])
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Per-payload numeric features (byte mean / std / coarse entropy) via
+    numpy over the Arrow batch — the feature-extraction stage shape.  With a
+    real codec the same structure computes pixel/spectrogram statistics;
+    features emit as long-form (item_id, feature, value) rows so new
+    features never change the schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"item_id": [], "feature": [], "value": []}
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if b.size == 0:
+                    b = np.zeros(1, dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=16).astype(np.float64)
+                p = hist / hist.sum()
+                nz = p[p > 0]
+                for feat, val in (("mean", float(b.mean())),
+                                  ("std", float(b.std())),
+                                  ("entropy_q", float(-(nz * np.log2(nz)).sum()))):
+                    out["item_id"].append(item_id)
+                    out["feature"].append(feat)
+                    out["value"].append(val)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def payload_stats(payloads: DataFrame) -> DataFrame:

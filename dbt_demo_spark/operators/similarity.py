@@ -124,6 +124,30 @@ def bucketed_vectors(vectors: DataFrame, id_col: str = "vec_id",
     )
 
 
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (d1 < d2, cosine >= threshold):
+    multi-probe LSH self-join prunes candidates, exact cosine verifies.
+    Hamming-1 adjacency is symmetric, so probing from the d1 side alone
+    finds every pair within one bit flip exactly once — no dedup pass.
+    The corpus-side bucket/norm computation is the Arrow-vectorized path;
+    this is the embedding twin of MinHash near-dedup for the
+    dedup-by-semantics stage of a training-data pipeline."""
+    a = _with_norm_bucket_arrow(vectors, id_col, vec_col, "d1", "v1", "n1", "b1")
+    probes = a.select("d1", "v1", "n1",
+                      F.explode(probe_buckets(F.col("b1"))).alias("bucket"))
+    b = _with_norm_bucket_arrow(vectors, id_col, vec_col, "d2", "v2", "n2", "bucket")
+    return (
+        probes.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2",
+                (dot(F.col("v1"), F.col("v2"))
+                 / (F.col("n1") * F.col("n2"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k with multi-probe: each query scores candidates in

@@ -333,6 +333,38 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+# the synthetic embeddings are near-uniform (max pairwise cosine ~0.46 at
+# sf0.01), so the catalog query uses a low threshold to exercise the
+# operator on real rows; true dup recovery at ~1.0 is pytest-verified with
+# planted duplicates (test_operators.py)
+_EMB_DUP_THRESHOLD = 0.3
+
+_EMB_NEAR_DUP_ORACLE = f"""
+    WITH ab AS (
+        SELECT vec_id, embedding AS v,
+               {sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           {sql_cosine('a.v', 'b.v')} AS cosine
+    FROM ab a JOIN ab b
+      ON {sql_probe_join('b.bucket', 'a.bucket')}
+     AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.v', 'b.v')} >= {_EMB_DUP_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEAR_DUP_ORACLE,
+       tags=("dedup", "similarity", "lsh"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup stage:
+    multi-probe hyperplane-LSH self-join prunes candidates ~2^16/17-fold,
+    exact fold-order cosine verifies against the threshold
+    (operators/similarity.py embedding_near_dups)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=_EMB_DUP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

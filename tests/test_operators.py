@@ -151,6 +151,27 @@ def test_multiprobe_expands_single_probe_candidates(spark):
     assert len(multi) < 0.25 * nq * n
 
 
+def test_embedding_near_dups_recovers_planted_duplicates(spark):
+    """Planted exact-duplicate and scaled-duplicate embeddings (cosine 1.0)
+    must be recovered through the multi-probe LSH self-join; unrelated
+    near-random vectors must not pair at a high threshold."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    dup = (emb.filter("vec_id = 3")
+           .selectExpr("CAST(900001 AS BIGINT) AS vec_id", "embedding"))
+    scaled = (emb.filter("vec_id = 3")
+              .selectExpr("CAST(900002 AS BIGINT) AS vec_id",
+                          "transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding"))
+    corpus = emb.unionByName(dup).unionByName(scaled)
+    pairs = {(r.d1, r.d2): r.cosine for r in
+             similarity.embedding_near_dups(corpus, threshold=0.99).collect()}
+    # cosine of identical vectors is 1.0 up to sqrt rounding (last ulp)
+    assert (3, 900001) in pairs and abs(pairs[(3, 900001)] - 1.0) < 1e-12
+    assert (3, 900002) in pairs          # same direction, scaled -> cosine 1
+    assert (900001, 900002) in pairs
+    assert all(d1 in (3, 900001) or d2 in (900001, 900002)
+               for d1, d2 in pairs), "no unrelated pair may reach 0.99"
+
+
 def test_arrow_bucket_norm_bit_identical_to_jvm(spark):
     """The vectorized mapInPandas bucket+norm path must be BIT-identical to
     the JVM higher-order-function fold (same sequential-over-dimensions
@@ -190,6 +211,38 @@ def test_multimodal_decode_batches(spark, docs):
     # deterministic: same payload -> same fake decode
     again = multimodal.decode_metadata(payloads).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    """sample_frames fans each payload out to n evenly-spaced frames with
+    deterministic offsets and bounded frame bytes."""
+    payloads = multimodal.to_payload_table(docs.limit(10))
+    frames = multimodal.sample_frames(payloads, n_frames=4, frame_len=16).collect()
+    assert len(frames) == 40
+    by_item = {}
+    for r in frames:
+        by_item.setdefault(r.item_id, []).append(r)
+    for rows in by_item.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+        offs = [r.frame_offset for r in sorted(rows, key=lambda r: r.frame_idx)]
+        assert offs == sorted(offs) and offs[0] == 0
+        assert all(0 < len(r.frame) <= 16 for r in rows)
+    again = multimodal.sample_frames(payloads, n_frames=4, frame_len=16).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    """extract_features emits long-form numeric features per payload, with
+    sane ranges (byte mean/std in [0,255], entropy in [0,4] for 16 bins)."""
+    payloads = multimodal.to_payload_table(docs.limit(10))
+    feats = multimodal.extract_features(payloads).collect()
+    assert len(feats) == 30
+    vals = {(r.item_id, r.feature): r.value for r in feats}
+    for (item, feat), v in vals.items():
+        if feat in ("mean", "std"):
+            assert 0 <= v <= 255
+        else:
+            assert 0 <= v <= 4.0
 
 
 def test_multimodal_strict_marks_codec_boundary(spark, docs):
