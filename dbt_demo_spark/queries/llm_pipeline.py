@@ -337,6 +337,23 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01), so the catalog query uses a low threshold to exercise the
 # operator on real rows; true dup recovery at ~1.0 is pytest-verified with
 # planted duplicates (test_operators.py)
+@query(
+    "sim_topk_ivf",
+    oracle=None,  # iterative k-means training — not SQL-expressible; the
+    # driver records rows-only, and pytest covers score exactness + recall
+    tags=("similarity", "ivf", "kmeans"),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5 (operators/ivf.py): seeded k-means coarse
+    quantizer, nprobe=2 cluster probing, exact cosine verify.  The
+    data-ADAPTIVE ANN path next to the data-independent hyperplane LSH."""
+    from ..operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf.ivf_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 _EMB_DUP_THRESHOLD = 0.3
 
 _EMB_NEAR_DUP_ORACLE = f"""

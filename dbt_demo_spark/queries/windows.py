@@ -102,6 +102,39 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_salted_rollup",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM({sql_scaled_long('value')}) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("skew", "salting", "A1", "A4"),
+)
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: two-phase salted aggregation.  Phase 1
+    groups on (key, salt) so a hot key's rows spread across 16 reducers;
+    phase 2 merges the partials on the key alone.  Because the money terms
+    are exact integer units, the salted result is BIT-IDENTICAL to the
+    direct GROUP BY the oracle runs — the proof that salting is safe to
+    apply under skew.  (AQE's skew handling covers joins; salting is the
+    aggregation-side lever when one group dominates.)"""
+    ev = load_events(spark, sf_dir)
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(F.count(F.lit(1)).alias("pc"),
+             F.sum(scaled_long(F.col("value"))).alias("ps"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pc").alias("n_events"),
+             (F.sum("ps") / 100.0).alias("total_value"))
+    )
+
+
+@query(
     "events_user_running_stats",
     oracle=f"""
         SELECT user_id, event_id,

