@@ -342,6 +342,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # iterative k-means training — not SQL-expressible; the
     # driver records rows-only, and pytest covers score exactness + recall
     tags=("similarity", "ivf", "kmeans"),
+    bench=False,  # no DuckDB twin to baseline; training time would swamp it
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-5 (operators/ivf.py): seeded k-means coarse
