@@ -1,0 +1,76 @@
+"""Physical-plan audits: the scale disciplines the engine claims are
+asserted against the actual Catalyst output, so a regression (lost filter
+pushdown, accidental cartesian product, de-broadcast dim join) fails CI
+instead of surfacing as a 100x slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_demo_spark.queries import CATALOG
+from tests.conftest import SF_GATE
+
+# the one deliberate cross join: the exact brute-force baseline, broadcast
+# nested-loop by construction (documented non-scalable)
+CROSSJOIN_OK = {"sim_topk_bruteforce"}
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].fn(spark, SF_GATE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_no_cartesian_product(spark, name):
+    """No query may plan a shuffled CartesianProduct — the join key (or a
+    broadcast) must always exist.  The brute-force baseline is allowed its
+    BroadcastNestedLoopJoin; an actual CartesianProduct is wrong even
+    there."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q6_filters_reach_scan_and_columns_prune(spark):
+    """TPC-H Q6 is the pushdown showcase: all predicates must arrive at the
+    parquet scan as PushedFilters and the scan must read only the columns
+    the query touches (4 of lineitem's 10)."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"isnotnull({col}" in plan.lower() or col in plan.split(
+            "PushedFilters", 1)[1][:400], col
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dim_joins_broadcast(spark):
+    """Fixed-size dims (nation/region) must plan as broadcast hash joins in
+    the fct model — a sort-merge join on a 25-row dim means the hint (or
+    AQE) regressed."""
+    plan = _plan(spark, "fct_order_details")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_partitioned_mart_prunes(spark, tmp_path):
+    """Month-partitioned marts must show PartitionFilters on filtered reads
+    (also covered in test_incremental; kept here as the plan-audit home)."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.runner import Runner
+    from dbt_demo_spark.models.fiction_bank import REGISTRY
+    from dbt_demo_spark.models.seeds import load_seed_dataframes
+
+    rel = Runner(spark, REGISTRY, str(tmp_path / "wh")).run(
+        load_seed_dataframes(spark))
+    pruned = rel["agg_monthly_loans"].filter(F.col("month") == "2023-02-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_no_accidental_caching(spark):
+    """No catalog query may depend on InMemoryRelation state — results must
+    be reproducible from the scans alone."""
+    for name in sorted(CATALOG):
+        assert "InMemoryRelation" not in _plan(spark, name), name
