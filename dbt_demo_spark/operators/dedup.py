@@ -27,12 +27,20 @@ from ..functions.text import HASH_P, shingle_hashes, token_hashes
 
 # MinHash parameters: K hash functions in BANDS bands of ROWS_PER_BAND.
 # Fixed odd multipliers/offsets — deterministic, no RNG.
-K_MINHASH = 8
-BANDS = 2
+# 16 hashes / 4 bands of 4 rows: the banding s-curve midpoint is
+# (1/BANDS)^(1/ROWS) ~= 0.71 similarity — a sensible operating point for the
+# 0.5-Jaccard verify threshold (the round-1 2x4 config had midpoint ~0.84,
+# i.e. real misses at 0.5-0.8 similarity).  The single-fold signature makes
+# K=16 cost ~the same per row as K=8 did pre-fusion.
+K_MINHASH = 16
+BANDS = 4
 ROWS_PER_BAND = K_MINHASH // BANDS
 _A = [2654435761, 2246822519, 3266489917, 668265263,
-      374761393, 2654435789, 2246822579, 3266489989]
-_B = [1, 7, 31, 127, 8191, 131071, 524287, 2147483647]
+      374761393, 2654435789, 2246822579, 3266489989,
+      2654435767, 2246822531, 3266489921, 668265269,
+      374761397, 2654435797, 2246822587, 3266489993]
+_B = [1, 7, 31, 127, 8191, 131071, 524287, 2147483647,
+      3, 11, 37, 131, 8209, 131101, 524309, 2147483659]
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
