@@ -538,6 +538,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_stable_split",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST((doc_id * 2654435761) % {HASH_P} % 100 AS BIGINT) AS bucket,
+               CASE WHEN (doc_id * 2654435761) % {HASH_P} % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % {HASH_P} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("sampling", "split"),
+)
+def text_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by integer hash bucket
+    (80/10/10) — the training-pipeline staple: membership depends only on
+    doc_id, so the split is stable across runs, engines, partitionings and
+    corpus growth (unlike seeded random sampling, whose output depends on
+    row order).  Pure map-side integer math."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % HASH_P % 100
+    return docs.select(
+        "doc_id", "lang",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+         .otherwise("test").alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + events
 # ---------------------------------------------------------------------------

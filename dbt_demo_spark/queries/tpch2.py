@@ -534,6 +534,101 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH part_cost AS (
+            SELECT l_partkey,
+                   MIN({sql_scaled_long('l_extendedprice')}) AS min_cost_units
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT DISTINCT
+               p.p_partkey AS part_key,
+               p.p_name AS part_name,
+               s.s_name AS supplier_name,
+               n.n_name AS nation_name,
+               pc.min_cost_units / 100.0 AS min_cost
+        FROM part p
+        JOIN part_cost pc ON pc.l_partkey = p.p_partkey
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+         AND {sql_scaled_long('l.l_extendedprice')} = pc.min_cost_units
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size IN (5, 10)
+        ORDER BY min_cost, part_key, supplier_name
+        LIMIT 100
+    """,
+    tags=("J1", "A7", "O1", "P5"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) achieving the minimum cost per
+    selected part — a decorrelated per-group MIN rejoined on equality (the
+    schema has no partsupp; lineitem is the part-supplier relation and
+    scaled extendedprice the cost).  Exact integer units make min-equality
+    tie-safe; DISTINCT collapses multi-lineitem ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    part_cost = (
+        li.groupBy(F.col("l_partkey").alias("pc_partkey"))
+        .agg(F.min(scaled_long(F.col("l_extendedprice"))).alias("min_cost_units"))
+    )
+    # second lineitem scan aliased: part_cost above derives from the same
+    # relation, and the min-equality rejoin must reference THIS copy
+    lx = li.select(F.col("l_partkey").alias("lx_partkey"),
+                   F.col("l_suppkey").alias("lx_suppkey"),
+                   scaled_long(F.col("l_extendedprice")).alias("lx_cost"))
+    return (
+        p.join(part_cost, F.col("pc_partkey") == p.p_partkey)
+        .join(lx, (F.col("lx_partkey") == p.p_partkey)
+              & (F.col("lx_cost") == F.col("min_cost_units")))
+        .join(s, s.s_suppkey == F.col("lx_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(F.col("p_partkey").alias("part_key"),
+                F.col("p_name").alias("part_name"),
+                F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation_name"),
+                (F.col("min_cost_units") / 100.0).alias("min_cost"))
+        .distinct()
+        .orderBy(F.asc("min_cost"), F.asc("part_key"), F.asc("supplier_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle=f"""
+        WITH pr AS (
+            SELECT l_partkey,
+                   SUM({_sql_revenue_cents()}) AS units
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS part_key, units / 10000.0 AS part_value
+        FROM pr
+        WHERE units > (SELECT SUM(units) * 0.0005 FROM pr)
+    """,
+    tags=("A4", "A7", "A8"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the GLOBAL
+    total — per-part revenue filtered against a scalar subquery over the
+    same aggregate (the reuse Catalyst plans once).  Exact integer units on
+    both sides of the threshold comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = (
+        li.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(_revenue_cents()).alias("units"))
+    )
+    threshold = pr.agg((F.sum("units") * 0.0005).alias("thr"))
+    return (
+        pr.join(F.broadcast(threshold), F.col("units") > F.col("thr"))
+        .select("part_key", (F.col("units") / 10000.0).alias("part_value"))
+    )
+
+
+@query(
     "cohort_setops",
     oracle="""
         WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
