@@ -309,6 +309,46 @@ def test_streaming_session_rollup_matches_batch(spark, tmp_path):
     assert len(want) > 100  # real sessionization, not one blob
 
 
+def test_streaming_first_seen_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState keyed first-seen dedup: the streamed result
+    (state across micro-batches, update mode) must equal the batch
+    first-event-per-key answer."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.streaming import read_event_stream, streaming_first_seen
+
+    events_dir = tmp_path / "events_landing"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+
+    stream = streaming_first_seen(read_event_stream(spark, str(events_dir)))
+    q = (stream.writeStream.format("memory").queryName("first_seen")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_fs"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode can emit a key several times as counts grow; the final
+    # emission per key carries the final counter
+    got = {}
+    for r in spark.sql("SELECT * FROM first_seen").collect():
+        k = (r.user_id, r.event_type)
+        if k not in got or r.n_dupes_suppressed > got[k][1]:
+            got[k] = (r.first_event_id, r.n_dupes_suppressed)
+
+    ev = load_events(spark, SF_SMOKE).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+        .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    first = (ev.withColumn("_rn", F.row_number().over(w)))
+    want = {(r.user_id, r.event_type): (r.event_id, r.n - 1) for r in
+            first.groupBy("user_id", "event_type")
+            .agg(F.min(F.struct("ts", "event_id")).alias("f"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("user_id", "event_type", F.col("f.event_id").alias("event_id"), "n")
+            .collect()}
+    assert got == want
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     from dbt_demo_spark.sources.events import load_events
     from dbt_demo_spark.streaming import read_event_stream, streaming_hourly_rollup
