@@ -205,6 +205,13 @@ def jaccard_verify(candidates: DataFrame, shingled: DataFrame,
             "doc_id", F.explode(F.array(F.array_distinct("sh"))).alias("ss"))
         .select("doc_id", "ss", F.size("ss").alias("n"))
     )
+    return jaccard_verify_sets(candidates, sets, threshold)
+
+
+def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Jaccard verification given a precomputed (doc_id, ss, n) set table
+    (element order in ss is irrelevant — only intersection sizes matter)."""
     s1 = sets.alias("s1")
     s2 = sets.alias("s2")
     inter = F.size(F.array_intersect(F.col("s1.ss"), F.col("s2.ss")))
@@ -225,7 +232,18 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     candidates -> Jaccard >= threshold.  Returns (d1, d2, jaccard).
 
     ``token_hash``: portable char hash (default) or xxhash64 for production.
-    ``max_bucket``: drop degenerate LSH buckets (see lsh_candidates)."""
+    ``max_bucket``: drop degenerate LSH buckets (see lsh_candidates).
+
+    With the default portable hash the pipeline runs on the Arrow-vectorized
+    feature pass (operators/shingle_arrow.py — integer-identical, ~3x
+    faster); custom hashes keep the pure-JVM expression path."""
+    if token_hash is token_hashes:
+        from . import shingle_arrow
+
+        feats = shingle_arrow.shingle_features(docs, text_col, id_col)
+        cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
+        return jaccard_verify_sets(cands, feats.select("doc_id", "ss", "n"),
+                                   threshold)
     shingled = doc_shingles(docs, text_col, id_col, token_hash)
     cands = lsh_candidates(band_rows(shingled), max_bucket)
     return jaccard_verify(cands, shingled, threshold)
@@ -281,15 +299,14 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
     against the whole corpus at scale.  Dropped shingles still count in
     qn/cn, so reported Jaccard becomes a conservative lower bound (a pair
     overlapping ONLY on boilerplate stops matching — usually the point)."""
-    # explode-of-one barrier (see jaccard_verify): the distinct-shingle set
-    # becomes a real attribute, so the later size() + explode() pair reads it
-    # instead of re-inlining the token->shingle pipeline per reference.
-    q = doc_shingles(query_docs).select(
-        F.col("doc_id").alias("qid"),
-        F.explode(F.array(F.array_distinct("sh"))).alias("qs"))
-    c = doc_shingles(corpus).select(
-        F.col("doc_id").alias("cid"),
-        F.explode(F.array(F.array_distinct("sh"))).alias("cs"))
+    from . import shingle_arrow
+
+    # Arrow-vectorized distinct-shingle sets (integer-identical to the JVM
+    # doc_shingles + array_distinct path; see operators/shingle_arrow.py)
+    q = shingle_arrow.shingle_features(query_docs).select(
+        F.col("doc_id").alias("qid"), F.col("ss").alias("qs"))
+    c = shingle_arrow.shingle_features(corpus).select(
+        F.col("doc_id").alias("cid"), F.col("ss").alias("cs"))
     qx = q.select("qid", F.size("qs").alias("qn"), F.explode("qs").alias("h"))
     cx = c.select("cid", F.size("cs").alias("cn"), F.explode("cs").alias("h"))
     if max_doc_freq is not None:

@@ -1,0 +1,116 @@
+"""Arrow-vectorized portable shingle/minhash features — the fast path for
+the dedup family's token->shingle->minhash pipeline.
+
+The JVM higher-order-function form walks the interpreted expression tree
+per token (~0.3 ms/row measured on 100-token docs); this mapInPandas pass
+computes the SAME integers with numpy: every step is integer arithmetic
+(char hash, Horner shingles, minhash fold, band keys), so equality with the
+JVM/DuckDB path is exact by construction — no floating point anywhere —
+and pytest asserts it on the real corpus.
+
+Applies ONLY to the portable char hash (functions/text.py char_hash); the
+pluggable xxhash64 variant keeps the JVM path.  Assumes ASCII tokens, like
+the portable hash itself (both read the first BYTE of a char; the
+bit-equality test over the corpus guards the assumption).
+
+Output per doc: band keys (BANDS-array, fused minhash) + distinct shingle
+set + its size — everything downstream LSH candidate generation and exact
+Jaccard verification need, in one corpus pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import HASH_P
+from . import dedup as _dedup
+
+FEATURES_SCHEMA = ("doc_id long, bks array<long>, ss array<long>, n int")
+
+
+def _char_hashes(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized functions/text.char_hash over a flat token array:
+    (ascii(first)*31 + ascii(second)*17 + ascii(last)*7 + len*131) % P.
+    Empty tokens hash like Spark's ascii('') = 0 (S-dtype zero padding)."""
+    lens = np.char.str_len(tokens).astype(np.int64)
+    width = max(int(lens.max(initial=1)), 1)
+    mat = tokens.astype(f"S{width}").view(np.uint8).reshape(len(tokens), width)
+    first = mat[:, 0].astype(np.int64)
+    second = (mat[:, 1].astype(np.int64) if width > 1
+              else np.zeros(len(tokens), dtype=np.int64))
+    last = mat[np.arange(len(tokens)), np.maximum(lens - 1, 0)].astype(np.int64)
+    return (first * 31 + second * 17 + last * 7 + lens * 131) % HASH_P
+
+
+def _batch_features(doc_ids: list, texts: list,
+                    ab: np.ndarray) -> dict[str, list]:
+    """Whole-batch flat vectorization: one np.char pass hashes every token
+    in the batch; shingle windows are masked at doc boundaries; per-doc
+    minhash minima come from one `np.minimum.reduceat` over the (shingles x
+    K) matrix — no per-doc numpy calls except the final unique()."""
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    keep = counts >= 3
+    if not keep.any():
+        return {"doc_id": [], "bks": [], "ss": [], "n": []}
+    kept_ids = [d for d, k in zip(doc_ids, keep) if k]
+    kept_toks = [t for t, k in zip(tok_lists, keep) if k]
+    counts = counts[keep]
+
+    flat = np.array([tok for toks in kept_toks for tok in toks])
+    th = _char_hashes(flat)
+
+    # shingle windows, invalid across doc boundaries
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    sh_all = ((th[:-2] * 31 + th[1:-1]) * 31 + th[2:]) % HASH_P
+    mask = doc_idx[:-2] == doc_idx[2:]
+    sh = sh_all[mask]
+
+    # per-doc segment minima of (s*a + b) % P for all K hash fns at once
+    n_sh = counts - 2                      # shingles per kept doc (>= 1)
+    starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    vals = (sh[:, None] * ab[0] + ab[1]) % HASH_P
+    mins = np.minimum.reduceat(vals, starts, axis=0)
+
+    # Horner band keys over BANDS x ROWS_PER_BAND
+    m = mins.reshape(len(counts), _dedup.BANDS, _dedup.ROWS_PER_BAND)
+    keys = np.zeros((len(counts), _dedup.BANDS), dtype=np.int64)
+    for r in range(_dedup.ROWS_PER_BAND):
+        keys = keys * 31 + m[:, :, r]
+
+    ends = np.cumsum(n_sh)
+    ss = [np.unique(sh[s:e]).tolist() for s, e in zip(starts, ends)]
+    return {"doc_id": kept_ids, "bks": keys.tolist(), "ss": ss,
+            "n": [len(x) for x in ss]}
+
+
+def shingle_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bks: BANDS band keys, ss: distinct shingle hashes, n) via one
+    Arrow pass — integer-for-integer equal to
+    band_rows(doc_shingles(...)) + jaccard_verify's set computation.
+    `ss` is SORTED distinct (np.unique) where the JVM path keeps
+    first-occurrence order; set semantics downstream are order-free."""
+    ab = np.array([_dedup._A[:_dedup.K_MINHASH],
+                   _dedup._B[:_dedup.K_MINHASH]], dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(_batch_features(
+                list(pdf[id_col]), list(pdf[text_col]), ab))
+
+    return docs.select(F.col(id_col).alias(id_col), text_col) \
+               .mapInPandas(run, FEATURES_SCHEMA)
+
+
+def band_rows(features: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) from the features table."""
+    return (
+        features.select("doc_id", F.posexplode("bks").alias("band_id", "band_key"))
+        .withColumn("band_id", F.col("band_id").cast("int"))
+    )

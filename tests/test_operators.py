@@ -34,6 +34,28 @@ def test_simhash_near_dups_have_close_fingerprints(spark, docs):
     assert near <= 3
 
 
+def test_arrow_shingle_features_integer_identical_to_jvm(spark, docs):
+    """The numpy shingle/minhash/band pipeline must produce the exact same
+    integers as the JVM expression pipeline — same kept docs, same band
+    keys, same distinct shingle sets (order-insensitive: JVM keeps
+    first-occurrence order, numpy sorts)."""
+    from dbt_demo_spark.operators import shingle_arrow
+
+    jvm_bands = {}
+    for r in dedup.band_rows(dedup.doc_shingles(docs)).collect():
+        jvm_bands.setdefault(r.doc_id, {})[r.band_id] = r.band_key
+    jvm_sets = {r.doc_id: sorted(set(r.sh))
+                for r in dedup.doc_shingles(docs).collect()}
+
+    feats = shingle_arrow.shingle_features(docs).collect()
+    arrow_bands = {r.doc_id: dict(enumerate(r.bks)) for r in feats}
+    arrow_sets = {r.doc_id: list(r.ss) for r in feats}
+
+    assert jvm_bands == arrow_bands
+    assert jvm_sets == arrow_sets
+    assert all(r.n == len(r.ss) for r in feats)
+
+
 def test_lsh_bucket_guard_bounds_degenerate_candidates(spark, docs):
     """A planted degenerate cluster (100 identical docs) explodes the
     unguarded candidate count quadratically; max_bucket drops its buckets
