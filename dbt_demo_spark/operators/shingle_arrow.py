@@ -9,9 +9,11 @@ JVM/DuckDB path is exact by construction — no floating point anywhere —
 and pytest asserts it on the real corpus.
 
 Applies ONLY to the portable char hash (functions/text.py char_hash); the
-pluggable xxhash64 variant keeps the JVM path.  Assumes ASCII tokens, like
-the portable hash itself (both read the first BYTE of a char; the
-bit-equality test over the corpus guards the assumption).
+pluggable xxhash64 variant keeps the JVM path.  Unicode-safe: ``ascii()``
+in both Spark and DuckDB returns the first character's CODEPOINT, and the
+vectorized path reads codepoints via numpy's UCS4 (``U``) dtype, so any
+Unicode corpus hashes identically to the JVM path (bit-equality pytest
+covers an accented/CJK corpus).
 
 Output per doc: band keys (BANDS-array, fused minhash) + distinct shingle
 set + its size — everything downstream LSH candidate generation and exact
@@ -36,10 +38,16 @@ FEATURES_SCHEMA = ("doc_id long, bks array<long>, ss array<long>, n int")
 def _char_hashes(tokens: np.ndarray) -> np.ndarray:
     """Vectorized functions/text.char_hash over a flat token array:
     (ascii(first)*31 + ascii(second)*17 + ascii(last)*7 + len*131) % P.
-    Empty tokens hash like Spark's ascii('') = 0 (S-dtype zero padding)."""
+
+    Spark's and DuckDB's ``ascii()`` both return the Unicode CODEPOINT of
+    the first character (not a byte), so the token matrix uses numpy's
+    ``U`` dtype (UCS4) viewed as uint32 — codepoint-exact for any Unicode
+    input, where the previous ``S`` (bytes) dtype raised UnicodeEncodeError
+    on the first non-ASCII token.  Empty tokens hash like ascii('') = 0
+    (U-dtype zero padding)."""
     lens = np.char.str_len(tokens).astype(np.int64)
     width = max(int(lens.max(initial=1)), 1)
-    mat = tokens.astype(f"S{width}").view(np.uint8).reshape(len(tokens), width)
+    mat = tokens.astype(f"U{width}").view(np.uint32).reshape(len(tokens), width)
     first = mat[:, 0].astype(np.int64)
     second = (mat[:, 1].astype(np.int64) if width > 1
               else np.zeros(len(tokens), dtype=np.int64))

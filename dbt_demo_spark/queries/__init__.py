@@ -10,10 +10,15 @@ read this one registry.
 from .catalog import CATALOG, QuerySpec, query, get_queries, get_oracles
 
 # Importing these modules populates CATALOG via the @query decorator.
+# Registration order matters: the driver's CORRECTNESS gate records at most
+# 50 queries in catalog order (round 2 shipped 53 and the last 3 — the
+# window suite — were silently unchecked).  windows registers BEFORE
+# llm_pipeline so the window/events surface always lands inside the checked
+# window even if future rounds grow the tail.
 from . import reference_surface  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
-from . import llm_pipeline  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import llm_pipeline  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query", "get_queries", "get_oracles"]

@@ -56,6 +56,33 @@ def test_arrow_shingle_features_integer_identical_to_jvm(spark, docs):
     assert all(r.n == len(r.ss) for r in feats)
 
 
+def test_arrow_shingle_features_unicode_identical_to_jvm(spark):
+    """Non-ASCII corpora must not crash the Arrow path (ADVICE r2: the S-dtype
+    matrix raised UnicodeEncodeError) and must hash codepoint-identically to
+    the JVM ascii() semantics — accented Latin, CJK, Cyrillic, emoji."""
+    from dbt_demo_spark.operators import shingle_arrow
+
+    rows = [
+        (1, "café au lait était très bon aujourd'hui à paris"),
+        (2, "café au lait était très bon aujourd'hui à lyon"),
+        (3, "日本語 の 文書 は 三つ の 単語 が 必要"),
+        (4, "привет мир это тест русского текста здесь"),
+        (5, "mixed ascii and émojis 🚀 rocket ship launch"),
+        (6, "plain ascii control row stays byte identical forever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jvm_bands = {}
+    for r in dedup.band_rows(dedup.doc_shingles(docs)).collect():
+        jvm_bands.setdefault(r.doc_id, {})[r.band_id] = r.band_key
+    jvm_sets = {r.doc_id: sorted(set(r.sh))
+                for r in dedup.doc_shingles(docs).collect()}
+
+    feats = shingle_arrow.shingle_features(docs).collect()
+    assert {r.doc_id: dict(enumerate(r.bks)) for r in feats} == jvm_bands
+    assert {r.doc_id: list(r.ss) for r in feats} == jvm_sets
+
+
 def test_lsh_bucket_guard_bounds_degenerate_candidates(spark, docs):
     """A planted degenerate cluster (100 identical docs) explodes the
     unguarded candidate count quadratically; max_bucket drops its buckets
