@@ -39,12 +39,20 @@ class DataTestResult:
 
 def unique(relation: str, columns: Sequence[str]) -> DataTest:
     """dbt `unique` (multi-column = grain uniqueness): violating rows are the
-    key groups appearing more than once.  One shuffle on the key."""
+    key groups appearing more than once.  One shuffle on the key.
+
+    Rows with a NULL in any key column are excluded BEFORE grouping — dbt's
+    generic unique test compiles `where column is not null` ahead of the
+    group-by (NULL-ness is not_null's job), so two NULL-keyed rows are not
+    a uniqueness violation."""
     cols = list(columns)
 
     def fn(rel: dict[str, DataFrame]) -> DataFrame:
+        non_null = functools.reduce(
+            operator.and_, [F.col(c).isNotNull() for c in cols])
         return (
-            rel[relation].groupBy(*cols)
+            rel[relation].filter(non_null)
+            .groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .filter(F.col("n_rows") > 1)
         )

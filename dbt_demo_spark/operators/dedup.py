@@ -240,7 +240,16 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     if token_hash is token_hashes:
         from . import shingle_arrow
 
-        feats = shingle_arrow.shingle_features(docs, text_col, id_col)
+        # The feature table feeds FIVE plan branches (bucket-guard agg, both
+        # sides of the band self-join, both sides of the Jaccard verify);
+        # without a shuffle barrier each branch re-runs the Arrow corpus
+        # pass (only exchanges are reused, not arbitrary subtrees).  The
+        # explicit repartition(doc_id) makes every branch hang off ONE
+        # identical exchange, so the corpus is scanned and featurized once
+        # and the shuffle output is re-read (ReuseExchange; measured 2x at
+        # sf0.1, and at 100 TB it converts N corpus scans into one).
+        feats = (shingle_arrow.shingle_features(docs, text_col, id_col)
+                 .repartition("doc_id"))
         cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
         return jaccard_verify_sets(cands, feats.select("doc_id", "ss", "n"),
                                    threshold)
@@ -318,8 +327,11 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
         cx = cx.join(hot, "h", "left_anti")
     return (
         # query side is small by contract (incremental ingest batch):
-        # broadcast it so the exploded corpus never shuffles
-        cx.join(qx, "h")
+        # broadcast it so the exploded corpus never shuffles.  The hint is
+        # explicit — join-call order alone does not pick the build side, and
+        # at 100 TB relying on AQE auto-broadcast would let an oversized
+        # ingest batch silently shuffle the exploded corpus.
+        cx.join(F.broadcast(qx), "h")
         .filter(F.col("qid") != F.col("cid"))
         .groupBy("qid", "cid", "qn", "cn")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -77,6 +77,11 @@ def test_generic_tests_catch_seeded_violations(spark, relations):
 
     assert not run_data_tests([unique("fct_dup", ["loan_id"])], rel)[0].passed
     assert run_data_tests([unique("fct_loan_details", ["loan_id"])], rel)[0].passed
+    # dbt's unique test filters `where column is not null` before grouping:
+    # two NULL-keyed rows are NOT a uniqueness violation (ADVICE r2)
+    rel["fct_null_keys"] = clean.unionByName(
+        clean.limit(2).withColumn("loan_id", F.lit(None).cast("string")))
+    assert run_data_tests([unique("fct_null_keys", ["loan_id"])], rel)[0].passed
     assert not run_data_tests(
         [not_null("fct_nulled", ["customer_id"])], rel)[0].passed
     assert not run_data_tests(

@@ -69,6 +69,17 @@ def test_partitioned_mart_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_ngram_jaccard_query_side_broadcasts(spark):
+    """The inverted-index join must build on the (small-by-contract) query
+    side via an explicit broadcast hint — ADVICE r2: the comment promised a
+    broadcast the code didn't request, leaving the exploded corpus free to
+    shuffle whenever auto-broadcast declines."""
+    plan = _plan(spark, "dedup_ngram_jaccard_guarded")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # exploded corpus must never shuffle-join
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_no_accidental_caching(spark):
     """No catalog query may depend on InMemoryRelation state — results must
     be reproducible from the scans alone."""
