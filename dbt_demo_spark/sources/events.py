@@ -11,12 +11,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+_SCANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SCANS.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # integer DIV, not float division: epoch-nanos (~1.7e18) exceed double's
     # 53-bit integer range, so a float path would corrupt microseconds.
     # NTZ keeps the wall-clock semantics of the source (and of DuckDB's
     # TIMESTAMP), independent of any session timezone.
-    return ev.withColumn(
+    out = ev.withColumn(
         "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    _SCANS[key] = out
+    return out

@@ -19,9 +19,23 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Scan-DataFrame memo: `spark.read.parquet` re-lists the path and re-reads
+# the parquet footer on EVERY call (~0.1s driver-side), so a 50-query
+# catalog pass pays seconds of pure constant re-deriving identical scan
+# plans over the same immutable test tables.  DataFrames are immutable plan
+# handles, so reusing one across queries is safe; keyed by applicationId so
+# a restarted session never sees a handle from a dead JVM.  At 100 TB the
+# same memo is simply "analyze each source once per session".
+_SCANS: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SCANS.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCANS[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
