@@ -13,21 +13,30 @@ Scale posture:
     corpus size);
   * assignment is one broadcast of k centroids + a map-side argmin — no
     shuffle;
-  * at 100 TB the assigned corpus is written partitioned by cluster_id, so
-    a query reads nprobe partitions (partition pruning), exactly like the
-    LSH bucket layout;
-  * probing joins on cluster_id — candidate set ~ corpus * nprobe / k.
+  * the index is a MATERIALIZATION, not a per-query computation:
+    ``build_index`` trains once and writes the assigned corpus partitioned
+    by cluster_id (plus a centroids table) — indexes follow the same
+    train-once / read-many lifecycle as the runner's partitioned marts
+    (reference analog: the mart materialization policy,
+    dbt_project.yml:21-22);
+  * ``ivf_topk_indexed`` reads the persisted layout: the probe join on
+    cluster_id triggers dynamic partition pruning, so a query batch reads
+    only its probed partitions — candidate set ~ corpus * nprobe / k.
 """
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.vectors import as_double, dot, norm
 
 DEFAULT_K = 16
 DEFAULT_NPROBE = 2
+DEFAULT_TRAIN_SAMPLE = 0.25
 
 
 def _centroid_array(model) -> list[list[float]]:
@@ -74,6 +83,87 @@ def assign_clusters(vectors: DataFrame, centroids: list[list[float]],
         .drop("dist", "_rk")
     )
     return ranked
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """Handle to a persisted IVF-Flat index: ``<path>/corpus`` is the
+    assigned corpus parquet partitioned by cluster_id, ``<path>/centroids``
+    the k centroid vectors."""
+    path: str
+    centroids: tuple[tuple[float, ...], ...]
+
+    @property
+    def corpus_path(self) -> str:
+        return os.path.join(self.path, "corpus")
+
+    @property
+    def centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+
+def build_index(corpus: DataFrame, path: str, n_clusters: int = DEFAULT_K,
+                seed: int = 7, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                sample: float | None = DEFAULT_TRAIN_SAMPLE,
+                model=None) -> IvfIndex:
+    """Train-once / persist: fit the quantizer on a corpus SAMPLE (the
+    100 TB path — k-means cost stays independent of corpus size), assign
+    every corpus vector map-side, and write the assigned corpus partitioned
+    by cluster_id so probes prune partitions at read time.  Pass ``model``
+    to reuse an already-fitted quantizer."""
+    spark = corpus.sparkSession
+    model = model or train_quantizer(corpus, k=n_clusters, seed=seed,
+                                     vec_col=vec_col, sample=sample)
+    cents = _centroid_array(model)
+    assigned = assign_clusters(corpus, cents, id_col, vec_col,
+                               "neighbor_id", nprobe=1)
+    (assigned.write.mode("overwrite").partitionBy("cluster_id")
+     .parquet(os.path.join(path, "corpus")))
+    (spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster_id int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "centroids")))
+    return IvfIndex(path, tuple(tuple(c) for c in cents))
+
+
+def load_index(spark: SparkSession, path: str) -> IvfIndex:
+    rows = (spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("cluster_id").collect())
+    return IvfIndex(path, tuple(tuple(r.centroid) for r in rows))
+
+
+def ivf_topk_indexed(queries: DataFrame, index: IvfIndex, k: int = 5,
+                     nprobe: int = DEFAULT_NPROBE, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k against a PERSISTED index: queries are
+    assigned to their nprobe nearest centroids map-side (centroids ride in
+    the plan as literals), then joined against the partitioned corpus on
+    cluster_id — the join side is small, so Spark plans a broadcast join
+    and dynamic partition pruning restricts the corpus scan to the probed
+    cluster_id partitions (asserted in tests/test_plan_quality.py)."""
+    spark = queries.sparkSession
+    c = (spark.read.parquet(index.corpus_path)
+         .withColumnsRenamed({"vec": "cv", "nrm": "cn"}))
+    q = assign_clusters(queries, [list(c_) for c_ in index.centroids],
+                        id_col, vec_col, "query_id", nprobe=nprobe)
+    scored = (
+        q.withColumnsRenamed({"vec": "qv", "nrm": "qn"})
+        .join(c, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("qv"), F.col("cv"))
+                 / (F.col("qn") * F.col("cn"))).alias("score"))
+        .distinct()  # a pair can collide through multiple probed clusters
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -52,7 +52,12 @@ def _first_seen(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
 def streaming_first_seen(events: DataFrame) -> DataFrame:
     """First event per (user_id, event_type) with duplicate suppression —
     state persists across micro-batches; output mode `update` re-emits a
-    key's row only when its count changes."""
+    key's row only when its count changes.
+
+    State is UNBOUNDED (NoTimeout): correct for a finite backlog replay or
+    a key space that genuinely never expires, but on an endless stream use
+    ``streaming_first_seen_ttl`` — the event-time-TTL variant that drops a
+    key's state once the watermark passes its last event + TTL."""
     return (
         events.groupBy("user_id", "event_type")
         .applyInPandasWithState(
@@ -62,4 +67,84 @@ def streaming_first_seen(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def _first_seen_ttl_fn(ttl_ms: int):
+    """Handler factory: first-seen dedup whose per-key state expires
+    ``ttl_ms`` of EVENT TIME after the key's latest event.  When the
+    watermark passes that point Spark invokes the handler with
+    ``hasTimedOut`` and no data; the state is dropped, so a later event
+    for the key re-emits as a fresh "first" — bounded state on an endless
+    stream, at the cost of re-admitting duplicates separated by more than
+    the TTL (the standard windowed-dedup contract)."""
+
+    def handler(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            first_event_id, first_ts, n_seen = state.get
+        else:
+            first_event_id = int(rows.iloc[0]["event_id"])
+            first_ts, n_seen = rows.iloc[0]["ts"], 0
+        n_seen += len(rows)
+        state.update((first_event_id, first_ts, n_seen))
+        # TTL anchored on the key's LATEST event: a hot key stays deduped,
+        # a silent key expires once the watermark passes last_ts + ttl
+        last_ts = rows["ts"].max()
+        state.setTimeoutTimestamp(
+            int(last_ts.timestamp() * 1000) + ttl_ms)
+        user_id, event_type = key
+        yield pd.DataFrame({
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "first_event_id": [first_event_id],
+            "first_ts": [first_ts],
+            "n_dupes_suppressed": [n_seen - 1],
+        })
+
+    return handler
+
+
+def streaming_first_seen_ttl(events: DataFrame, ttl: str = "1 hour",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """TTL-bounded first-seen dedup: like ``streaming_first_seen`` but per-
+    key state is dropped once the watermark passes the key's last event +
+    ``ttl`` (GroupStateTimeout.EventTimeTimeout) — the handler's timeout
+    branch removes the state, and an expired key's next event re-emits as a
+    fresh first.  State size is bounded by the keys active within one TTL
+    window instead of the lifetime key space."""
+    n, unit = ttl.split()
+    ttl_ms = int(n) * {"second": 1_000, "seconds": 1_000,
+                       "minute": 60_000, "minutes": 60_000,
+                       "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _first_seen_ttl_fn(ttl_ms),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_dedup_within_watermark(events: DataFrame,
+                                     delay: str = "10 minutes") -> DataFrame:
+    """Built-in twin of the TTL dedup: ``dropDuplicatesWithinWatermark``
+    emits the first row per key and suppresses duplicates arriving within
+    the watermark delay of each other; the engine evicts a key's state once
+    the watermark passes, so — exactly like the TTL variant — a duplicate
+    separated by more than the delay re-emits.  Use this when "first row,
+    bounded memory" is all that's needed; the applyInPandasWithState
+    variant additionally carries bookkeeping (suppressed counts, first-seen
+    metadata) no built-in operator tracks."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )

@@ -4,6 +4,8 @@ locality, Pandas-UDF batch plumbing, streaming-vs-batch equivalence)."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -219,6 +221,35 @@ def test_ivf_topk_scores_exact_and_recall(spark):
     assert len(pairs) == len(set(pairs))  # probe-collisions deduped
 
 
+def test_ivf_persisted_index_matches_inline_and_prunes(spark, tmp_path):
+    """The persisted-index path (train once, corpus written partitioned by
+    cluster_id, probes read via dynamic partition pruning) must return
+    exactly the in-line path's top-k given the same quantizer, and its
+    corpus scan must carry a dynamicpruning PartitionFilter on cluster_id
+    (VERDICT r2 item 4: indexes are materializations)."""
+    from dbt_demo_spark.operators import ivf
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id % 100 = 0")
+    model = ivf.train_quantizer(emb, k=8, seed=7)
+    idx = ivf.build_index(emb, str(tmp_path / "ivf"), n_clusters=8, model=model)
+    inline = {(r.query_id, r.neighbor_id): (r.rank, r.score)
+              for r in ivf.ivf_topk(q, emb, k=5, n_clusters=8, nprobe=2,
+                                    model=model).collect()}
+    out_df = ivf.ivf_topk_indexed(q, idx, k=5, nprobe=2)
+    indexed = {(r.query_id, r.neighbor_id): (r.rank, r.score)
+               for r in out_df.collect()}
+    assert indexed == inline
+
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "probe join must drive partition pruning"
+    assert "PartitionFilters" in plan
+
+    # the index round-trips through load_index
+    reloaded = ivf.load_index(spark, str(tmp_path / "ivf"))
+    assert reloaded.centroids == idx.centroids
+
+
 def test_embedding_near_dups_recovers_planted_duplicates(spark):
     """Planted exact-duplicate and scaled-duplicate embeddings (cosine 1.0)
     must be recovered through the multi-probe LSH self-join; unrelated
@@ -396,6 +427,105 @@ def test_streaming_first_seen_dedup_matches_batch(spark, tmp_path):
             .select("user_id", "event_type", F.col("f.event_id").alias("event_id"), "n")
             .collect()}
     assert got == want
+
+
+def _write_event_file(path, rows, mtime):
+    """One micro-batch worth of events as a parquet file matching
+    EVENTS_RAW_SCHEMA (ts = int64 epoch-NANOS, like the driver's events
+    table); mtime ordering fixes the file-source batch order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    event_ids, minutes, user_ids, event_types = zip(*rows)
+    base_ns = 1_672_531_200_000_000_000  # 2023-01-01T00:00:00Z
+    tbl = pa.table({
+        "event_id": pa.array(event_ids, pa.int64()),
+        "ts": pa.array([base_ns + m * 60_000_000_000 for m in minutes],
+                       pa.int64()),
+        "user_id": pa.array(user_ids, pa.int64()),
+        "event_type": pa.array(event_types, pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(path))
+    os.utime(path, (mtime, mtime))
+
+
+def test_streaming_first_seen_ttl_expires_and_readmits(spark, tmp_path):
+    """Event-time TTL (15 min) on the first-seen state: after the watermark
+    (10 min) passes a silent key's last event + TTL, its state is removed —
+    so the key's NEXT event re-emits as a fresh first with a new
+    first_event_id, while duplicates inside the TTL stay suppressed."""
+    from dbt_demo_spark.streaming import (read_event_stream,
+                                          streaming_first_seen_ttl)
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    now = 1_700_000_000
+    # batch 1: key A first seen at t=0 (+ an in-batch duplicate at t=1)
+    _write_event_file(d / "b1.parquet",
+                      [(1, 0, 1, "click"), (2, 1, 1, "click")], now)
+    # batch 2: other key at t=30 -> watermark advances to 20 > A timeout 16
+    _write_event_file(d / "b2.parquet", [(3, 30, 2, "click")], now + 10)
+    # batch 3: other key at t=40; A's timeout fires this batch (state gone)
+    _write_event_file(d / "b3.parquet", [(4, 40, 3, "click")], now + 20)
+    # batch 4: A returns at t=45 -> must re-emit as a FRESH first
+    _write_event_file(d / "b4.parquet", [(5, 45, 1, "click")], now + 30)
+
+    stream = streaming_first_seen_ttl(read_event_stream(spark, str(d)),
+                                      ttl="15 minutes",
+                                      watermark="10 minutes")
+    q = (stream.writeStream.format("memory").queryName("fs_ttl")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    a_rows = [r for r in spark.sql(
+        "SELECT * FROM fs_ttl ORDER BY first_ts").collect()
+        if r.user_id == 1]
+    firsts = [r.first_event_id for r in a_rows]
+    assert 1 in firsts, "pre-expiry emission keeps the original first"
+    assert 5 in firsts, "post-expiry event must re-emit as a fresh first"
+    pre = [r for r in a_rows if r.first_event_id == 1]
+    assert max(r.n_dupes_suppressed for r in pre) == 1  # in-TTL dup suppressed
+    post = [r for r in a_rows if r.first_event_id == 5]
+    assert all(r.n_dupes_suppressed == 0 for r in post)
+
+
+def test_streaming_dedup_within_watermark_readmits_after_eviction(
+        spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin: duplicates within the delay are
+    suppressed; once the watermark evicts the key's state, the same key
+    re-emits — the built-in bounded-state dedup contract."""
+    from dbt_demo_spark.streaming import (read_event_stream,
+                                          streaming_dedup_within_watermark)
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    now = 1_700_000_000
+    _write_event_file(d / "b1.parquet",
+                      [(1, 0, 1, "click"), (2, 1, 1, "click")], now)
+    _write_event_file(d / "b2.parquet", [(3, 30, 2, "click")], now + 10)
+    # spacer batch: state eviction runs at batch END with the watermark
+    # derived from PRIOR batches, so the key needs one batch between the
+    # watermark passing its expiry and its re-arrival
+    _write_event_file(d / "b3.parquet", [(4, 40, 3, "click")], now + 20)
+    _write_event_file(d / "b4.parquet", [(5, 45, 1, "click")], now + 30)
+
+    stream = streaming_dedup_within_watermark(
+        read_event_stream(spark, str(d)), delay="10 minutes")
+    q = (stream.writeStream.format("memory").queryName("ddww")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ddww"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(r.event_id for r in spark.sql(
+        "SELECT * FROM ddww").collect() if r.user_id == 1)
+    # event 1 emits, its in-delay duplicate (2) is suppressed, and event 5
+    # re-emits because the watermark passed event 1 + delay (state evicted)
+    assert got == [1, 5]
 
 
 def test_streaming_rollup_matches_batch(spark, tmp_path):
