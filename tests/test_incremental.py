@@ -81,3 +81,80 @@ def test_partitioned_read_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "month" in plan
     # the filter reaches the scan as a partition filter, not a data filter
     assert pruned.count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# Snapshot (SCD2) materialization
+# ---------------------------------------------------------------------------
+
+def _loans(spark, rows):
+    return spark.createDataFrame(
+        rows, "loan_id string, amount long, status string, updated_at string")
+
+
+def test_snapshot_timestamp_strategy_two_run_change_capture(spark, tmp_path):
+    """dbt snapshot contract, timestamp strategy: run 2 closes the changed
+    key's old version (dbt_valid_to = new updated_at), inserts the new
+    version, carries unchanged keys, and adds brand-new keys; run 3 with
+    identical source is a no-op."""
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    sdef = SnapshotDef("loans_snapshot", unique_key="loan_id",
+                       strategy="timestamp", updated_at="updated_at")
+
+    sr.run(sdef, _loans(spark, [("L1", 100, "active", "2023-01-01 00:00:00"),
+                                ("L2", 200, "active", "2023-01-01 00:00:00")]))
+    run2_src = _loans(spark, [("L1", 150, "active", "2023-02-01 00:00:00"),
+                              ("L2", 200, "active", "2023-01-01 00:00:00"),
+                              ("L3", 300, "active", "2023-02-01 00:00:00")])
+    snap = sr.run(sdef, run2_src)
+
+    rows = {(r.loan_id, str(r.dbt_valid_from)): r for r in snap.collect()}
+    assert len(rows) == 4
+    closed = rows[("L1", "2023-01-01 00:00:00")]
+    assert str(closed.dbt_valid_to) == "2023-02-01 00:00:00"
+    assert closed.dbt_is_current == 0 and closed.amount == 100
+    v2 = rows[("L1", "2023-02-01 00:00:00")]
+    assert v2.dbt_valid_to is None and v2.dbt_is_current == 1 and v2.amount == 150
+    assert rows[("L2", "2023-01-01 00:00:00")].dbt_is_current == 1
+    assert rows[("L3", "2023-02-01 00:00:00")].dbt_is_current == 1
+
+    # idempotent re-run: same source, no new versions
+    again = sr.run(sdef, run2_src)
+    assert again.count() == 4
+    assert sr.current("loans_snapshot").count() == 3
+
+    # scd ids are unique per (key, version); `again` is the post-run-3
+    # handle (snap's files were replaced by the idempotent re-run)
+    assert again.select("dbt_scd_id").distinct().count() == 4
+
+
+def test_snapshot_check_strategy_closes_on_value_change(spark, tmp_path):
+    """check strategy: a differing check_col closes the old version at the
+    run's as_of time; non-check columns changing alone do not version."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    sdef = SnapshotDef("status_snapshot", unique_key="loan_id",
+                       strategy="check", check_cols=("status",))
+
+    t1, t2 = F.lit("2023-01-01 00:00:00"), F.lit("2023-03-15 00:00:00")
+    sr.run(sdef, _loans(spark, [("L1", 100, "active", "x"),
+                                ("L2", 200, "active", "x")]), as_of=t1)
+    snap = sr.run(sdef, _loans(spark, [("L1", 999, "active", "x"),
+                                       ("L2", 200, "paid_off", "x")]),
+                  as_of=t2)
+
+    rows = {(r.loan_id, r.dbt_is_current): r for r in snap.collect()}
+    assert len(rows) == 3
+    # L1: amount (non-check) changed -> NOT versioned, original row stays
+    assert rows[("L1", 1)].amount == 100
+    assert ("L1", 0) not in rows
+    # L2: status (check col) changed -> closed at as_of, new current version
+    assert str(rows[("L2", 0)].dbt_valid_to) == "2023-03-15 00:00:00"
+    assert rows[("L2", 0)].status == "active"
+    assert rows[("L2", 1)].status == "paid_off"
+    assert str(rows[("L2", 1)].dbt_valid_from) == "2023-03-15 00:00:00"
