@@ -23,6 +23,7 @@ from ..core.datatests import (DataTest, accepted_values, not_null,
                               relationships, unique)
 from ..core.model import ModelRegistry
 from ..core.runner import Runner
+from ..core.snapshot import SnapshotDef
 from .seeds import load_seed_dataframes
 
 REGISTRY = ModelRegistry()
@@ -204,6 +205,30 @@ def _grain_violations(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("row_count"))
         .filter(F.col("row_count") > 1)
     )
+
+
+# Snapshot declarations — the project's snapshots/ dir analog (reference
+# configures the path at dbt_project.yml:7 but ships none; this completes
+# the surface).  stg_loans is the natural snapshot target: loan terms
+# mutate in place upstream, and the SCD2 history preserves what each loan
+# looked like when each month's mart was built.
+FICTION_BANK_SNAPSHOTS = [
+    SnapshotDef("loans_snapshot", unique_key="loan_id", strategy="check",
+                check_cols=("loan_amount", "loan_term_months", "property_value")),
+]
+
+
+def snapshot_grain_tests(name: str = "loans_snapshot") -> list[DataTest]:
+    """Data tests every SCD2 table must satisfy: version grain is unique
+    and each key has exactly one current row."""
+    return [
+        unique(name, ["loan_id", "dbt_valid_from"]),
+        DataTest(f"single_current__{name}",
+                 lambda rel: (rel[name].filter(F.col("dbt_is_current") == 1)
+                              .groupBy("loan_id")
+                              .agg(F.count(F.lit(1)).alias("n_current"))
+                              .filter(F.col("n_current") != 1))),
+    ]
 
 
 FICTION_BANK_TESTS = [

@@ -92,6 +92,39 @@ def test_generic_tests_catch_seeded_violations(spark, relations):
         rel)[0].passed
 
 
+def test_fiction_bank_snapshot_end_to_end(spark, relations, tmp_path):
+    """dbt snapshot over stg_loans: run 1 seeds the SCD2 table, a loan
+    amount mutates upstream, run 2 versions exactly that loan; the SCD2
+    grain data tests pass on the result."""
+    from dbt_demo_spark.core.datatests import run_data_tests
+    from dbt_demo_spark.core.snapshot import SnapshotRunner
+    from dbt_demo_spark.models.fiction_bank import (FICTION_BANK_SNAPSHOTS,
+                                                    snapshot_grain_tests)
+
+    sdef = FICTION_BANK_SNAPSHOTS[0]
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    t1, t2 = F.lit("2023-06-01 00:00:00"), F.lit("2023-07-01 00:00:00")
+
+    loans = relations["stg_loans"]
+    sr.run(sdef, loans, as_of=t1)
+    mutated = loans.withColumn(
+        "loan_amount",
+        F.when(F.col("loan_id") == "L001", F.col("loan_amount") + 50000)
+         .otherwise(F.col("loan_amount")))
+    snap = sr.run(sdef, mutated, as_of=t2)
+
+    n_loans = loans.count()
+    assert snap.count() == n_loans + 1          # one closed version added
+    l1 = {r.dbt_is_current: r for r in
+          snap.filter("loan_id = 'L001'").collect()}
+    assert str(l1[0].dbt_valid_to) == "2023-07-01 00:00:00"
+    assert l1[1].loan_amount == l1[0].loan_amount + 50000
+
+    results = run_data_tests(snapshot_grain_tests(), {"loans_snapshot": snap})
+    assert all(r.passed for r in results), [r.name for r in results
+                                            if not r.passed]
+
+
 def test_feb_2023_fanout_shape(relations):
     """docs/bug-analysis.md:84-98: in the buggy model each (month, type) row
     is multiplied by the number of loans of that type; in the fixed model
