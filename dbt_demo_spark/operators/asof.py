@@ -1,0 +1,112 @@
+"""As-of join and range join — time-series operators the DataFrame API has
+no primitive for, expressed as shuffle-efficient compositions.
+
+The reference engine surface has neither (it is a 4-model dbt demo), but
+any engine claiming its query surface at 100 TB needs both: as-of joins
+attach the latest-prior reference row (price at trade time, last login
+before an event), range joins attach interval containment (point-in-
+session, IP-in-CIDR-range).  Both are verified differentially against
+DuckDB (ASOF JOIN is native there; range join is a plain inequality join)
+in tests/test_operators.py.
+
+Scale shapes:
+  * ``asof_join``: the union-and-window-fill form — ONE shuffle on the
+    join key, no row-at-a-time logic, no point-vs-point self-join.  Left
+    and right rows are unioned on (key, ts); a per-key running
+    ``last(right_payload, ignorenulls)`` ordered by (ts, side) fills each
+    left row with the most recent right row at-or-before it.  State per
+    key is one struct — Spark's window translates this to a single sort
+    within each key partition.
+  * ``range_join``: a naive interval join is a non-equi join — Catalyst
+    can only plan it as a (broadcast) nested loop.  Bucketizing intervals
+    onto a fixed grid turns it into an EQUI join on (key, bucket) plus a
+    residual bounds filter: intervals explode into ceil(len/width)+1
+    grid cells, points map to exactly one cell, and the shuffle
+    distributes on (key, bucket) — the standard distributed range-join
+    decomposition.  ``bucket_width`` trades fan-out (shorter = more
+    duplicate interval rows) against filter selectivity (longer = more
+    false candidates); set it near the median interval length.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              tolerance: Column | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """Backward as-of LEFT join: every left row gains the right row with
+    the greatest ``right_ts`` <= its ``left_ts`` within the same ``on``
+    key (NULLs when no prior right row exists).  ``tolerance`` (an
+    INTERVAL column/literal) discards matches older than
+    ``left_ts - tolerance``, mirroring pandas ``merge_asof``.
+
+    Right-side ties on (key, ts) must be pre-aggregated by the caller —
+    the operator keeps the last row it sees, which is only deterministic
+    if (on, right_ts) is unique (same contract as DuckDB ASOF JOIN).
+    """
+    rpay = [c for c in right.columns if c != on]
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            right.select(F.struct(*rpay).alias("s")).schema["s"].dataType
+        ).alias("_rpay"),
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.struct(*rpay).alias("_rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on],
+    ).select(*l.columns)  # align column order for the union
+
+    # right rows (_side 0) sort BEFORE left rows at equal ts -> "<=" match
+    w = (Window.partitionBy(on).orderBy("_ats", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (l.unionByName(r)
+              .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+              .filter(F.col("_side") == 1))
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "_match",
+            F.when(F.col(f"_match.{right_ts}")
+                   >= F.col(left_ts) - tolerance, F.col("_match")))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_match.{c}").alias(c + suffix if c in left.columns else c)
+        for c in rpay]
+    return filled.select(*out_cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: str,
+               point_col: str, start_col: str, end_col: str,
+               bucket_width: int) -> DataFrame:
+    """Inner point-in-interval join (start <= point < end, same ``on``
+    key) as an equi join: intervals are exploded onto a grid of
+    ``bucket_width`` cells (``sequence(floor(start/w), floor(end/w))``),
+    points map to their single cell, and the residual bounds filter runs
+    after the (key, bucket) hash join.  Grid units are those of the
+    columns (cast timestamps to epoch seconds/micros first).
+
+    Every output column keeps its input name; the caller projects.
+    """
+    b = F.lit(bucket_width).cast("long")
+    ix = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            (F.col(start_col).cast("long") / b).cast("long"),
+            (F.col(end_col).cast("long") / b).cast("long"))))
+    px = points.withColumn(
+        "_bucket", (F.col(point_col).cast("long") / b).cast("long"))
+    return (
+        px.join(ix, [on, "_bucket"])
+        .filter((F.col(point_col) >= F.col(start_col))
+                & (F.col(point_col) < F.col(end_col)))
+        .drop("_bucket")
+    )

@@ -556,3 +556,102 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
                        .agg(F.count(F.lit(1)).alias("n_events"),
                             F.sum("value").alias("total_value")).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# As-of join / range join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Backward as-of join (latest prior 'view' per 'purchase', per user)
+    must match DuckDB's native ASOF LEFT JOIN row-for-row."""
+    from dbt_demo_spark.operators import asof
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.testing import compare, duckdb_connection
+
+    ev = load_events(spark, SF_SMOKE)
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .select("user_id", "event_id", "ts"))
+    views = (ev.filter("event_type = 'view'")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))  # unique (key, ts)
+    out = (asof.asof_join(purchases, views, on="user_id")
+           .select("event_id", F.col("view_id").alias("anchor_id")))
+
+    con = duckdb_connection(SF_SMOKE)
+    res = compare("asof_join", out, con, """
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           CAST(ts AS TIMESTAMP) AS ts FROM events),
+        p AS (SELECT user_id, event_id, ts FROM ev
+              WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM ev
+              WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT p.event_id, v.view_id AS anchor_id
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """)
+    assert res.ok, res.detail
+
+
+def test_asof_join_tolerance_and_plan(spark):
+    """Tolerance bounds the lookback like pandas merge_asof; the plan is
+    one key-partitioned window over a union — no join node at all."""
+    from dbt_demo_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 199, "b"), (2, 10, "c")],
+        "k long, ts long, tag string")
+    out = asof.asof_join(left, right, on="k", tolerance=F.lit(20))
+    got = {(r.k, r.ts): r.tag for r in out.collect()}
+    assert got == {(1, 100): "a",     # 90 within 100-20
+                   (1, 200): "b",     # 199 within 200-20
+                   (2, 50): None}     # 10 older than 50-20 -> masked
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one key shuffle (+AQE read)
+
+
+def test_range_join_matches_duckdb_and_plans_equi(spark):
+    """Bucketized point-in-interval join (clicks inside the hour after a
+    signup, per user) must match DuckDB's inequality join and must plan as
+    an EQUI hash join on (key, bucket) — never a nested loop."""
+    from dbt_demo_spark.operators import asof
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.testing import compare, duckdb_connection
+
+    ev = load_events(spark, SF_SMOKE)
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    points = (base.filter("event_type = 'click'")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("us").alias("p")))
+    iv = (base.filter("event_type = 'signup'")
+          .select("user_id", F.col("event_id").alias("signup_id"),
+                  F.col("us").alias("s"),
+                  (F.col("us") + 3_600_000_000).alias("e")))
+    out = (asof.range_join(points, iv, on="user_id", point_col="p",
+                           start_col="s", end_col="e",
+                           bucket_width=600_000_000)
+           .select("click_id", "signup_id"))
+
+    con = duckdb_connection(SF_SMOKE)
+    res = compare("range_join", out, con, """
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events),
+        p AS (SELECT user_id, event_id AS click_id, us AS pt FROM ev
+              WHERE event_type = 'click'),
+        iv AS (SELECT user_id, event_id AS signup_id, us AS s,
+                      us + 3600000000 AS e FROM ev
+               WHERE event_type = 'signup')
+        SELECT click_id, signup_id
+        FROM p JOIN iv ON p.user_id = iv.user_id
+                      AND p.pt >= iv.s AND p.pt < iv.e
+    """)
+    assert res.ok, res.detail
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
