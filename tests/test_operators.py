@@ -655,3 +655,92 @@ def test_range_join_matches_duckdb_and_plans_equi(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_sessionization_matches_unsalted(spark):
+    """Time-range-salted sessionization (events shuffled on (user, bucket),
+    local islands, interval-level merge) must produce EXACTLY the plain
+    one-shuffle-per-user sessionization — including with buckets far
+    smaller than the gap, where every session straddles boundaries and the
+    merge pass does all the work."""
+    from dbt_demo_spark.operators import sessionize
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.queries.windows import SESSION_GAP_S
+
+    plain = {(r.user_id, str(r.session_start), r.duration_s, r.n_events)
+             for r in CATALOG["events_sessionization"]
+             .fn(spark, SF_SMOKE).collect()}
+
+    from dbt_demo_spark.sources.events import load_events
+    ev = load_events(spark, SF_SMOKE)
+    for bucket_s in (6 * 3600, 600):  # sane bucket, adversarial tiny bucket
+        salted = sessionize.sessionize_salted(ev, gap_s=SESSION_GAP_S,
+                                              bucket_s=bucket_s)
+        got = {(r.user_id, str(r.session_start),
+                int((r.session_end - r.session_start).total_seconds()),
+                r.n_events)
+               for r in salted.collect()}
+        assert got == plain, f"bucket_s={bucket_s}"
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """n_salt-way salted join must be row-identical to the plain join on a
+    deliberately skewed input (90% of rows share one key), for inner and
+    left joins including unmatched left keys."""
+    from dbt_demo_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)]
+        + [("orphan", -1)],
+        "k string, payload long")
+    small = spark.createDataFrame(
+        [("hot", 1.5), ("k10", 2.5), ("k20", 3.5), ("k30", 4.5)],
+        "k string, weight double")
+
+    for how in ("inner", "left"):
+        plain = sorted((r.k, r.payload, r.weight) for r in
+                       big.join(small, "k", how).collect())
+        salted = sorted((r.k, r.payload, r.weight) for r in
+                        skew.salted_join(big, small, "k", n_salt=8,
+                                         how=how).collect())
+        assert salted == plain, how
+
+    # the salted shuffle key includes the salt -> hot key spreads
+    plan = (skew.salted_join(big, small, "k", n_salt=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "_salt" in plan
+
+
+def test_jsonl_source_modes_and_roundtrip(spark, tmp_path):
+    """JSONL source: declared schema (no inference pass), PERMISSIVE
+    corrupt-record quarantine, DROPMALFORMED, FAILFAST, and a write/read
+    round-trip."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from dbt_demo_spark.sources import jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n'
+                 'not json at all\n'
+                 '{"id": 2, "name": "b"}\n')
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType())])
+
+    df = jsonl.load_jsonl(spark, str(p), schema)
+    clean, quarantine = jsonl.split_corrupt(df)
+    assert {(r.id, r.name) for r in clean.collect()} == {(1, "a"), (2, "b")}
+    assert [r["_corrupt_record"] for r in quarantine.collect()] \
+        == ["not json at all"]
+
+    dropped = jsonl.load_jsonl(spark, str(p), schema, mode="DROPMALFORMED")
+    assert dropped.count() == 2
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        jsonl.load_jsonl(spark, str(p), schema, mode="FAILFAST").collect()
+
+    out = tmp_path / "out"
+    jsonl.write_jsonl(clean, str(out))
+    back = jsonl.load_jsonl(spark, str(out), schema)
+    assert {(r.id, r.name) for r in jsonl.split_corrupt(back)[0].collect()} \
+        == {(1, "a"), (2, "b")}
