@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the composed operators must agree
+with direct pure-Python reference models on randomized small inputs —
+the distributed decomposition (salting, bucketization, union+window fill)
+is exactly where off-by-one boundary bugs hide, and random inputs probe
+boundaries the fixture data never hits (equal timestamps at bucket edges,
+single-event sessions, keys present on only one side)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(max_examples=12, deadline=None,
+                    suppress_health_check=[HealthCheck.too_slow])
+
+# (key, ts) event streams: few keys -> collisions guaranteed; ts range is
+# small so equal timestamps and boundary-adjacent gaps occur constantly
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 400),          # ts
+              st.integers(0, 10_000)),      # unique-ifier / payload
+    min_size=1, max_size=60,
+)
+
+
+def _ref_sessions(rows, gap):
+    """Pure-python gaps-and-islands: {(key, start, end, n)}."""
+    out = set()
+    by_key = {}
+    for k, ts, _ in rows:
+        by_key.setdefault(k, []).append(ts)
+    for k, tss in by_key.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 0
+        for ts in tss:
+            if ts - prev > gap:
+                out.add((k, start, prev, n))
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        out.add((k, start, prev, n))
+    return out
+
+
+@SETTINGS
+@given(events_strategy, st.integers(1, 50), st.integers(1, 60))
+def test_salted_sessionization_property(spark, rows, gap, bucket):
+    """sessionize_salted == the reference islands for ANY gap/bucket combo,
+    including buckets smaller than the gap."""
+    from dbt_demo_spark.operators import sessionize
+
+    # seconds-grain events; event_id deduplicates ties deterministically
+    df = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts, _) in enumerate(rows)],
+        "user_id long, sec long, event_id long",
+    ).selectExpr("user_id", "timestamp_seconds(sec) AS ts", "event_id")
+
+    got = {(r.user_id,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events)
+           for r in sessionize.sessionize_salted(
+               df, gap_s=gap, bucket_s=bucket).collect()}
+    want = _ref_sessions([(k, ts, 0) for k, ts, _ in rows], gap)
+    assert got == want
+
+
+@SETTINGS
+@given(events_strategy, events_strategy)
+def test_asof_join_property(spark, lrows, rrows):
+    """asof_join == per-row 'greatest right ts <= left ts' reference; right
+    side deduplicated on (key, ts) per the operator contract."""
+    from dbt_demo_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts, _) in enumerate(lrows)],
+        "k long, ts long, lid long")
+    rdedup = {}
+    for k, ts, v in rrows:
+        rdedup[(k, ts)] = max(v, rdedup.get((k, ts), -1))
+    right = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rdedup.items()],
+        "k long, ts long, rv long")
+
+    got = {(r.k, r.lid): r.rv
+           for r in asof.asof_join(left, right, on="k").collect()}
+    for i, (k, ts, _) in enumerate(lrows):
+        cands = [(rts, v) for (rk, rts), v in rdedup.items()
+                 if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[(k, i)] == want, (k, ts)
+
+
+@SETTINGS
+@given(events_strategy, events_strategy, st.integers(1, 100))
+def test_range_join_property(spark, prows, irows, width):
+    """range_join == the quadratic point-in-interval reference for any
+    bucket width."""
+    from dbt_demo_spark.operators import asof
+
+    points = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts, _) in enumerate(prows)],
+        "k long, p long, pid long")
+    intervals = spark.createDataFrame(
+        [(k, s, s + (dur % 97), 1000 + i)
+         for i, (k, s, dur) in enumerate(irows)],
+        "k long, s long, e long, iid long")
+
+    got = {(r.pid, r.iid) for r in asof.range_join(
+        points, intervals, on="k", point_col="p", start_col="s",
+        end_col="e", bucket_width=width).collect()}
+    want = {(pid, 1000 + j)
+            for pid, (pk, p, _) in enumerate(prows)
+            for j, (ik, s, dur) in enumerate(irows)
+            if pk == ik and s <= p < s + (dur % 97)}
+    assert got == want
