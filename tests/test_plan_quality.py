@@ -85,3 +85,37 @@ def test_no_accidental_caching(spark):
     be reproducible from the scans alone."""
     for name in sorted(CATALOG):
         assert "InMemoryRelation" not in _plan(spark, name), name
+
+
+def test_approx_distinct_optin_accuracy_and_plan(spark):
+    """The approx_count_distinct opt-in (functions/approx.py): within the
+    declared error band on the real monthly-rollup shape, and its plan
+    drops the exact path's Expand + second aggregation exchange — the
+    100 TB trade documented for agg_monthly_* (VERDICT r2)."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.functions.approx import distinct_count
+    from dbt_demo_spark.sources.parquet import load_table
+    from tests.conftest import SF_GATE
+
+    li = load_table(spark, SF_GATE, "lineitem")
+    month = F.date_trunc("month", "l_shipdate").cast("date").alias("m")
+
+    def rollup(approx):
+        return li.groupBy(month).agg(
+            distinct_count("l_orderkey", approx=approx).alias("d"))
+
+    exact = {r.m: r.d for r in rollup(False).collect()}
+    approx = {r.m: r.d for r in rollup(True).collect()}
+    assert set(exact) == set(approx)
+    for m, d in exact.items():
+        assert abs(approx[m] - d) <= max(0.08 * d, 2), (m, d, approx[m])
+
+    exact_plan = rollup(False)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = rollup(True)._jdf.queryExecution().executedPlan().toString()
+    # the exact tax: a shuffle keyed on (group, VALUE) to deduplicate, then
+    # the group shuffle; HLL++ keeps sketch state and shuffles once
+    assert exact_plan.count("Exchange") == 2
+    assert "l_orderkey" in exact_plan.split("Exchange", 2)[2]  # value shuffle
+    assert approx_plan.count("Exchange") == 1
+    assert approx_plan.count("HashAggregate") < exact_plan.count("HashAggregate")
