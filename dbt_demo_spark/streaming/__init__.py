@@ -1,7 +1,9 @@
 from .dedup import (streaming_dedup_within_watermark, streaming_first_seen,
                     streaming_first_seen_ttl)
 from .rollup import read_event_stream, session_rollup, streaming_hourly_rollup
+from .sink import rollup_to_warehouse, stream_static_enrich
 
-__all__ = ["read_event_stream", "session_rollup",
-           "streaming_dedup_within_watermark", "streaming_first_seen",
-           "streaming_first_seen_ttl", "streaming_hourly_rollup"]
+__all__ = ["read_event_stream", "rollup_to_warehouse", "session_rollup",
+           "stream_static_enrich", "streaming_dedup_within_watermark",
+           "streaming_first_seen", "streaming_first_seen_ttl",
+           "streaming_hourly_rollup"]

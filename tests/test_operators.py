@@ -744,3 +744,78 @@ def test_jsonl_source_modes_and_roundtrip(spark, tmp_path):
     back = jsonl.load_jsonl(spark, str(out), schema)
     assert {(r.id, r.name) for r in jsonl.split_corrupt(back)[0].collect()} \
         == {(1, "a"), (2, "b")}
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: the streamed result under
+    availableNow must equal the batch left join, including unmatched keys
+    keeping NULL dim columns."""
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.streaming import read_event_stream, stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0)],
+        "event_type string, weight double")  # signup/error unmatched
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    q = (stream_static_enrich(read_event_stream(spark, str(d)), dim)
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_enr"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.event_id, r.weight) for r in
+           spark.sql("SELECT event_id, weight FROM enriched").collect()}
+    want = {(r.event_id, r.weight) for r in
+            load_events(spark, SF_SMOKE).join(
+                F.broadcast(dim), "event_type", "left")
+            .select("event_id", "weight").collect()}
+    assert got == want
+
+
+def test_streaming_rollup_warehouse_sink_incremental_exactly_once(
+        spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: two incremental
+    availableNow runs land cumulative rollups in the parquet warehouse
+    with no duplicates — updated (hour, type) groups REPLACE their
+    partition (an append sink would double them)."""
+    from dbt_demo_spark.streaming import (read_event_stream,
+                                          rollup_to_warehouse,
+                                          streaming_hourly_rollup)
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    wh = str(tmp_path / "wh")
+    ck = str(tmp_path / "ckpt_wh")
+    now = 1_700_000_000
+
+    def run_stream():
+        rollup = streaming_hourly_rollup(read_event_stream(spark, str(d)))
+        q = (rollup_to_warehouse(rollup, wh, ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # run 1: hours 0 and 1
+    _write_event_file(d / "b1.parquet",
+                      [(1, 5, 1, "click"), (2, 20, 2, "click"),
+                       (3, 70, 1, "view")], now)
+    run_stream()
+    r1 = {(str(r.hour_start), r.event_type): r.n_events
+          for r in spark.read.parquet(wh).collect()}
+    assert r1[("2023-01-01 00:00:00", "click")] == 2
+    assert r1[("2023-01-01 01:00:00", "view")] == 1
+
+    # run 2: more clicks in hour 0 (group UPDATES) + a new hour-2 group
+    _write_event_file(d / "b2.parquet",
+                      [(4, 30, 3, "click"), (5, 130, 1, "purchase")],
+                      now + 10)
+    run_stream()
+    r2 = {(str(r.hour_start), r.event_type): r.n_events
+          for r in spark.read.parquet(wh).collect()}
+    assert r2[("2023-01-01 00:00:00", "click")] == 3   # replaced, not doubled
+    assert r2[("2023-01-01 01:00:00", "view")] == 1    # untouched partition
+    assert r2[("2023-01-01 02:00:00", "purchase")] == 1
+    assert len(r2) == 3
