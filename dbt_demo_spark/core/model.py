@@ -62,6 +62,27 @@ class ModelRegistry:
 
         return deco
 
+    def manifest(self) -> dict:
+        """The ``dbt docs generate`` manifest analog [public knowledge:
+        dbt-core manifest.json]: one JSON-able node per model with its ref
+        edges, materialization, partition layout, doc string, and the
+        DAG's execution order — everything a lineage UI or an orchestration
+        layer needs, derivable without running anything."""
+        order = self.topo_order()
+        return {
+            "nodes": {
+                m.name: {
+                    "depends_on": list(m.deps),
+                    "materialized": m.materialized,
+                    "partition_by": list(m.partition_by),
+                    "description": m.doc,
+                } for m in self._models.values()
+            },
+            "sources": sorted({d for m in self._models.values()
+                               for d in m.deps if d not in self._models}),
+            "execution_order": order,
+        }
+
     def topo_order(self, select: list[str] | None = None) -> list[str]:
         """Topological execution order over ref edges (dbt run semantics;
         reference: README.md:50-51).  ``select`` limits to those models plus

@@ -272,3 +272,28 @@ def test_csv_seed_reader_quoting_and_nulls(spark, tmp_path):
     # matches the embedded-seed DataFrame exactly
     embedded = load_seed_dataframes(spark)["raw_loans"]
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, embedded.collect()))
+
+
+def test_manifest_export_is_json_and_consistent():
+    """dbt docs analog: the manifest serializes, its edges match the
+    registry, seeds surface as sources, and execution_order is a valid
+    topological order of the declared DAG."""
+    import json
+
+    from dbt_demo_spark.models.fiction_bank import REGISTRY
+
+    m = REGISTRY.manifest()
+    json.dumps(m)  # must be JSON-able as-is
+
+    assert set(m["nodes"]) == set(REGISTRY.names())
+    assert m["nodes"]["fct_loan_details"]["materialized"] == "table"
+    assert "loan_types" in m["sources"]          # seed ref'd directly
+    assert "raw_loans" in m["sources"]
+
+    order = m["execution_order"]
+    assert sorted(order) == sorted(REGISTRY.names())
+    pos = {n: i for i, n in enumerate(order)}
+    for name, node in m["nodes"].items():
+        for dep in node["depends_on"]:
+            if dep in pos:
+                assert pos[dep] < pos[name], (dep, name)

@@ -115,3 +115,46 @@ def test_range_join_property(spark, prows, irows, width):
             for j, (ik, s, dur) in enumerate(irows)
             if pk == ik and s <= p < s + (dur % 97)}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(  # per run: {key: check_value} for a random key subset
+    st.dictionaries(st.integers(0, 3), st.integers(0, 2),
+                    min_size=1, max_size=4),
+    min_size=2, max_size=4))
+def test_snapshot_scd2_property(spark, tmp_path_factory, runs):
+    """SCD2 check-strategy snapshot over a random sequence of source
+    states == a pure-python version-history model: every (key, value)
+    change closes exactly one version, unchanged and absent keys carry
+    over, and the current set equals the union of the latest state of
+    every key ever seen."""
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path_factory.mktemp("snapwh"))
+    sr = SnapshotRunner(spark, wh)
+    sdef = SnapshotDef("s", unique_key="k", strategy="check",
+                       check_cols=("v",))
+
+    # pure-python reference: key -> list of [from, to, v]
+    ref: dict[int, list[list]] = {}
+    snap = None
+    for i, state in enumerate(runs):
+        ts = f"2023-01-0{i + 1} 00:00:00"
+        src = spark.createDataFrame(list(state.items()), "k long, v long")
+        snap = sr.run(sdef, src, as_of=F.lit(ts))
+        for k, v in state.items():
+            versions = ref.setdefault(k, [])
+            if not versions:
+                versions.append([ts, None, v])
+            elif versions[-1][2] != v:
+                versions[-1][1] = ts
+                versions.append([ts, None, v])
+
+    got = {(r.k, str(r.dbt_valid_from),
+            str(r.dbt_valid_to) if r.dbt_valid_to else None, r.v)
+           for r in snap.collect()}
+    want = {(k, vf, vt, v)
+            for k, versions in ref.items() for vf, vt, v in versions}
+    assert got == want
