@@ -86,3 +86,64 @@ def test_correlated_quantified_in_same_text(spark, con):
                   FROM lineitem l4
                   WHERE l4.l_partkey = l.l_partkey))
     """)
+
+
+def test_window_ranking_family_same_text(spark, con):
+    """The ranking-window family beyond the catalog's row_number/lag/lead:
+    rank, dense_rank, ntile, percent_rank, cume_dist — identical SQL text,
+    deterministic (ts, event_id) ordering."""
+    _diff(spark, con, "window_ranking", """
+        SELECT o_orderkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prank,
+               CAST(CUME_DIST() OVER w AS DOUBLE) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_orderdate, o_orderkey)
+    """)
+
+
+def test_window_value_frames_same_text(spark, con):
+    """Value windows with explicit frames: first/last/nth value over ROWS
+    frames, and a RANGE frame over an integer key — identical SQL text.
+    Ordered on the UNIQUE o_orderkey: the synthetic lineitem table has
+    duplicate (l_orderkey, l_linenumber) pairs, which makes ROWS-frame
+    value functions tie-ambiguous across engines."""
+    _diff(spark, con, "window_value_frames", """
+        SELECT o_orderkey,
+               FIRST_VALUE(o_totalprice) OVER w1 AS first_price,
+               LAST_VALUE(o_totalprice) OVER w1 AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER w1 AS second_price,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
+               ) AS BIGINT) AS near_orders
+        FROM orders
+        WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    """)
+
+
+def test_grouping_sets_rollup_cube_same_text(spark, con):
+    """Multi-level aggregation: ROLLUP with GROUPING() disambiguation (a
+    NULL key value vs a rollup total) and an explicit GROUPING SETS list —
+    identical SQL text, exact-cents money."""
+    _diff(spark, con, "rollup", """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """)
+    _diff(spark, con, "grouping_sets", """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
