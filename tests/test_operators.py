@@ -819,3 +819,50 @@ def test_streaming_rollup_warehouse_sink_incremental_exactly_once(
     assert r2[("2023-01-01 01:00:00", "view")] == 1    # untouched partition
     assert r2[("2023-01-01 02:00:00", "purchase")] == 1
     assert len(r2) == 3
+
+
+def test_chunk_documents_matches_duckdb_and_invariants(spark):
+    """Token-window chunking: differential vs DuckDB computing the same
+    windows from the same integer arithmetic, plus the coverage
+    invariants (every token in some chunk, exact overlap, short tail
+    kept)."""
+    from dbt_demo_spark.operators import chunk
+    from dbt_demo_spark.testing import compare, duckdb_connection
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    C, O, S = 32, 8, 24  # chunk, overlap, stride
+    out = chunk.chunk_documents(docs, chunk_tokens=C, overlap=O)
+
+    con = duckdb_connection(SF_SMOKE)
+    res = compare("chunk_documents", out, con, f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks,
+                     GREATEST(1, 1 + CAST(FLOOR((n - {C} + {S} - 1.0) / {S})
+                                          AS INT)) AS n_chunks
+              FROM n),
+        e AS (SELECT doc_id, toks,
+                     unnest([x for x in generate_series(1, n_chunks)]) AS i
+              FROM c)
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_id,
+               CAST(len(list_slice(toks, (i-1)*{S} + 1, (i-1)*{S} + {C}))
+                    AS INT) AS n_tokens,
+               array_to_string(list_slice(toks, (i-1)*{S} + 1,
+                                          (i-1)*{S} + {C}), ' ') AS chunk_text
+        FROM e
+    """)
+    assert res.ok, res.detail
+
+    # invariants on a hand-size doc: full coverage + exact overlap
+    one = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(75)))], "doc_id long, text string")
+    rows = sorted(chunk.chunk_documents(one, C, O).collect(),
+                  key=lambda r: r.chunk_id)
+    seen = [w for r in rows for w in r.chunk_text.split(" ")]
+    assert set(seen) == {f"w{i}" for i in range(75)}
+    for a, b in zip(rows, rows[1:]):
+        shared = set(a.chunk_text.split(" ")) & set(b.chunk_text.split(" "))
+        assert len(shared) >= min(O, b.n_tokens)
+    assert rows[-1].n_tokens == 75 - 2 * S  # short tail kept
