@@ -866,3 +866,21 @@ def test_chunk_documents_matches_duckdb_and_invariants(spark):
         shared = set(a.chunk_text.split(" ")) & set(b.chunk_text.split(" "))
         assert len(shared) >= min(O, b.n_tokens)
     assert rows[-1].n_tokens == 75 - 2 * S  # short tail kept
+
+
+def test_orc_source_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is the other columnar warehouse format Spark reads natively:
+    a mart written as ORC must round-trip exactly and serve predicate
+    pushdown + column pruning at the scan, same as parquet."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+
+    back = spark.read.orc(path)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) \
+        == sorted((r.doc_id, r.text) for r in docs.collect())
+
+    pruned = back.filter(F.col("doc_id") < 100).select("doc_id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan
+    assert "text" not in plan.split("ReadSchema", 1)[1][:200]
