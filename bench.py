@@ -140,7 +140,9 @@ def main() -> None:
                  "one-at-a-time warmed power pass (min of 2, run BEFORE "
                  "the throughput passes; plans built once and re-executed "
                  "— timings cover JVM planning + execution, not py4j "
-                 "client plan construction)"),
+                 "client plan construction); sim_topk_ivf is excluded "
+                 "from bench entirely (bench=False): its k-means index "
+                 "build is a materialization side effect, not query time"),
     }))
     sys.stdout.flush()
     spark.stop()

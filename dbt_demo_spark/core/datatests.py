@@ -41,17 +41,22 @@ def unique(relation: str, columns: Sequence[str]) -> DataTest:
     """dbt `unique` (multi-column = grain uniqueness): violating rows are the
     key groups appearing more than once.  One shuffle on the key.
 
-    Rows with a NULL in any key column are excluded BEFORE grouping — dbt's
-    generic unique test compiles `where column is not null` ahead of the
-    group-by (NULL-ness is not_null's job), so two NULL-keyed rows are not
-    a uniqueness violation."""
+    Single-column keys exclude NULL rows BEFORE grouping — dbt's generic
+    unique test compiles `where column is not null` ahead of the group-by
+    (NULL-ness is not_null's job), so two NULL-keyed rows are not a
+    uniqueness violation.  Multi-column (grain) keys do NOT null-filter:
+    the dbt analog, dbt_utils.unique_combination_of_columns, groups the
+    raw rows, so a key with a legitimately-NULL component still counts
+    toward its group (Spark's groupBy groups NULLs together, i.e. the
+    comparison is IS NOT DISTINCT FROM — same as the dbt_utils GROUP BY)."""
     cols = list(columns)
 
     def fn(rel: dict[str, DataFrame]) -> DataFrame:
-        non_null = functools.reduce(
-            operator.and_, [F.col(c).isNotNull() for c in cols])
+        src = rel[relation]
+        if len(cols) == 1:
+            src = src.filter(F.col(cols[0]).isNotNull())
         return (
-            rel[relation].filter(non_null)
+            src
             .groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .filter(F.col("n_rows") > 1)

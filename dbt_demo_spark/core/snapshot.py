@@ -141,6 +141,26 @@ class SnapshotRunner:
             .withColumn("dbt_is_current", F.lit(0))
         )
 
+        # Crash-recovery idempotence: the two writes below are not one
+        # atomic commit — a crash between them leaves this run's closed
+        # rows appended while the current partition still holds their old
+        # versions, and the re-run would close those versions AGAIN,
+        # permanently duplicating append-only history (the scd_id is
+        # sha2(key, valid_from), stable across runs).  Anti-joining the
+        # increment against the already-persisted history scd_ids makes
+        # the append idempotent; the history partition is scanned for the
+        # one pruned scd_id column only (a MERGE-capable format does this
+        # reconciliation natively).  localCheckpoint cuts lineage so the
+        # append doesn't read the partition it writes.
+        hist_ids = (self.spark.read.parquet(path)
+                    .filter(F.col("dbt_is_current") == 0)
+                    .select("dbt_scd_id")
+                    .localCheckpoint(eager=True))
+        # (USING-column joins move the key first — restore column order so
+        # appended files match the partition's existing layout)
+        closed = (closed.join(hist_ids, "dbt_scd_id", "left_anti")
+                  .select(*closed.columns))
+
         closed.write.mode("append").partitionBy("dbt_is_current").parquet(path)
         (next_current.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

@@ -16,6 +16,7 @@ live in operators/ — these queries pin the portable semantics.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyspark.sql.functions as F
@@ -328,7 +329,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _IVF_INDEXES.get(key)
     if idx is None:
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        # tag by a hash of the ABSOLUTE dir (basename kept for readability):
+        # two sf_dirs sharing a basename must not share an on-disk index
+        # path, or the second build silently overwrites the corpus the
+        # first handle still reads.
+        abs_dir = os.path.abspath(sf_dir)
+        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
+        tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".ivf_index", tag)
         idx = ivf.build_index(load_table(spark, sf_dir, "embeddings"), path)

@@ -109,6 +109,17 @@ def _first_seen_ttl_fn(ttl_ms: int):
     return handler
 
 
+def interval_ms(spark, interval: str) -> int:
+    """Milliseconds in a Spark interval string — full interval syntax
+    (``'90 seconds'``, ``'1 day'``, ``'1 hour 30 minutes'``), evaluated by
+    the engine's own interval parser so TTL strings accept exactly what
+    ``withWatermark`` accepts.  One row-local job at stream-setup time."""
+    micros = spark.sql(
+        "SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL "
+        f"{interval})").first()[0]
+    return micros // 1000
+
+
 def streaming_first_seen_ttl(events: DataFrame, ttl: str = "1 hour",
                              watermark: str = "10 minutes") -> DataFrame:
     """TTL-bounded first-seen dedup: like ``streaming_first_seen`` but per-
@@ -116,11 +127,9 @@ def streaming_first_seen_ttl(events: DataFrame, ttl: str = "1 hour",
     ``ttl`` (GroupStateTimeout.EventTimeTimeout) — the handler's timeout
     branch removes the state, and an expired key's next event re-emits as a
     fresh first.  State size is bounded by the keys active within one TTL
-    window instead of the lifetime key space."""
-    n, unit = ttl.split()
-    ttl_ms = int(n) * {"second": 1_000, "seconds": 1_000,
-                       "minute": 60_000, "minutes": 60_000,
-                       "hour": 3_600_000, "hours": 3_600_000}[unit]
+    window instead of the lifetime key space.  ``ttl`` takes the same
+    interval syntax as ``watermark``."""
+    ttl_ms = interval_ms(events.sparkSession, ttl)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", "event_type")

@@ -82,6 +82,16 @@ def test_generic_tests_catch_seeded_violations(spark, relations):
     rel["fct_null_keys"] = clean.unionByName(
         clean.limit(2).withColumn("loan_id", F.lit(None).cast("string")))
     assert run_data_tests([unique("fct_null_keys", ["loan_id"])], rel)[0].passed
+    # multi-column GRAIN keys do NOT null-filter (dbt_utils
+    # unique_combination_of_columns semantics): two rows sharing
+    # (NULL, customer) ARE a grain violation — NULLs group together
+    rel["fct_null_grain"] = clean.unionByName(
+        clean.limit(2).withColumn("loan_id", F.lit(None).cast("string"))
+        .withColumn("customer_id", F.lit("C900")))
+    assert not run_data_tests(
+        [unique("fct_null_grain", ["loan_id", "customer_id"])], rel)[0].passed
+    assert run_data_tests(
+        [unique("fct_loan_details", ["loan_id", "customer_id"])], rel)[0].passed
     assert not run_data_tests(
         [not_null("fct_nulled", ["customer_id"])], rel)[0].passed
     assert not run_data_tests(

@@ -130,6 +130,45 @@ def test_snapshot_timestamp_strategy_two_run_change_capture(spark, tmp_path):
     assert again.select("dbt_scd_id").distinct().count() == 4
 
 
+def test_snapshot_crash_between_writes_is_repaired(spark, tmp_path):
+    """The snapshot's two-write commit (append closed versions, then
+    dynamic-overwrite current) is not atomic: a crash in between leaves the
+    closed rows persisted while the old versions are still current.  The
+    recovery RE-RUN must not close those versions again — the history
+    append is anti-joined against already-persisted scd_ids — so history
+    keeps one row per closed version and unique(loan_id, dbt_valid_from)
+    holds."""
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+
+    wh = str(tmp_path / "wh")
+    sr = SnapshotRunner(spark, wh)
+    sdef = SnapshotDef("crash_snapshot", unique_key="loan_id",
+                       strategy="timestamp", updated_at="updated_at")
+    path = os.path.join(wh, "crash_snapshot")
+
+    sr.run(sdef, _loans(spark, [("L1", 100, "active", "2023-01-01 00:00:00"),
+                                ("L2", 200, "active", "2023-01-01 00:00:00")]))
+    pre_current = (spark.read.parquet(path)
+                   .filter(F.col("dbt_is_current") == 1)
+                   .localCheckpoint(eager=True))
+
+    run2_src = _loans(spark, [("L1", 150, "active", "2023-02-01 00:00:00"),
+                              ("L2", 200, "active", "2023-01-01 00:00:00")])
+    sr.run(sdef, run2_src)
+
+    # simulate the crash: the history append survived, the current-partition
+    # overwrite "did not" — restore run 1's current partition
+    (pre_current.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("dbt_is_current").parquet(path))
+
+    snap = sr.run(sdef, run2_src)  # recovery re-run
+    hist = snap.filter(F.col("dbt_is_current") == 0).collect()
+    assert len(hist) == 1 and hist[0].loan_id == "L1"
+    assert (snap.select("loan_id", "dbt_valid_from").distinct().count()
+            == snap.count() == 3)
+
+
 def test_snapshot_check_strategy_closes_on_value_change(spark, tmp_path):
     """check strategy: a differing check_col closes the old version at the
     run's as_of time; non-check columns changing alone do not version."""

@@ -493,6 +493,18 @@ def test_streaming_first_seen_ttl_expires_and_readmits(spark, tmp_path):
     assert all(r.n_dupes_suppressed == 0 for r in post)
 
 
+def test_interval_ms_accepts_full_spark_interval_syntax(spark):
+    """The TTL parameter accepts exactly what withWatermark accepts: any
+    Spark interval literal, including day units and compound intervals —
+    not just the second/minute/hour unit map (ADVICE r3)."""
+    from dbt_demo_spark.streaming.dedup import interval_ms
+
+    assert interval_ms(spark, "90 seconds") == 90_000
+    assert interval_ms(spark, "15 minutes") == 900_000
+    assert interval_ms(spark, "1 day") == 86_400_000
+    assert interval_ms(spark, "1 hour 30 minutes") == 5_400_000
+
+
 def test_streaming_dedup_within_watermark_readmits_after_eviction(
         spark, tmp_path):
     """dropDuplicatesWithinWatermark twin: duplicates within the delay are
