@@ -505,17 +505,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_token_count",
-    oracle=f"""
-        SELECT doc_id,
-               len({sql_tokens('text')}) AS ws_tokens,
-               len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
-               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
-        FROM documents
-    """,
-    tags=("text", "tokens"),
-)
+# Demoted from the 50-entry catalog in round 4: ws_tokens duplicates
+# text_quality's n_tokens and the other two counts are row-local arithmetic;
+# the slot funds mart_month_pruned.  Differential coverage continues in
+# tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle.
+TEXT_TOKEN_COUNT_ORACLE = f"""
+    SELECT doc_id,
+           len({sql_tokens('text')}) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, alphabetic regex runs,
     and the chars/4 BPE estimate."""

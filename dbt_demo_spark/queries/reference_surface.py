@@ -16,6 +16,9 @@ doubles in different orders; rounding collapses last-ulp drift).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,19 +32,22 @@ from .catalog import query
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "stg_orders",
-    oracle="""
-        SELECT o_orderkey   AS order_id,
-               o_custkey    AS customer_id,
-               o_orderstatus AS order_status,
-               o_totalprice AS total_price,
-               CAST(o_orderdate AS DATE) AS order_date,
-               o_orderpriority AS order_priority
-        FROM orders
-    """,
-    tags=("P1", "P2", "P3", "S1"),
-)
+# Demoted from the 50-entry catalog in round 4 (the cap is the driver's
+# CORRECTNESS window): its P1/P2/P3 shape is fully covered by stg_payments'
+# catalog row, and the slot funds events_asof_enrich.  The oracle moves to
+# tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle so
+# the differential never lapses.
+STG_ORDERS_ORACLE = """
+    SELECT o_orderkey   AS order_id,
+           o_custkey    AS customer_id,
+           o_orderstatus AS order_status,
+           o_totalprice AS total_price,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority AS order_priority
+    FROM orders
+"""
+
+
 def stg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staging view: column selection + rename + date cast, the exact shape of
     reference stg_loans (models/staging/stg_loans.sql:5-17)."""
@@ -307,6 +313,73 @@ def agg_monthly_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s.shipped_value"), F.lit(0)).alias("shipped_value"),
         )
         .orderBy(F.desc("month"), F.asc("order_status"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-partitioned mart + pruned read (S4 table materialization, D2 policy,
+# §4.2 partition pruning) — the layout claim under the correctness gate
+# ---------------------------------------------------------------------------
+
+_MARTS: dict = {}
+
+
+def month_partitioned_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once month-partitioned orders mart (the dbt `table`
+    materialization with `partitionBy` layout, reference dbt_project.yml:21-22
+    as extended by core/runner.py).  Built one time per (session, sf_dir) —
+    a mart is a materialization, not per-query work — under the repo-local
+    .mart_cache dir, keyed by a hash of the absolute sf_dir so same-basename
+    dirs never collide (same discipline as the IVF index)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _MARTS.get(key)
+    if df is None:
+        abs_dir = os.path.abspath(sf_dir)
+        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
+        tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".mart_cache", tag, "orders_monthly_mart")
+        orders = load_table(spark, sf_dir, "orders")
+        mart = (
+            orders.groupBy(
+                F.date_trunc("month", "o_orderdate").cast("date")
+                 .alias("month_start"),
+                F.col("o_orderstatus").alias("order_status"))
+            .agg(F.countDistinct("o_orderkey").alias("orders_placed"),
+                 round2(F.sum("o_totalprice")).alias("total_amount"))
+        )
+        mart.write.mode("overwrite").partitionBy("month_start").parquet(path)
+        df = spark.read.parquet(path)
+        _MARTS[key] = df
+    return df
+
+
+@query(
+    "mart_month_pruned",
+    oracle=f"""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               o_orderstatus AS order_status,
+               COUNT(DISTINCT o_orderkey) AS orders_placed,
+               {sql_round2('SUM(o_totalprice)')} AS total_amount
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+        GROUP BY 1, 2
+    """,
+    tags=("S4", "D2", "partition-pruning"),
+)
+def mart_month_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-driven partition pruning under the driver gate: a month filter
+    over the month-partitioned mart reads exactly one partition directory
+    (PartitionFilters at the scan — asserted in tests/test_plan_quality.py),
+    never the whole table.  At 100 TB this is THE difference between a
+    dashboard query touching one month and scanning years."""
+    mart = month_partitioned_mart(spark, sf_dir)
+    return (
+        mart.filter(F.col("month_start") == F.lit("1995-03-01").cast("date"))
+        .select("month_start", "order_status", "orders_placed", "total_amount")
     )
 
 

@@ -135,6 +135,54 @@ def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_enrich",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               p.value AS purchase_value,
+               v.ts AS prior_view_ts,
+               v.event_id AS prior_view_event_id,
+               v.value AS prior_view_value,
+               CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT)
+                   AS us_since_view
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("asof", "window", "time-series"),
+)
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of LEFT join (operators/asof.py:37-84): every purchase
+    event gains the user's most recent view at-or-before it — the
+    price-at-trade-time / last-login-before-event shape.  The Spark side is
+    the union+window-fill form (ONE shuffle on the user key, no join node);
+    the oracle is DuckDB's native ASOF LEFT JOIN.  (user_id, ts) is unique
+    within each event_type slice, so the match is deterministic in both
+    engines; the age is compared at microsecond grain where DuckDB's
+    boundary-count date_diff equals Spark's truncating timestampdiff."""
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id",
+                     F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_event_id"),
+                     F.col("value").alias("view_value")))
+    joined = asof_join(purchases, views, on="user_id",
+                       left_ts="ts", right_ts="view_ts")
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("view_ts").alias("prior_view_ts"),
+        F.col("view_event_id").alias("prior_view_event_id"),
+        F.col("view_value").alias("prior_view_value"),
+        F.expr("CAST(timestampdiff(MICROSECOND, view_ts, ts) AS BIGINT)")
+         .alias("us_since_view"),
+    )
+
+
+@query(
     "events_user_running_stats",
     oracle=f"""
         SELECT user_id, event_id,

@@ -69,6 +69,28 @@ def test_partitioned_mart_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_mart_month_pruned_catalog_query_prunes(spark):
+    """The catalog's mart_month_pruned query (the layout claim under the
+    driver gate) must carry the month filter as a PartitionFilter at the
+    scan and touch exactly one partition — a data-filter fallback means the
+    partitioned layout regressed."""
+    plan = _plan(spark, "mart_month_pruned")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "month_start" in pf
+    # no residual data filter on the partition column after pruning
+    assert "PushedFilters: []" in plan
+
+
+def test_asof_catalog_query_is_join_free(spark):
+    """events_asof_enrich must plan as union + one window over the user key
+    (operators/asof.py's shape) — any *Join node means the operator
+    regressed to a point-vs-point join."""
+    plan = _plan(spark, "events_asof_enrich")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_ngram_jaccard_query_side_broadcasts(spark):
     """The inverted-index join must build on the (small-by-contract) query
     side via an explicit broadcast hint — ADVICE r2: the comment promised a
