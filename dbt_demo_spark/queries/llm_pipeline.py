@@ -265,9 +265,12 @@ _TOPK_ORACLE_TMPL = """
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for a 2% query sample — the brute-force
-    baseline (query x corpus cross join + window rank)."""
+    baseline, Arrow-scored (operators/similarity.py
+    brute_force_topk_arrow): one corpus pass scores every batch against the
+    closure-shipped query matrix with fold-order-exact numpy, bit-identical
+    to the JVM zip_with/aggregate form and the DuckDB oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.brute_force_topk(
+    out = similarity.brute_force_topk_arrow(
         emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 

@@ -161,6 +161,21 @@ def test_brute_force_topk_is_exact_and_ranked(spark):
     assert all(r.neighbor_id != 0 for r in out)
 
 
+def test_brute_force_arrow_bit_identical_to_jvm_fold(spark):
+    """The Arrow-scored brute force must reproduce the JVM zip_with/
+    aggregate path EXACTLY — same (query, neighbor, rank) rows, scores
+    equal bit-for-bit — across a multi-query sample, so swapping it into
+    the catalog cannot move the oracle hash."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id % 50 = 0")
+    jvm = {(r.query_id, r.neighbor_id, r.rank): r.score
+           for r in similarity.brute_force_topk(q, emb, k=5).collect()}
+    arrow = {(r.query_id, r.neighbor_id, r.rank): r.score
+             for r in similarity.brute_force_topk_arrow(q, emb, k=5).collect()}
+    assert set(jvm) == set(arrow)
+    assert all(jvm[key] == arrow[key] for key in jvm)  # bit equality
+
+
 def test_lsh_topk_subset_of_bruteforce_scores(spark):
     """LSH candidates are a subset of the corpus, so each LSH score must
     equal the brute-force score for that same pair (bit-exact pruning, no
