@@ -163,24 +163,40 @@ def band_rows(shingled: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
-    """Distinct candidate pairs (d1 < d2) sharing any band bucket.  The
-    self-join shuffles on (band_id, band_key) — at 100 TB this is the only
-    quadratic-risk step, quadratic in BUCKET size.
+    """Distinct candidate pairs (d1 < d2) sharing any band bucket.
 
-    ``max_bucket`` is the degenerate-bucket guard: buckets with more members
-    (boilerplate/empty-ish content that collides whole shards of the corpus)
-    are dropped BEFORE the self-join, bounding any single bucket's pair
-    blow-up at max_bucket^2.  Members of a dropped bucket can still pair
-    through their other bands; truly degenerate clusters are better handled
-    by exact dedup upstream (they are exact-ish duplicates by definition)."""
+    Guarded (``max_bucket`` set): ONE shuffle gathers each bucket's members
+    with collect_list, oversized buckets (boilerplate clusters colliding
+    whole corpus shards) are dropped, and the <= max_bucket^2 pairs per
+    bucket expand ROW-LOCALLY with a nested transform — no self-join, no
+    guard-join-back; the only other exchange is the pair distinct.  A
+    degenerate bucket does collect its full membership before the size
+    filter drops it, but that state is one id array (a few MB even for a
+    pathological million-member bucket) — the quadratic blow-up the guard
+    exists for is the PAIR expansion, and that never materializes for
+    dropped buckets.  Members of a dropped bucket can still pair through
+    their other bands; truly degenerate clusters are better handled by
+    exact dedup upstream (they are exact-ish duplicates by definition).
+
+    Unguarded (``max_bucket=None``): the band self-join form — per-bucket
+    output is unbounded, so pairs must stream through the join rather than
+    build an n^2 in-row array."""
     if max_bucket is not None:
-        keep = (
+        buckets = (
             bands.groupBy("band_id", "band_key")
-            .agg(F.count(F.lit(1)).alias("_bucket_n"))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         )
-        bands = bands.join(keep, ["band_id", "band_key"])
+        ids = F.array_sort(F.col("ids"))
+        pairs = F.flatten(F.transform(
+            ids, lambda x: F.transform(
+                ids, lambda y: F.struct(x.alias("d1"), y.alias("d2")))))
+        return (
+            buckets.select(F.explode(pairs).alias("p"))
+            .filter(F.col("p.d1") < F.col("p.d2"))
+            .select("p.d1", "p.d2")
+            .distinct()
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -248,8 +264,12 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
         # identical exchange, so the corpus is scanned and featurized once
         # and the shuffle output is re-read (ReuseExchange; measured 2x at
         # sf0.1, and at 100 TB it converts N corpus scans into one).
+        # fixed-N repartition: AQE would coalesce a bare repartition(col) of
+        # this few-hundred-KB feature table to ONE partition, serializing
+        # every downstream stage
+        n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         feats = (shingle_arrow.shingle_features(docs, text_col, id_col)
-                 .repartition("doc_id"))
+                 .repartition(n_shuffle, "doc_id"))
         cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
         return jaccard_verify_sets(cands, feats.select("doc_id", "ss", "n"),
                                    threshold)
@@ -274,6 +294,9 @@ def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
     ``token_hash`` swaps the per-token hash (portable char hash vs
     xxhash64); bit votes read the low n_bits, which are well-mixed under
     either."""
+    from ..sources.parquet import spread
+
+    docs = spread(docs.select(id_col, text_col), id_col)
     th = token_hash(F.col(text_col))
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
     zero = F.array(*[F.lit(0)] * n_bits)
@@ -293,14 +316,21 @@ def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
+def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
                         threshold: float,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        query_filter: Column | None = None) -> DataFrame:
     """Exact shingle-Jaccard of each query doc against the corpus via an
     inverted-index join on shingle hash (explode -> join -> count), skipping
     the signature step entirely.  Right-sized when the query side is small
     (e.g. incremental ingest vs existing corpus); full-corpus N^2 is what
     minhash_lsh avoids.
+
+    ``query_filter``: when the query set IS a corpus subset, pass its
+    predicate (over corpus columns) instead of a ``query_docs`` frame — the
+    query features are then FILTERED from the corpus feature exchange
+    rather than re-featurized by a second Arrow pass (one corpus scan total;
+    the r3 catalog query re-featurized the query 1/20th from scratch).
 
     ``max_doc_freq`` is the hot-shingle (stop-shingle) guard: shingles whose
     corpus document frequency exceeds it are dropped from the inverted index
@@ -313,17 +343,24 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
     # Arrow-vectorized distinct-shingle sets (integer-identical to the JVM
     # doc_shingles + array_distinct path; see operators/shingle_arrow.py)
     cf = shingle_arrow.shingle_features(corpus)
-    if max_doc_freq is not None:
-        # the guarded query reads the corpus features TWICE (doc-frequency
-        # aggregation + join input); a repartition barrier makes both
-        # branches hang off one exchange so the Arrow corpus pass runs once
-        # (same ReuseExchange discipline as minhash_near_dups; measured
-        # ~1.8s -> ~1.1s at sf0.1, and one corpus scan instead of two at
-        # 100 TB).  Unguarded, the features are read once — no barrier.
-        cf = cf.repartition("doc_id")
-    qx = (shingle_arrow.shingle_features(query_docs)
-          .select(F.col("doc_id").alias("qid"), F.col("n").alias("qn"),
-                  F.explode("ss").alias("h")))
+    if max_doc_freq is not None or query_filter is not None:
+        # the corpus features feed several branches (doc-frequency
+        # aggregation, join input, and the filtered query side); a
+        # repartition barrier makes every branch hang off one exchange so
+        # the Arrow corpus pass runs once (same ReuseExchange discipline as
+        # minhash_near_dups — one corpus scan instead of two or three at
+        # 100 TB).  Unguarded with a separate query frame, the features are
+        # read once — no barrier.  (Fixed N: AQE would coalesce a bare
+        # repartition(col) of the small feature table to one partition.)
+        n_shuffle = int(corpus.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        cf = cf.repartition(n_shuffle, "doc_id")
+    if query_filter is not None:
+        qf = cf.filter(query_filter)
+    else:
+        qf = shingle_arrow.shingle_features(query_docs)
+    qx = qf.select(F.col("doc_id").alias("qid"), F.col("n").alias("qn"),
+                   F.explode("ss").alias("h"))
     cx = cf.select(F.col("doc_id").alias("cid"), F.col("n").alias("cn"),
                    F.explode("ss").alias("h"))
     if max_doc_freq is not None:
@@ -332,7 +369,10 @@ def ngram_jaccard_pairs(query_docs: DataFrame, corpus: DataFrame,
             .filter(F.col("_df") > max_doc_freq)
             .select("h")
         )
-        cx = cx.join(hot, "h", "left_anti")
+        # the hot set is vocabulary-bounded (stop-shingles), never
+        # corpus-proportional — broadcast the anti join so the exploded
+        # corpus index is never shuffled on h just to subtract it
+        cx = cx.join(F.broadcast(hot), "h", "left_anti")
     return (
         # query side is small by contract (incremental ingest batch):
         # broadcast it so the exploded corpus never shuffles.  The hint is

@@ -112,8 +112,13 @@ def shingle_features(docs: DataFrame, text_col: str = "text",
             yield pd.DataFrame(_batch_features(
                 list(pdf[id_col]), list(pdf[text_col]), ab))
 
-    return docs.select(F.col(id_col).alias(id_col), text_col) \
-               .mapInPandas(run, FEATURES_SCHEMA)
+    from ..sources.parquet import spread
+
+    # single-row-group test files scan as ONE task; spread the narrow
+    # (id, text) projection across the pool so the Arrow pass parallelizes
+    # (no-op on already-wide inputs — see sources/parquet.spread)
+    src = spread(docs.select(F.col(id_col).alias(id_col), text_col), id_col)
+    return src.mapInPandas(run, FEATURES_SCHEMA)
 
 
 def band_rows(features: DataFrame) -> DataFrame:

@@ -132,8 +132,12 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 "score": np.concatenate(out_s),
             })
 
-    scored = (corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias(vec_col))
-              .mapInPandas(run, "query_id long, neighbor_id long, score double"))
+    from ..sources.parquet import spread
+
+    src = spread(
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)),
+        id_col)
+    scored = src.mapInPandas(run, "query_id long, neighbor_id long, score double")
     return _ranked_topk(scored, k)
 
 
@@ -174,8 +178,12 @@ def _with_norm_bucket_arrow(vectors: DataFrame, id_col: str, vec_col: str,
 
     schema = (f"{id_alias} long, {vec_alias} array<double>, "
               f"{norm_alias} double, {bucket_alias} long")
-    return vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)) \
-                  .mapInPandas(run, schema)
+    from ..sources.parquet import spread
+
+    src = spread(
+        vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)),
+        id_col)
+    return src.mapInPandas(run, schema)
 
 
 def bucketed_vectors(vectors: DataFrame, id_col: str = "vec_id",

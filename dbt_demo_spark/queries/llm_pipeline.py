@@ -225,9 +225,9 @@ def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus (operators/dedup.py ngram_jaccard_pairs max_doc_freq)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 20 == 0),
-                                  docs, threshold=0.5,
-                                  max_doc_freq=_MAX_DOC_FREQ)
+        dedup.ngram_jaccard_pairs(None, docs, threshold=0.5,
+                                  max_doc_freq=_MAX_DOC_FREQ,
+                                  query_filter=F.col("doc_id") % 20 == 0)
         .select("qid", "cid", "jaccard")
     )
 
