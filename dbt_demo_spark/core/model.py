@@ -24,7 +24,7 @@ ModelFn = Callable[[dict[str, DataFrame]], DataFrame]
 class ModelDef:
     name: str
     deps: tuple[str, ...]
-    materialized: str  # "view" | "table" (dbt_project.yml:19-22) | "incremental"
+    materialized: str  # "view" | "table" (dbt_project.yml:19-22) | "incremental" | "ephemeral"
     fn: ModelFn
     partition_by: tuple[str, ...] = ()   # table layout at scale (month keys)
     doc: str = ""

@@ -21,6 +21,13 @@ the incremental mode the reference's table-rebuild policy scales into:
     source data rewrites one partition instead of rescanning/rewriting the
     whole mart — the difference between O(day) and O(history) work at
     100 TB.  Requires ``partition_by``.
+  * ``ephemeral`` -> dbt's compile-time-inline materialization [public
+    knowledge: dbt ephemeral models are interpolated into consumers as
+    CTEs, never created in the warehouse].  Here the model's DataFrame is
+    passed to downstream refs but NO temp view is registered and nothing
+    is written — Catalyst inlines the logical plan into each consumer, so
+    pruning/pushdown cross the boundary exactly as a CTE would, and the
+    name never becomes addressable in the session catalog.
 """
 
 from __future__ import annotations
@@ -58,6 +65,8 @@ class Runner:
                 df = self._materialize_table(name, df, mdef.partition_by)
             elif mdef.materialized == "incremental":
                 df = self._materialize_incremental(name, df, mdef.partition_by)
+            elif mdef.materialized == "ephemeral":
+                pass  # inlined into consumers; no view, no storage
             else:
                 df.createOrReplaceTempView(name)
             relations[name] = df

@@ -20,32 +20,42 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
+                               StructType, TimestampType)
 
-EVENTS_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),            # TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+
+def _events_schema(ts_is_long: bool) -> StructType:
+    return StructType([
+        StructField("event_id", LongType()),
+        # nanos layout reads TIMESTAMP(NANOS) as long; micros layout reads
+        # natively as a timestamp
+        StructField("ts", LongType() if ts_is_long else TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming read of an events landing DIRECTORY (the file source tails
     a directory; in production this would be Kafka/Kinesis with the same
-    downstream plan)."""
+    downstream plan).  The driver's parquet has shipped both TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) layouts across rounds (see sources/events.py); a
+    one-off batch footer probe picks the matching stream schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(events_dir).schema["ts"].dataType
+    ts_is_long = isinstance(probed, LongType)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_is_long))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
     # LTZ, not NTZ: watermarks/event-time windows require TIMESTAMP type
     # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the session runs UTC so the
     # wall-clock values line up with the batch (NTZ) path.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_is_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def streaming_hourly_rollup(events: DataFrame,

@@ -32,12 +32,20 @@ class CompareResult:
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Register the driver tables as DuckDB views, as the driver does."""
+    """Register the driver tables as DuckDB views, as the driver does.
+
+    A table may be a single file (the driver's layout) or a directory of
+    part files named ``{t}.parquet`` (tools/make_scale.py's splittable
+    layout) — DuckDB needs a glob for the latter."""
+    import os
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{src}')"
         )
     return con
 

@@ -31,6 +31,40 @@ def _partition_files(path: str) -> dict[str, tuple[str, float]]:
     return out
 
 
+def test_ephemeral_inlines_without_view_or_storage(spark, tmp_path):
+    """dbt's ephemeral materialization [public knowledge]: the model is
+    inlined into consumers (a CTE at compile time), never created in the
+    warehouse and never addressable by name.  Spark analog: the DataFrame
+    flows to downstream refs, no temp view, no files."""
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("eph_doubled", deps=("src",), materialized="ephemeral")
+    def eph_doubled(refs):
+        return refs["src"].withColumn("v2", F.col("v") * 2)
+
+    @reg.model("consumer", deps=("eph_doubled",), materialized="view")
+    def consumer(refs):
+        return refs["eph_doubled"].groupBy().agg(F.sum("v2").alias("total"))
+
+    wh = str(tmp_path / "wh_eph")
+    runner = Runner(spark, reg, wh)
+    src = spark.range(5).select(F.col("id").alias("v"))
+    rels = runner.run({"src": src})
+
+    assert rels["consumer"].first()["total"] == 20  # 2*(0+1+2+3+4)
+    # never registered in the session catalog, nothing on disk
+    temp_views = {t.name for t in spark.catalog.listTables()}
+    assert "eph_doubled" not in temp_views
+    assert "consumer" in temp_views
+    assert not os.path.exists(os.path.join(wh, "eph_doubled"))
+    # manifest carries the materialization and the edge
+    man = reg.manifest()
+    assert man["nodes"]["eph_doubled"]["materialized"] == "ephemeral"
+    assert man["nodes"]["consumer"]["depends_on"] == ["eph_doubled"]
+
+
 def test_incremental_rewrites_only_touched_partition(spark, tmp_path):
     wh = str(tmp_path / "wh")
     seeds = load_seed_dataframes(spark)

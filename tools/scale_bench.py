@@ -1,0 +1,128 @@
+"""Spark-vs-DuckDB bench pair at an arbitrary scale directory.
+
+VERDICT r3 item 1b: the engine's sequential-bench defense is that its
+~0.3-0.9s/query planning + stage-scheduling constant amortizes with data
+volume — argued but never measured, because every bench artifact is sf0.1.
+This tool measures it: run the SAME bench-tagged catalog queries through
+(a) bench.py (Spark, power + throughput methodology) and (b) a DuckDB twin
+executing each query's own oracle SQL on the same parquet inputs, and print
+one JSON object with both sides and the ratios.
+
+DuckDB methodology mirrors the judge's remeasure and bench.py: one warmup
+pass, then two sequential passes taking the per-query MIN (results fully
+materialized via .arrow()), then a 16-thread throughput pass (best of 2)
+using one cursor per thread on a shared connection.
+
+Usage:
+  python tools/make_scale.py --out /tmp/sf1 --k 10
+  python tools/scale_bench.py --dir /tmp/sf1 --sf 1.0 [--out SF1_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def duckdb_side(sf_dir: str, threads: int) -> dict:
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.testing import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    oracles = {n: s.oracle for n, s in CATALOG.items()
+               if s.bench and s.oracle is not None}
+
+    def run(cur, sql: str) -> float:
+        t0 = time.perf_counter()
+        cur.execute(sql).arrow()
+        return time.perf_counter() - t0
+
+    for sql in oracles.values():  # warmup
+        run(con, sql)
+    p1 = {n: run(con, sql) for n, sql in oracles.items()}
+    p2 = {n: run(con, sql) for n, sql in oracles.items()}
+    timings = {n: round(min(p1[n], p2[n]), 3) for n in oracles}
+
+    walls = []
+    for _ in range(2):
+        cursors = [con.cursor() for _ in range(threads)]
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(threads) as ex:
+            futs = [ex.submit(run, cursors[i % threads], sql)
+                    for i, sql in enumerate(oracles.values())]
+            for f in futs:
+                f.result()
+        walls.append(time.perf_counter() - t0)
+
+    return {
+        "queries": timings,
+        "sequential_total_sec": round(sum(timings.values()), 3),
+        "throughput_wall_sec": round(min(walls), 3),
+        "threads": threads,
+        "n_queries": len(oracles),
+    }
+
+
+def spark_side(sf_dir: str, threads: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_THREADS=str(threads))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    j = json.loads(line)
+    return {
+        "queries": j["queries"],
+        "sequential_total_sec": j["sequential_total_sec"],
+        "throughput_wall_sec": j["value"],
+        "threads": j["throughput_threads"],
+        "n_queries": len(j["queries"]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", required=True)
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = spark_side(args.dir, args.threads)
+    duck = duckdb_side(args.dir, args.threads)
+
+    common = sorted(set(spark["queries"]) & set(duck["queries"]))
+    seq_spark = round(sum(spark["queries"][n] for n in common), 3)
+    seq_duck = round(sum(duck["queries"][n] for n in common), 3)
+    result = {
+        "sf": args.sf,
+        "dir": args.dir,
+        "spark": spark,
+        "duckdb": duck,
+        "common_queries": len(common),
+        "sequential_ratio": round(seq_spark / seq_duck, 3),
+        "throughput_ratio": round(
+            spark["throughput_wall_sec"] / duck["throughput_wall_sec"], 3),
+        "per_query_ratio": {
+            n: round(spark["queries"][n] / max(duck["queries"][n], 1e-4), 2)
+            for n in common},
+    }
+    text = json.dumps(result, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    print(text)
+
+
+if __name__ == "__main__":
+    main()
