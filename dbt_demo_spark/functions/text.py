@@ -100,11 +100,16 @@ def position_weighted_fingerprint(th: Column) -> Column:
     with w(i) = (i * 2654435761) % P.  Commutative to COMPUTE (safe under
     any execution order) yet sensitive to token ORDER — a reordered
     document fingerprints differently."""
+    # multiplier pre-reduced mod P: identical values (modular arithmetic),
+    # but every intermediate stays <= (P-1)^2 ~ 1e12 regardless of token
+    # index — the same overflow discipline as text_stable_split's bucket
+    mult = 2654435761 % HASH_P
     weighted = F.transform(
-        th, lambda x, i: (x * (((i + 1) * F.lit(2654435761)) % HASH_P)) % HASH_P)
+        th, lambda x, i: (x * ((((i + 1) % HASH_P) * F.lit(mult)) % HASH_P)) % HASH_P)
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v) % HASH_P
 
 
 def sql_position_weighted_fingerprint(th: str) -> str:
-    return (f"CAST(list_sum([(({th}[i]) * ((i * 2654435761) % {HASH_P})) % {HASH_P}"
+    mult = 2654435761 % HASH_P
+    return (f"CAST(list_sum([(({th}[i]) * (((i % {HASH_P}) * {mult}) % {HASH_P})) % {HASH_P}"
             f" for i in generate_series(1, len({th}))]) % {HASH_P} AS BIGINT)")

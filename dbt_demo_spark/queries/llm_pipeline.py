@@ -552,13 +552,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Knuth multiplicative constant REDUCED mod HASH_P: (doc_id * c) % P ==
+# ((doc_id % P) * (c % P)) % P, and the reduced form keeps every
+# intermediate <= (P-1)^2 ~ 1e12 — int64-safe for ANY doc_id, where the
+# raw `doc_id * 2654435761` overflows int64 once doc_id exceeds ~3.5e9
+# (found by the 10x scale run; 100 TB corpora have keys well past that).
+_SPLIT_MULT = 2654435761 % HASH_P
+
+
 @query(
     "text_stable_split",
     oracle=f"""
         SELECT doc_id, lang,
-               CAST((doc_id * 2654435761) % {HASH_P} % 100 AS BIGINT) AS bucket,
-               CASE WHEN (doc_id * 2654435761) % {HASH_P} % 100 < 80 THEN 'train'
-                    WHEN (doc_id * 2654435761) % {HASH_P} % 100 < 90 THEN 'val'
+               CAST(((doc_id % {HASH_P}) * {_SPLIT_MULT}) % {HASH_P} % 100 AS BIGINT) AS bucket,
+               CASE WHEN ((doc_id % {HASH_P}) * {_SPLIT_MULT}) % {HASH_P} % 100 < 80 THEN 'train'
+                    WHEN ((doc_id % {HASH_P}) * {_SPLIT_MULT}) % {HASH_P} % 100 < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     """,
@@ -571,7 +579,7 @@ def text_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus growth (unlike seeded random sampling, whose output depends on
     row order).  Pure map-side integer math."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % HASH_P % 100
+    bucket = ((F.col("doc_id") % HASH_P) * _SPLIT_MULT) % HASH_P % 100
     return docs.select(
         "doc_id", "lang",
         bucket.cast("long").alias("bucket"),

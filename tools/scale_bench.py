@@ -46,21 +46,44 @@ def duckdb_side(sf_dir: str, threads: int) -> dict:
         cur.execute(sql).arrow()
         return time.perf_counter() - t0
 
-    for sql in oracles.values():  # warmup
-        run(con, sql)
-    p1 = {n: run(con, sql) for n, sql in oracles.items()}
-    p2 = {n: run(con, sql) for n, sql in oracles.items()}
+    def named_pass(tag: str) -> dict:
+        out = {}
+        for n, sql in oracles.items():
+            # progress names the query so a native crash is attributable
+            print(f"duckdb {tag} {n}", file=sys.stderr, flush=True)
+            out[n] = run(con, sql)
+        return out
+
+    named_pass("warmup")
+    p1 = named_pass("p1")
+    p2 = named_pass("p2")
     timings = {n: round(min(p1[n], p2[n]), 3) for n in oracles}
+
+    # Throughput with one CONNECTION per worker thread (thread-local): 16
+    # cursors multiplexed over a single native connection segfault under
+    # concurrent load at this scale; independent connections are also how
+    # concurrent clients actually drive DuckDB.  Split the core budget.
+    import threading
+
+    per_conn_threads = max(1, (os.cpu_count() or threads) // threads)
+    print(f"duckdb throughput ({threads} thread-local connections x "
+          f"{per_conn_threads} threads)", file=sys.stderr, flush=True)
+    tls = threading.local()
+
+    def tls_run(sql: str) -> float:
+        c = getattr(tls, "con", None)
+        if c is None:
+            c = duckdb_connection(sf_dir)
+            c.execute(f"SET threads TO {per_conn_threads}")
+            c.execute("SET memory_limit = '6GB'")
+            tls.con = c
+        return run(c, sql)
 
     walls = []
     for _ in range(2):
-        cursors = [con.cursor() for _ in range(threads)]
         t0 = time.perf_counter()
         with ThreadPoolExecutor(threads) as ex:
-            futs = [ex.submit(run, cursors[i % threads], sql)
-                    for i, sql in enumerate(oracles.values())]
-            for f in futs:
-                f.result()
+            list(ex.map(tls_run, oracles.values()))
         walls.append(time.perf_counter() - t0)
 
     return {
@@ -96,9 +119,28 @@ def main() -> None:
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--threads", type=int, default=16)
     ap.add_argument("--out", default=None)
+    # sides run as separate invocations via --spark-json so a native crash in
+    # one engine (DuckDB segfaults are real at this scale) can't lose the
+    # other's completed measurement
+    ap.add_argument("--side", choices=["both", "spark", "duckdb"], default="both")
+    ap.add_argument("--spark-json", default=None,
+                    help="with --side duckdb: reuse this spark result file")
     args = ap.parse_args()
 
-    spark = spark_side(args.dir, args.threads)
+    if args.side == "spark":
+        spark = spark_side(args.dir, args.threads)
+        text = json.dumps(spark, indent=1)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text + "\n")
+        print(text)
+        return
+
+    if args.side == "duckdb" and args.spark_json:
+        with open(args.spark_json) as f:
+            spark = json.load(f)
+    else:
+        spark = spark_side(args.dir, args.threads)
     duck = duckdb_side(args.dir, args.threads)
 
     common = sorted(set(spark["queries"]) & set(duck["queries"]))
