@@ -911,3 +911,100 @@ def test_orc_source_roundtrip_with_pushdown(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan
     assert "text" not in plan.split("ReadSchema", 1)[1][:200]
+
+
+def test_pack_chunks_invariants_and_determinism(spark):
+    """Sharded FFD sequence packing: every chunk lands in exactly one bin,
+    no bin exceeds the budget (unless it holds one oversized chunk), and
+    the packing is bit-deterministic across runs for a fixed shard count."""
+    from dbt_demo_spark.operators.chunk import chunk_documents
+    from dbt_demo_spark.operators.packing import pack_chunks, packing_stats
+
+    BUDGET = 256
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    packed = pack_chunks(chunks, BUDGET, n_shards=16)
+    rows = packed.collect()
+
+    # exactly one bin per chunk, chunk set preserved
+    in_keys = sorted((r.doc_id, r.chunk_id) for r in chunks.collect())
+    out_keys = sorted((r.doc_id, r.chunk_id) for r in rows)
+    assert out_keys == in_keys
+
+    # budget respected (chunk_tokens 64 <= budget, so no oversize path)
+    fills: dict = {}
+    for r in rows:
+        fills.setdefault((r.shard, r.bin_id), []).append(r.n_tokens)
+    assert all(sum(v) <= BUDGET for v in fills.values())
+
+    # FFD actually packs: average utilization well above one-chunk-per-bin
+    stats = packing_stats(packed, BUDGET).collect()
+    avg_util = sum(s.utilization for s in stats) / len(stats)
+    assert avg_util > 0.8, avg_util
+
+    # deterministic: identical assignment on a re-run
+    again = sorted((r.shard, r.bin_id, r.doc_id, r.chunk_id)
+                   for r in pack_chunks(chunks, BUDGET, n_shards=16).collect())
+    assert again == sorted((r.shard, r.bin_id, r.doc_id, r.chunk_id)
+                           for r in rows)
+
+
+def test_pack_chunks_oversized_get_own_bin(spark):
+    from dbt_demo_spark.operators.packing import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 500), (1, 1, 100), (2, 0, 90), (3, 0, 40)],
+        "doc_id long, chunk_id int, n_tokens int")
+    rows = pack_chunks(chunks, budget=128, n_shards=4).collect()
+    oversized_bins = [(r.shard, r.bin_id) for r in rows if r.n_tokens == 500]
+    assert len(oversized_bins) == 1
+    mates = [r for r in rows
+             if (r.shard, r.bin_id) == oversized_bins[0] and r.n_tokens != 500]
+    assert mates == []  # the oversized chunk shares its bin with nothing
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (view->click attribution):
+    the streamed result over a 3-file time-ordered backlog must equal the
+    batch join exactly — state retention across micro-batches included."""
+    from dbt_demo_spark.sources.events import load_events
+    from dbt_demo_spark.streaming import interval_join, read_event_stream
+
+    ev = load_events(spark, SF_SMOKE).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    want = sorted(
+        (r.user_id, r.trigger_ts, r.follow_ts, round(r.lag_seconds, 6))
+        for r in interval_join(clicks, views, "user_id",
+                               max_delay="24 hours").collect())
+    assert len(want) > 10  # the smoke slice produces real matches
+
+    # time-ordered 3-file landing dirs (file order == event-time order, so
+    # the watermark never evicts a trigger that could still match)
+    land_c, land_v = tmp_path / "clicks", tmp_path / "views"
+    for df, d in ((clicks, land_c), (views, land_v)):
+        d.mkdir()
+        parts = df.withColumn(
+            "_f", F.ntile(3).over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy("ts")))
+        for i in range(1, 4):
+            (parts.filter(F.col("_f") == i).drop("_f").coalesce(1)
+             .write.mode("overwrite").parquet(str(d / f"f{i}")))
+        for i in range(1, 4):
+            src = next((d / f"f{i}").glob("part-*.parquet"))
+            src.rename(d / f"{i:02d}.parquet")
+
+    got_q = interval_join(
+        read_event_stream(spark, str(land_c)).filter(F.col("event_type") == "click"),
+        read_event_stream(spark, str(land_v)).filter(F.col("event_type") == "view"),
+        "user_id", max_delay="24 hours", watermark="48 hours")
+    q = (got_q.writeStream.format("memory").queryName("attrib")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.trigger_ts, r.follow_ts, round(r.lag_seconds, 6))
+        for r in spark.sql("SELECT * FROM attrib").collect())
+    assert got == want
