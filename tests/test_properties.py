@@ -158,3 +158,48 @@ def test_snapshot_scd2_property(spark, tmp_path_factory, runs):
     want = {(k, vf, vt, v)
             for k, versions in ref.items() for vf, vt, v in versions}
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 50),      # doc_id
+                       st.integers(0, 5),       # chunk_id
+                       st.integers(1, 300)),    # n_tokens (may exceed budget)
+             min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1])),
+    st.integers(32, 256),                        # budget
+    st.integers(1, 8),                           # n_shards
+)
+def test_pack_chunks_property(spark, chunks, budget, n_shards):
+    """pack_chunks == the pure-python sharded-FFD model for ANY chunk
+    mix/budget/shard count: same bin for every chunk, budget respected
+    except single-oversized bins, partition-count independent."""
+    from dbt_demo_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(chunks, "doc_id long, chunk_id int, n_tokens int")
+    got = {(r.doc_id, r.chunk_id): (r.shard, r.bin_id)
+           for r in pack_chunks(df, budget, n_shards=n_shards).collect()}
+
+    # reference: shard via the engine's own hash (pinned by one tiny query),
+    # then FFD with the operator's declared order
+    shard_of = {r.doc_id: r.shard for r in pack_chunks(
+        df.select("doc_id").distinct()
+          .withColumn("chunk_id", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0))
+          .withColumn("n_tokens", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)),
+        budget, n_shards=n_shards).collect()}
+    want = {}
+    for shard in set(shard_of.values()):
+        members = sorted((t for t in chunks if shard_of[t[0]] == shard),
+                         key=lambda t: (-t[2], t[0], t[1]))
+        bins = []
+        for doc_id, chunk_id, tok in members:
+            placed = -1
+            for b, room in enumerate(bins):
+                if room >= tok:
+                    placed, bins[b] = b, room - tok
+                    break
+            if placed < 0:
+                bins.append(max(0, budget - tok))
+                placed = len(bins) - 1
+            want[(doc_id, chunk_id)] = (shard, placed)
+
+    assert got == want
