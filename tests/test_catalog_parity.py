@@ -50,3 +50,7 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+    # the driver checks at most 50 catalog entries in registration order;
+    # entry #51 would be silently un-gated (round 2 shipped 53 and the last
+    # 3 went unchecked) — adding a query MUST displace one
+    assert len(e.queries()) <= 50, "catalog exceeds the driver's 50-entry window"

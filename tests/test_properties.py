@@ -203,3 +203,37 @@ def test_pack_chunks_property(spark, chunks, budget, n_shards):
             want[(doc_id, chunk_id)] = (shard, placed)
 
     assert got == want
+
+
+@SETTINGS
+@given(events_strategy, events_strategy, st.integers(1, 120))
+def test_interval_join_property(spark, lrows, rrows, delay):
+    """interval_join (batch form) == the pure-python interval match for
+    any key/ts mix and delay: every (follow, trigger) pair with the same
+    key and trigger_ts <= follow_ts <= trigger_ts + delay, multiplicity
+    included."""
+    import datetime as dt
+
+    from dbt_demo_spark.streaming import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows, tag):
+        return spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=ts), f"{tag}{u}")
+             for k, ts, u in rows],
+            "user_id long, ts timestamp, event_type string")
+
+    left, right = mk(lrows, "f"), mk(rrows, "t")
+    got = sorted(
+        (r.user_id, r.trigger_ts, r.follow_ts, r.trigger_type, r.follow_type)
+        for r in interval_join(left, right, "user_id",
+                               max_delay=f"{delay} seconds").collect())
+
+    want = sorted(
+        (lk, base + dt.timedelta(seconds=rts), base + dt.timedelta(seconds=lts),
+         f"t{ru}", f"f{lu}")
+        for lk, lts, lu in lrows
+        for rk, rts, ru in rrows
+        if lk == rk and rts <= lts <= rts + delay)
+    assert got == want
