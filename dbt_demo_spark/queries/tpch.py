@@ -311,10 +311,17 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # Explicitly broadcast `big` into BOTH semi filters (orders AND the
+    # lineitem rescan): AQE can only discover the broadcast after a full
+    # shuffle materializes, and the rescan otherwise re-shuffles all of
+    # lineitem into the final join — 1.7x at sf1 (1.64s -> 0.97s).
+    li_sel = li.join(F.broadcast(big), li.l_orderkey == big.l_orderkey,
+                     "left_semi")
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey,
+                    "left_semi")
         .join(cust, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(li_sel, orders.o_orderkey == li_sel.l_orderkey)
         .groupBy(F.col("c_name").alias("customer_name"),
                  F.col("c_custkey").alias("customer_key"),
                  F.col("o_orderkey").alias("order_key"),
