@@ -1,0 +1,180 @@
+"""Corpus-hygiene filters for a training-data pipeline: n-gram repetition
+stats (the Gopher/MassiveText-style repetition signals) and PII redaction.
+
+Both are ROW-LOCAL — pure JVM expression work over each document, no
+shuffle, no Python.  At 100 TB they are a narrow map over the scan: the
+plan is Scan -> Project with zero Exchange (asserted in
+tests/test_text_filters.py), so they parallelize embarrassingly and
+pipeline into whatever shuffle the downstream operator needs.
+
+These are pytest-differential operators (the driver catalog is capped at
+50 entries); tests/test_text_filters.py runs the same DuckDB-oracle gate
+the catalog queries get, plus planted-fixture checks on corpora that
+actually contain repetition and PII (the synthetic corpus has neither in
+interesting amounts).
+
+Reference parity: the reference pipeline has no text-hygiene stage (its 4
+models are relational, dbt-demo models/*.sql); these extend the engine the
+way its users would for LLM corpus preparation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import round2, sql_round2
+from ..functions.text import sql_tokens, tokens
+from ..sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Repetition stats
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(toks, n_tokens, n: int):
+    """array<string> of space-joined word n-grams via shifted-slice zip_with
+    (same Catalyst-safe shape as functions/text.shingle_hashes: transform+
+    element_at would re-inline the token array per element)."""
+    m = n_tokens - (n - 1)  # number of n-grams
+    out = F.slice(toks, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(out, F.slice(toks, 1 + i, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def _dup_frac(arr):
+    """1 - distinct/total: the fraction of n-gram slots occupied by a repeat
+    of an earlier n-gram.  NULL when the array is empty."""
+    n = F.size(arr)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(arr)) * 1.0 / n)
+
+
+TEXT_REPETITION_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, t,
+               [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)] AS bi,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in generate_series(1, len(t) - 2)] AS tri
+        FROM toks
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           {sql_round2('len(list_distinct(t)) * 1.0 / len(t)')} AS uniq_token_frac,
+           CASE WHEN len(bi) > 0 THEN
+               {sql_round2('1.0 - len(list_distinct(bi)) * 1.0 / len(bi)')}
+           END AS dup_bigram_frac,
+           CASE WHEN len(tri) > 0 THEN
+               {sql_round2('1.0 - len(list_distinct(tri)) * 1.0 / len(tri)')}
+           END AS dup_trigram_frac
+    FROM grams
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: distinct-token fraction and the
+    duplicated bigram/trigram fractions (high values flag boilerplate or
+    degenerate generations; the classic cut is dup_trigram_frac > ~0.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bi = _ngrams(toks, n, 2)
+    tri = _ngrams(toks, n, 3)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        round2(F.size(F.array_distinct(toks)) * 1.0 / n).alias("uniq_token_frac"),
+        round2(_dup_frac(bi)).alias("dup_bigram_frac"),
+        round2(_dup_frac(tri)).alias("dup_trigram_frac"),
+    )
+
+
+def repetition_filter(docs: DataFrame, max_dup_trigram_frac: float = 0.3,
+                      min_uniq_token_frac: float = 0.2) -> DataFrame:
+    """The filter form: keep documents under the repetition thresholds.
+    Composes as a plain narrow filter ahead of any dedup/shuffle stage."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    tri = _ngrams(toks, n, 3)
+    uniq = F.size(F.array_distinct(toks)) * 1.0 / n
+    dup_tri = F.coalesce(_dup_frac(tri), F.lit(0.0))
+    return docs.filter((dup_tri <= max_dup_trigram_frac)
+                       & (uniq >= min_uniq_token_frac))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, bounded repeats, \b word
+# boundaries.  No backrefs / lookaround (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+PII_REDACT_ORACLE = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS emails_found,
+           len(regexp_extract_all(text, '{IPV4_RE}')) AS ips_found,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g') AS clean_text
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition report
+# ---------------------------------------------------------------------------
+
+CORPUS_STATS_ORACLE = f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+           {sql_round2('SUM(n_chars) * 1.0 / COUNT(*)')} AS avg_chars,
+           {sql_round2('quantile_cont(n_chars, 0.5)')} AS median_chars,
+           {sql_round2('quantile_cont(n_chars, 0.9)')} AS p90_chars
+    FROM documents
+    GROUP BY source
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition: doc/language counts, token volume and
+    the char-length distribution — the mixing report a pretraining pipeline
+    produces before weighting sources.
+
+    One partial-aggregated shuffle on a low-cardinality key.  The exact
+    interpolated ``percentile`` (== DuckDB ``quantile_cont``) keeps this
+    oracle-checkable; it buffers each group's values, so at 100 TB swap in
+    ``approx_percentile`` — the same mergeable-sketch escape hatch already
+    shipped for countDistinct (functions/approx.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("total_tokens"),
+        round2(F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
+        round2(F.percentile("n_chars", 0.5)).alias("median_chars"),
+        round2(F.percentile("n_chars", 0.9)).alias("p90_chars"),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails / IPv4 literals.  Emails first: a host that
+    is itself an IP (user@10.0.0.1) fails the alpha-TLD email pattern and
+    is caught by the IP pass — deterministically, in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+         .cast("long").alias("emails_found"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(IPV4_RE), F.lit(0)))
+         .cast("long").alias("ips_found"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>").alias("clean_text"),
+    )

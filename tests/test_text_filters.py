@@ -1,0 +1,107 @@
+"""Differential + planted-fixture coverage for the corpus-hygiene filters
+(queries/text_filters.py): same DuckDB-oracle gate the catalog queries get,
+run both on the driver corpus and on a fixture that actually contains
+repetition and PII; plus the row-local (zero-Exchange) plan claim."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_demo_spark.queries.text_filters import (CORPUS_STATS_ORACLE,
+                                                 PII_REDACT_ORACLE,
+                                                 TEXT_REPETITION_ORACLE,
+                                                 corpus_stats, pii_redact,
+                                                 repetition_filter,
+                                                 text_repetition)
+from dbt_demo_spark.testing import compare, duckdb_connection
+from tests.conftest import SF_GATE
+
+FIXTURE_DOCS = [
+    # (doc_id, text, lang, source, n_chars) — matches the driver's schema
+    (0, "spam spam spam spam spam spam spam spam spam spam", "en", "fx", 49),
+    (1, "the quick brown fox jumps over the lazy dog tonight", "en", "fx", 51),
+    (2, "contact alice.smith+news@example.co.uk or bob@test.io today", "en", "fx", 59),
+    (3, "server at 10.0.0.1 and 192.168.255.7 replied to user@10.0.0.1", "en", "fx", 61),
+    (4, "one two three one two three one two three four five", "en", "fx", 51),
+    (5, "no personal data here just plain words and numbers 42", "en", "fx", 53),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hygiene")
+    df = spark.createDataFrame(
+        FIXTURE_DOCS, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("fn,oracle", [
+    (text_repetition, TEXT_REPETITION_ORACLE),
+    (pii_redact, PII_REDACT_ORACLE),
+    (corpus_stats, CORPUS_STATS_ORACLE),
+])
+def test_matches_oracle_on_driver_corpus(spark, fn, oracle):
+    con = duckdb_connection(SF_GATE)
+    res = compare(fn.__name__, fn(spark, SF_GATE), con, oracle)
+    assert res.ok, f"{fn.__name__}: {res.detail}"
+
+
+@pytest.mark.parametrize("fn,oracle", [
+    (text_repetition, TEXT_REPETITION_ORACLE),
+    (pii_redact, PII_REDACT_ORACLE),
+])
+def test_matches_oracle_on_planted_fixture(spark, fixture_dir, fn, oracle):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{fixture_dir}/documents.parquet/*.parquet')")
+    res = compare(fn.__name__, fn(spark, fixture_dir), con, oracle)
+    assert res.ok, f"{fn.__name__}: {res.detail}"
+
+
+def test_repetition_values(spark, fixture_dir):
+    rows = {r["doc_id"]: r.asDict()
+            for r in text_repetition(spark, fixture_dir).collect()}
+    # doc 0 is one token repeated 10x: 1 distinct token, every bigram equal
+    assert rows[0]["uniq_token_frac"] == 0.1
+    assert rows[0]["dup_bigram_frac"] == 0.89  # round2(1 - 1/9)
+    # doc 1 repeats only "the": no repeated bigrams at all
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    # doc 4: "one two three" x3 + tail
+    assert rows[4]["dup_trigram_frac"] > 0.2
+
+
+def test_repetition_filter_drops_boilerplate(spark, fixture_dir):
+    from dbt_demo_spark.sources.parquet import load_table
+
+    docs = load_table(spark, fixture_dir, "documents")
+    kept = {r["doc_id"] for r in repetition_filter(docs).collect()}
+    assert 0 not in kept          # pure repetition
+    assert {1, 5} <= kept         # clean prose survives
+
+
+def test_pii_values(spark, fixture_dir):
+    rows = {r["doc_id"]: r.asDict()
+            for r in pii_redact(spark, fixture_dir).collect()}
+    assert rows[2]["emails_found"] == 2
+    assert "<EMAIL>" in rows[2]["clean_text"]
+    assert "example.co.uk" not in rows[2]["clean_text"]
+    # user@10.0.0.1 is NOT an email (numeric TLD) — the IP pass catches it
+    assert rows[3]["emails_found"] == 0
+    assert rows[3]["ips_found"] == 3
+    assert rows[3]["clean_text"].count("<IP>") == 3
+    assert rows[5]["emails_found"] == 0 and rows[5]["ips_found"] == 0
+    assert rows[5]["clean_text"].endswith("numbers 42")
+
+
+def test_row_local_plan_has_no_exchange(spark):
+    """Both filters must stay a narrow Scan->Project map: any Exchange here
+    would shuffle 100 TB for per-row arithmetic."""
+    for fn in (text_repetition, pii_redact):
+        plan = fn(spark, SF_GATE)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan}"
