@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import round2, sql_round2
-from ..functions.text import sql_tokens, tokens
+from ..functions.text import HASH_P, sql_tokens, tokens
 from ..sources.parquet import load_table
 
 # ---------------------------------------------------------------------------
@@ -103,6 +103,64 @@ def repetition_filter(docs: DataFrame, max_dup_trigram_frac: float = 0.3,
     dup_tri = F.coalesce(_dup_frac(tri), F.lit(0.0))
     return docs.filter((dup_tri <= max_dup_trigram_frac)
                        & (uniq >= min_uniq_token_frac))
+
+
+# ---------------------------------------------------------------------------
+# Source-weighted sampling (mixture weighting)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MULT = 48271  # minstd multiplier — decorrelated from the split hash
+SAMPLE_GRAN = 10_000  # rate resolution: 1/10000
+
+
+def _sample_bucket(doc_id):
+    """Deterministic [0, SAMPLE_GRAN) bucket from doc_id — same
+    integer-arithmetic family as text_stable_split's hash, different
+    multiplier so sampling is independent of the train/val/test split."""
+    return ((doc_id % HASH_P) * _SAMPLE_MULT) % HASH_P % SAMPLE_GRAN
+
+
+def _sql_sample_bucket(expr: str = "doc_id") -> str:
+    return f"(({expr} % {HASH_P}) * {_SAMPLE_MULT}) % {HASH_P} % {SAMPLE_GRAN}"
+
+
+def source_weighted_sample(docs: DataFrame,
+                           rates: dict[str, float]) -> DataFrame:
+    """Downsample each source to its mixture rate: keep a row iff its hash
+    bucket clears floor(rate * GRAN).  Row-local filter — no shuffle, no
+    RNG, stable under re-runs and repartitioning (the property random
+    sample() lacks); unlisted sources are dropped (rate 0)."""
+    rate_col = None
+    for src, rate in sorted(rates.items()):
+        thresh = F.lit(int(rate * SAMPLE_GRAN))
+        rate_col = (F.when(F.col("source") == src, thresh) if rate_col is None
+                    else rate_col.when(F.col("source") == src, thresh))
+    rate_col = rate_col.otherwise(F.lit(0)) if rate_col is not None else F.lit(0)
+    return docs.filter(_sample_bucket(F.col("doc_id")) < rate_col)
+
+
+# Demo query shape: rates derived row-locally from the source name's last
+# character — {0.25, 0.5, 0.75, 1.0} — so the oracle needs no rate table and
+# the differential covers the full keep/drop arithmetic.
+CORPUS_WEIGHTED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, source,
+           CAST({_sql_sample_bucket()} AS BIGINT) AS sample_bucket
+    FROM documents
+    WHERE {_sql_sample_bucket()} <
+          (ascii(substr(source, length(source), 1)) % 4 + 1) * {SAMPLE_GRAN // 4}
+"""
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampler as a catalog-shaped query (rates keyed off the source
+    name so both engines compute them row-locally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    last_char = F.ascii(F.substring(F.col("source"), -1, 1))
+    thresh = (last_char % 4 + 1) * (SAMPLE_GRAN // 4)
+    bucket = _sample_bucket(F.col("doc_id"))
+    return (docs.filter(bucket < thresh)
+            .select("doc_id", "source",
+                    bucket.cast("long").alias("sample_bucket")))
 
 
 # ---------------------------------------------------------------------------

@@ -10,10 +10,14 @@ import os
 import pytest
 
 from dbt_demo_spark.queries.text_filters import (CORPUS_STATS_ORACLE,
-                                                 PII_REDACT_ORACLE,
+                                                 CORPUS_WEIGHTED_SAMPLE_ORACLE,
+                                                 HASH_P, PII_REDACT_ORACLE,
+                                                 SAMPLE_GRAN,
                                                  TEXT_REPETITION_ORACLE,
-                                                 corpus_stats, pii_redact,
-                                                 repetition_filter,
+                                                 _SAMPLE_MULT, corpus_stats,
+                                                 corpus_weighted_sample,
+                                                 pii_redact, repetition_filter,
+                                                 source_weighted_sample,
                                                  text_repetition)
 from dbt_demo_spark.testing import compare, duckdb_connection
 from tests.conftest import SF_GATE
@@ -42,6 +46,7 @@ def fixture_dir(spark, tmp_path_factory):
     (text_repetition, TEXT_REPETITION_ORACLE),
     (pii_redact, PII_REDACT_ORACLE),
     (corpus_stats, CORPUS_STATS_ORACLE),
+    (corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_ORACLE),
 ])
 def test_matches_oracle_on_driver_corpus(spark, fn, oracle):
     con = duckdb_connection(SF_GATE)
@@ -99,9 +104,31 @@ def test_pii_values(spark, fixture_dir):
     assert rows[5]["clean_text"].endswith("numbers 42")
 
 
+def test_source_weighted_sample_exact_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "w", "en", "a_src", 1) for i in range(2000)]
+        + [(i + 10_000, "w", "en", "b_src", 1) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rates = {"a_src": 0.5, "b_src": 1.0}
+
+    def bucket(doc_id):
+        return ((doc_id % HASH_P) * _SAMPLE_MULT) % HASH_P % SAMPLE_GRAN
+
+    expect_a = {i for i in range(2000) if bucket(i) < SAMPLE_GRAN // 2}
+    got = source_weighted_sample(docs, rates).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts["b_src"] == 2000                      # rate 1.0 keeps all
+    assert counts["a_src"] == len(expect_a)             # exact hash census
+    assert 0.4 < counts["a_src"] / 2000 < 0.6           # and it is ~the rate
+    # unlisted sources drop; re-run is bit-identical (no RNG anywhere)
+    assert source_weighted_sample(docs, {"b_src": 1.0}).count() == 2000
+    again = source_weighted_sample(docs, rates).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in again} == counts
+
+
 def test_row_local_plan_has_no_exchange(spark):
     """Both filters must stay a narrow Scan->Project map: any Exchange here
     would shuffle 100 TB for per-row arithmetic."""
-    for fn in (text_repetition, pii_redact):
+    for fn in (text_repetition, pii_redact, corpus_weighted_sample):
         plan = fn(spark, SF_GATE)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan}"
