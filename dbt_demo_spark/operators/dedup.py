@@ -399,3 +399,71 @@ def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
              / (F.col("qn") + F.col("cn") - F.col("inter"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
+                              threshold: float = 0.5,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              max_bucket: int | None = None) -> DataFrame:
+    """Cross-batch MinHash dedup against a persisted fingerprint index —
+    the production shape for a corpus that grows: each ingest batch is
+    deduped against everything ever seen WITHOUT re-featurizing the
+    history.
+
+    The index is the Arrow feature table (doc_id, bks, ss, n — band keys +
+    distinct shingle hashes, operators/shingle_arrow.py) appended per batch.
+    Per batch:
+
+      1. featurize the batch once (Arrow pass + doc_id repartition barrier);
+      2. within-batch candidates via LSH buckets (d1 < d2), PLUS cross
+         candidates from joining the batch's band rows against the index's —
+         the BATCH side is broadcast, so the historical index is only
+         scanned, never shuffled (at 100 TB the index dwarfs any batch);
+      3. exact Jaccard verify over the union of batch + index shingle sets,
+         semi-filtered to candidate docs;
+      4. drop a new doc iff it matches ANY earlier doc (lower id in-batch,
+         or anything already indexed) — pairwise semantics, so two-batch
+         ingestion equals the one-shot pair set exactly (tested);
+      5. append ALL batch features to the index (dropped docs too: "earlier"
+         includes them, keeping the semantics batch-split-invariant).
+
+    The dropped-id set is materialized (localCheckpoint) BEFORE the append
+    so the lazy anti-join can never observe the batch's own fingerprints in
+    the index.  Docs with < 3 tokens have no shingles: they are kept and
+    not indexed (exact_dedup_keep_first handles trivia upstream).
+
+    Returns the kept (accepted) rows of ``new_docs``.
+    """
+    import os
+
+    from . import shingle_arrow
+
+    spark = new_docs.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    feats_new = (shingle_arrow.shingle_features(new_docs, text_col, id_col)
+                 .repartition(n_shuffle, "doc_id"))
+    new_bands = shingle_arrow.band_rows(feats_new)
+    cands = lsh_candidates(new_bands, max_bucket)
+    sets = feats_new.select("doc_id", "ss", "n")
+    if os.path.isdir(index_dir):
+        old_feats = spark.read.parquet(index_dir)
+        cross = (
+            shingle_arrow.band_rows(old_feats).alias("o")
+            .join(F.broadcast(new_bands).alias("nw"),
+                  (F.col("o.band_id") == F.col("nw.band_id"))
+                  & (F.col("o.band_key") == F.col("nw.band_key")))
+            .select(F.col("o.doc_id").alias("d1"),
+                    F.col("nw.doc_id").alias("d2"))
+            .distinct())
+        cands = cands.unionByName(cross)
+        sets = sets.unionByName(old_feats.select("doc_id", "ss", "n"))
+    cand_docs = (cands.select(F.col("d1").alias("doc_id"))
+                 .union(cands.select(F.col("d2").alias("doc_id")))
+                 .distinct())
+    sets = sets.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    dups = jaccard_verify_sets(cands, sets, threshold)
+    dropped = (dups.select(F.col("d2").alias(id_col)).distinct()
+               .localCheckpoint(eager=True))
+    kept = new_docs.join(dropped, id_col, "left_anti")
+    feats_new.write.mode("append").parquet(index_dir)
+    return kept
