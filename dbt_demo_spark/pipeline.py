@@ -1,0 +1,87 @@
+"""End-to-end corpus-preparation pipeline: the composition a training-data
+user actually runs, wired from the package's own operators —
+
+    ingest -> exact dedup (keep-first) -> repetition filter -> PII redaction
+           -> [optional source-weighted sampling] -> incremental near-dup
+           vs the persisted fingerprint index -> train/val/test split
+
+Per-stage funnel counts use ``DataFrame.observe`` (the Observation API):
+each stage's row count is collected by the SAME job that materializes the
+output — no extra count() passes over the corpus, which at 100 TB is the
+difference between one scan and seven.  The only extra actions are the two
+incremental-dedup internals (dropped-id materialization + index append),
+which exist for correctness, not observability.
+
+Every stage is an operator tested on its own (tests/test_text_filters.py,
+tests/test_dedup_incremental.py); this module's tests pin the composition:
+funnel counts consistent, ordering stable, re-ingest inert.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation
+
+from .operators.dedup import exact_dedup_keep_first, incremental_minhash_dedup
+from .queries.llm_pipeline import _SPLIT_MULT
+from .queries.text_filters import (EMAIL_RE, IPV4_RE, repetition_filter,
+                                   source_weighted_sample)
+from .functions.text import HASH_P
+
+
+def split_column(doc_id, train_pct: int = 80, val_pct: int = 10):
+    """The text_stable_split assignment as a reusable column: deterministic
+    integer-hash bucket -> 'train' / 'val' / 'test'."""
+    bucket = ((doc_id % HASH_P) * _SPLIT_MULT) % HASH_P % 100
+    return (F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test"))
+
+
+def clean_corpus(new_docs: DataFrame, index_dir: str, *,
+                 threshold: float = 0.5, max_bucket: int | None = 64,
+                 max_dup_trigram_frac: float = 0.3,
+                 min_uniq_token_frac: float = 0.2,
+                 rates: dict[str, float] | None = None,
+                 ) -> tuple[DataFrame, dict[str, Observation]]:
+    """Run the full preparation funnel over an ingest batch.
+
+    Returns ``(clean, observations)``: ``clean`` is the accepted rows with
+    ``text`` redacted and a ``split`` column appended; ``observations`` maps
+    stage name -> Observation whose ``rows`` metric is populated once the
+    caller materializes ``clean`` (write/collect).  Stage order — cheap
+    row-local filters BEFORE the shuffling dedups — keeps every shuffle as
+    small as the filters can make it.
+    """
+    obs: dict[str, Observation] = {}
+
+    def tap(df: DataFrame, name: str) -> DataFrame:
+        o = Observation(name)
+        obs[name] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+
+    df = tap(new_docs, "ingested")
+
+    # exact dedup first: it is the cheapest shuffle and near-dup work scales
+    # with surviving rows.  keep-first semantics via semi-join on keep_id.
+    keep_ids = exact_dedup_keep_first(df).select(
+        F.col("keep_id").alias("doc_id"))
+    df = tap(df.join(keep_ids, "doc_id", "left_semi"), "after_exact_dedup")
+
+    # row-local hygiene: repetition cut, then in-place PII redaction
+    df = tap(repetition_filter(df, max_dup_trigram_frac,
+                               min_uniq_token_frac), "after_repetition")
+    df = df.withColumn(
+        "text", F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"))
+
+    if rates is not None:
+        df = tap(source_weighted_sample(df, rates), "after_sampling")
+
+    # near-dup last: everything already dropped never reaches the Arrow
+    # featurization or the index
+    df = tap(incremental_minhash_dedup(df, index_dir, threshold,
+                                       max_bucket=max_bucket), "accepted")
+
+    return df.withColumn("split", split_column(F.col("doc_id"))), obs

@@ -1,0 +1,80 @@
+"""Composition tests for pipeline.clean_corpus: the funnel's observed
+counts must agree with running the stage operators independently, the
+output must be redacted/split/deduped, and re-ingesting the same batch
+must admit nothing (the index remembers)."""
+
+from __future__ import annotations
+
+from dbt_demo_spark.operators import dedup
+from dbt_demo_spark.pipeline import clean_corpus
+from dbt_demo_spark.queries.text_filters import repetition_filter
+from dbt_demo_spark.sources.parquet import load_table
+from tests.conftest import SF_GATE
+
+
+def _run(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def test_funnel_counts_and_output(spark, tmp_path):
+    docs = load_table(spark, SF_GATE, "documents")
+    idx = str(tmp_path / "idx")
+    clean, obs = clean_corpus(docs, idx)
+    _run(clean)
+    counts = {k: o.get["rows"] for k, o in obs.items()}
+
+    assert counts["ingested"] == docs.count()
+    # stage-by-stage replication with the operators run independently
+    keep = dedup.exact_dedup_keep_first(docs).count()
+    assert counts["after_exact_dedup"] == keep
+    assert counts["after_repetition"] <= counts["after_exact_dedup"]
+    assert counts["accepted"] <= counts["after_repetition"]
+    assert counts["accepted"] > 0
+
+    rows = clean.collect()
+    assert len(rows) == counts["accepted"]
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # the 80/10/10 hash split should put the bulk in train
+    n_train = sum(r["split"] == "train" for r in rows)
+    assert 0.7 < n_train / len(rows) < 0.9
+
+
+def test_reingest_is_inert(spark, tmp_path):
+    docs = load_table(spark, SF_GATE, "documents").filter("doc_id < 200")
+    idx = str(tmp_path / "idx")
+    first, obs1 = clean_corpus(docs, idx)
+    _run(first)
+    again, obs2 = clean_corpus(docs, idx)
+    _run(again)
+    assert obs1["accepted"].get["rows"] > 0
+    assert obs2["accepted"].get["rows"] == 0
+
+
+def test_sampling_stage_composes(spark, tmp_path):
+    docs = load_table(spark, SF_GATE, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: 1.0 for s in sources}
+    idx = str(tmp_path / "idx")
+    clean, obs = clean_corpus(docs, idx, rates=rates)
+    _run(clean)
+    # rate 1.0 everywhere: the sampling stage must be a no-op
+    assert (obs["after_sampling"].get["rows"]
+            == obs["after_repetition"].get["rows"])
+
+
+def test_filters_order_preserves_dedup_input(spark, tmp_path):
+    """The repetition filter runs before near-dup: a doc dropped for
+    repetition must not appear in the index (its fingerprints would
+    otherwise shadow future legitimate docs)."""
+    docs = load_table(spark, SF_GATE, "documents")
+    survivors = repetition_filter(
+        docs.join(
+            dedup.exact_dedup_keep_first(docs)
+            .selectExpr("keep_id as doc_id"), "doc_id", "left_semi"))
+    idx = str(tmp_path / "idx")
+    clean, _ = clean_corpus(docs, idx)
+    _run(clean)
+    indexed = {r["doc_id"] for r in spark.read.parquet(idx)
+               .select("doc_id").collect()}
+    allowed = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert indexed <= allowed
