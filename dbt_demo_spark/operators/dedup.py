@@ -404,7 +404,8 @@ def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
 def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
                               threshold: float = 0.5,
                               text_col: str = "text", id_col: str = "doc_id",
-                              max_bucket: int | None = None) -> DataFrame:
+                              max_bucket: int | None = None,
+                              sink=None) -> DataFrame:
     """Cross-batch MinHash dedup against a persisted fingerprint index —
     the production shape for a corpus that grows: each ingest batch is
     deduped against everything ever seen WITHOUT re-featurizing the
@@ -431,6 +432,13 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
     so the lazy anti-join can never observe the batch's own fingerprints in
     the index.  Docs with < 3 tokens have no shingles: they are kept and
     not indexed (exact_dedup_keep_first handles trivia upstream).
+
+    ``sink``: optional callable invoked with the kept rows BEFORE the index
+    append — the exactly-once hook for streaming replay (streaming/
+    ingest.py): a crash between sink and append replays the batch against
+    an index that never saw it, recomputing the identical kept set; a crash
+    after the append replays into an all-self-match batch whose empty kept
+    set touches nothing.
 
     Returns the kept (accepted) rows of ``new_docs``.
     """
@@ -465,5 +473,7 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
     dropped = (dups.select(F.col("d2").alias(id_col)).distinct()
                .localCheckpoint(eager=True))
     kept = new_docs.join(dropped, id_col, "left_anti")
+    if sink is not None:
+        sink(kept)
     feats_new.write.mode("append").parquet(index_dir)
     return kept

@@ -43,6 +43,7 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  max_dup_trigram_frac: float = 0.3,
                  min_uniq_token_frac: float = 0.2,
                  rates: dict[str, float] | None = None,
+                 sink=None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -52,6 +53,13 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     caller materializes ``clean`` (write/collect).  Stage order — cheap
     row-local filters BEFORE the shuffling dedups — keeps every shuffle as
     small as the filters can make it.
+
+    ``sink``: optional callable receiving the final (split-annotated)
+    accepted rows BEFORE the fingerprint index is appended — the
+    exactly-once replay hook for streaming ingest (see
+    incremental_minhash_dedup and streaming/ingest.py).  When a sink
+    materializes the output itself, the returned handle need not be acted
+    on and the observations fire during the sink's job.
     """
     obs: dict[str, Observation] = {}
 
@@ -81,7 +89,12 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
 
     # near-dup last: everything already dropped never reaches the Arrow
     # featurization or the index
-    df = tap(incremental_minhash_dedup(df, index_dir, threshold,
-                                       max_bucket=max_bucket), "accepted")
+    def finalize(accepted: DataFrame) -> DataFrame:
+        return accepted.withColumn("split", split_column(F.col("doc_id")))
 
-    return df.withColumn("split", split_column(F.col("doc_id"))), obs
+    inner_sink = (lambda kept: sink(finalize(kept))) if sink is not None else None
+    df = tap(incremental_minhash_dedup(df, index_dir, threshold,
+                                       max_bucket=max_bucket,
+                                       sink=inner_sink), "accepted")
+
+    return finalize(df), obs
