@@ -106,6 +106,40 @@ def repetition_filter(docs: DataFrame, max_dup_trigram_frac: float = 0.3,
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+VOCAB_TOPK_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+    ), counts AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    )
+    SELECT tok, n, rank FROM (
+        SELECT tok, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+        FROM counts
+    ) WHERE rank <= 100
+"""
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus token-frequency top-k (vocabulary head) with deterministic
+    tie-break.  One shuffle on the token (explode feeds a partial-aggregated
+    groupBy, so the map side combines before anything moves); the ranking
+    window runs over the AGGREGATED vocabulary — bounded by vocabulary size,
+    never corpus size — so its single-partition sort is safe at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (counts.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
 # Source-weighted sampling (mixture weighting)
 # ---------------------------------------------------------------------------
 

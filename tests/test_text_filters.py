@@ -18,7 +18,8 @@ from dbt_demo_spark.queries.text_filters import (CORPUS_STATS_ORACLE,
                                                  corpus_weighted_sample,
                                                  pii_redact, repetition_filter,
                                                  source_weighted_sample,
-                                                 text_repetition)
+                                                 text_repetition, vocab_topk)
+from dbt_demo_spark.queries.text_filters import VOCAB_TOPK_ORACLE
 from dbt_demo_spark.testing import compare, duckdb_connection
 from tests.conftest import SF_GATE
 
@@ -47,6 +48,7 @@ def fixture_dir(spark, tmp_path_factory):
     (pii_redact, PII_REDACT_ORACLE),
     (corpus_stats, CORPUS_STATS_ORACLE),
     (corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_ORACLE),
+    (vocab_topk, VOCAB_TOPK_ORACLE),
 ])
 def test_matches_oracle_on_driver_corpus(spark, fn, oracle):
     con = duckdb_connection(SF_GATE)
