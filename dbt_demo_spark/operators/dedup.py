@@ -446,6 +446,11 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
 
     from . import shingle_arrow
 
+    # an empty ingest batch (streaming replays, quiet periods) must neither
+    # touch the index nor append a schema-less empty parquet dir
+    if not new_docs.head(1):
+        return new_docs
+
     spark = new_docs.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     feats_new = (shingle_arrow.shingle_features(new_docs, text_col, id_col)

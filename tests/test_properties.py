@@ -237,3 +237,55 @@ def test_interval_join_property(spark, lrows, rrows, delay):
         for rk, rts, ru in rrows
         if lk == rk and rts <= lts <= rts + delay)
     assert got == want
+
+
+# --- incremental dedup: batch-split invariance ------------------------------
+
+_DOC_POOL = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "sphinx of black quartz judge my vow today",
+             "how vexingly quick daft zebras jump now"]
+
+# (pool index, mutation position, mutate?) per doc: mutations create
+# near-dups whose Jaccard straddles the 0.5 threshold — the boundary the
+# planted fixtures never probe
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 8), st.booleans()),
+    min_size=2, max_size=24)
+
+
+def _mk_docs(spark, spec):
+    rows = []
+    for i, (p, j, mut) in enumerate(spec):
+        toks = _DOC_POOL[p].split()
+        if mut:
+            toks[j % len(toks)] = "zzz"
+        rows.append((i, " ".join(toks), "en", "src", 0))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs_strategy, st.integers(0, 23), st.integers(0, 23))
+def test_incremental_dedup_batch_split_invariance(spark, tmp_path_factory,
+                                                  spec, c1, c2):
+    """Splitting an ingest at ANY id cut points (including empty middle
+    batches) must reproduce the one-shot drop-if-matches-earlier set."""
+    from dbt_demo_spark.operators import dedup
+
+    docs = _mk_docs(spark, spec)
+    n = len(spec)
+    pairs = dedup.minhash_near_dups(docs, 0.5)
+    oneshot = ({r.doc_id for r in docs.select("doc_id").collect()}
+               - {r.d2 for r in pairs.select("d2").collect()})
+
+    idx = str(tmp_path_factory.mktemp("incr_prop") / "idx")
+    cuts = [0] + sorted({c1 % (n + 1), c2 % (n + 1)}) + [n]
+    kept = set()
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        kept |= {r.doc_id
+                 for r in dedup.incremental_minhash_dedup(batch, idx, 0.5)
+                 .select("doc_id").collect()}
+    assert kept == oneshot
