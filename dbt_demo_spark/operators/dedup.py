@@ -446,11 +446,6 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
 
     from . import shingle_arrow
 
-    # an empty ingest batch (streaming replays, quiet periods) must neither
-    # touch the index nor append a schema-less empty parquet dir
-    if not new_docs.head(1):
-        return new_docs
-
     spark = new_docs.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     feats_new = (shingle_arrow.shingle_features(new_docs, text_col, id_col)
@@ -459,7 +454,14 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
     cands = lsh_candidates(new_bands, max_bucket)
     sets = feats_new.select("doc_id", "ss", "n")
     if os.path.isdir(index_dir):
-        old_feats = spark.read.parquet(index_dir)
+        # explicit schema: an empty batch's append can leave zero part files
+        # (AQE writes no empty partitions), and a schema-declared read of
+        # such a dir is a valid empty index rather than an inference error.
+        # No head(1)-style emptiness probe here: any limited action on the
+        # batch plan would poison upstream Observation metrics (pipeline.py)
+        # with the limited pass's row counts.
+        old_feats = spark.read.schema(
+            shingle_arrow.FEATURES_SCHEMA).parquet(index_dir)
         cross = (
             shingle_arrow.band_rows(old_feats).alias("o")
             .join(F.broadcast(new_bands).alias("nw"),
