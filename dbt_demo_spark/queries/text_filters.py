@@ -166,7 +166,9 @@ def source_weighted_sample(docs: DataFrame,
     sample() lacks); unlisted sources are dropped (rate 0)."""
     rate_col = None
     for src, rate in sorted(rates.items()):
-        thresh = F.lit(int(rate * SAMPLE_GRAN))
+        # round, not truncate: rate often arrives as k/GRAN whose binary
+        # float can sit one ulp under k, and int() would shift the threshold
+        thresh = F.lit(int(round(rate * SAMPLE_GRAN)))
         rate_col = (F.when(F.col("source") == src, thresh) if rate_col is None
                     else rate_col.when(F.col("source") == src, thresh))
     rate_col = rate_col.otherwise(F.lit(0)) if rate_col is not None else F.lit(0)

@@ -289,3 +289,36 @@ def test_incremental_dedup_batch_split_invariance(spark, tmp_path_factory,
                  for r in dedup.incremental_minhash_dedup(batch, idx, 0.5)
                  .select("doc_id").collect()}
     assert kept == oneshot
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(0, 10**12), min_size=1, max_size=40,
+                unique=True),
+       st.integers(0, 10_000), st.integers(0, 10_000))
+def test_source_weighted_sample_census_and_monotonic(spark, ids, t1, t2):
+    """The kept set equals a pure-python census of the hash for ANY ids
+    (including >2^31 — the key-magnitude class the sf1 run caught in the
+    split hash), and a higher rate keeps a superset (thresholds nest)."""
+    from dbt_demo_spark.queries.text_filters import (SAMPLE_GRAN,
+                                                     _SAMPLE_MULT,
+                                                     source_weighted_sample)
+    from dbt_demo_spark.functions.text import HASH_P
+
+    lo, hi = sorted((t1, t2))
+    docs = spark.createDataFrame(
+        [(i, "w w w", "en", "s", 5) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    def census(thresh):
+        return {i for i in ids
+                if ((i % HASH_P) * _SAMPLE_MULT) % HASH_P % SAMPLE_GRAN
+                < thresh}
+
+    kept_lo = {r.doc_id for r in source_weighted_sample(
+        docs, {"s": lo / SAMPLE_GRAN}).select("doc_id").collect()}
+    kept_hi = {r.doc_id for r in source_weighted_sample(
+        docs, {"s": hi / SAMPLE_GRAN}).select("doc_id").collect()}
+    assert kept_lo == census(lo)
+    assert kept_hi == census(hi)
+    assert kept_lo <= kept_hi
