@@ -35,8 +35,14 @@ from ..sources.parquet import load_table
 def _ngrams(toks, n_tokens, n: int):
     """array<string> of space-joined word n-grams via shifted-slice zip_with
     (same Catalyst-safe shape as functions/text.shingle_hashes: transform+
-    element_at would re-inline the token array per element)."""
-    m = n_tokens - (n - 1)  # number of n-grams
+    element_at would re-inline the token array per element).
+
+    The n-gram count is clamped at 0: a doc shorter than n tokens yields an
+    EMPTY array (DuckDB's generate_series(1, len-k) does the same), where
+    an unclamped negative slice length raises INVALID_PARAMETER_VALUE.LENGTH
+    and kills the whole job — one 1-token doc in an ingest batch must not
+    abort the stream (planted-fixture docs 6-8 pin this)."""
+    m = F.greatest(n_tokens - (n - 1), F.lit(0))  # number of n-grams, >= 0
     out = F.slice(toks, 1, m)
     for i in range(1, n):
         out = F.zip_with(out, F.slice(toks, 1 + i, m),

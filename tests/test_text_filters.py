@@ -31,6 +31,11 @@ FIXTURE_DOCS = [
     (3, "server at 10.0.0.1 and 192.168.255.7 replied to user@10.0.0.1", "en", "fx", 61),
     (4, "one two three one two three one two three four five", "en", "fx", 51),
     (5, "no personal data here just plain words and numbers 42", "en", "fx", 53),
+    # short docs: fewer tokens than the n-gram width must yield EMPTY n-gram
+    # arrays (not a negative-length slice error) in BOTH engines
+    (6, "", "en", "fx", 0),
+    (7, "hello", "en", "fx", 5),
+    (8, "hi there", "en", "fx", 8),
 ]
 
 
@@ -81,6 +86,24 @@ def test_repetition_values(spark, fixture_dir):
     assert rows[1]["dup_trigram_frac"] == 0.0
     # doc 4: "one two three" x3 + tail
     assert rows[4]["dup_trigram_frac"] > 0.2
+    # short docs: no bigrams/trigrams exist -> NULL fractions, no crash
+    for d in (6, 7):
+        assert rows[d]["n_tokens"] == 1          # split('', ' ') == ['']
+        assert rows[d]["dup_bigram_frac"] is None
+        assert rows[d]["dup_trigram_frac"] is None
+    assert rows[8]["n_tokens"] == 2
+    assert rows[8]["dup_bigram_frac"] == 0.0     # exactly one bigram
+    assert rows[8]["dup_trigram_frac"] is None
+
+
+def test_repetition_filter_keeps_short_docs(spark, fixture_dir):
+    """One short/empty doc in an ingest batch must not kill the batch
+    (ADVICE r4): short docs have nothing to repeat, so they pass."""
+    from dbt_demo_spark.sources.parquet import load_table
+
+    docs = load_table(spark, fixture_dir, "documents")
+    kept = {r["doc_id"] for r in repetition_filter(docs).collect()}
+    assert {6, 7, 8} <= kept
 
 
 def test_repetition_filter_drops_boilerplate(spark, fixture_dir):
