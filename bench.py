@@ -126,28 +126,19 @@ def main() -> None:
         walls.append(time.perf_counter() - t0)
     throughput_wall = round(min(walls), 3)
 
-    # Scale evidence: the committed SCALE_BENCH.json (produced by
-    # tools/make_scale.py + tools/scale_bench.py) holds a Spark-vs-DuckDB
-    # pair measured on a 10x key-offset replica of sf0.1 (~6M lineitem).
-    # It is attached verbatim, clearly labeled as a separately-measured
-    # artifact — NOT produced by this run — so the per-query constant's
-    # amortization with data volume is recorded next to the sf0.1 numbers.
-    scale_pair = None
+    # Scale evidence lives in the committed SCALE_BENCH.json (produced by
+    # tools/make_scale.py + tools/scale_bench.py): a Spark-vs-DuckDB pair
+    # measured at 10x this sf.  Referenced BY PATH, never embedded: round 4
+    # attached the ~3.5 KB blob verbatim and the consumer's 2000-char tail
+    # capture truncated the headline fields away, making the round's gate
+    # numbers unrecoverable.  For the same reason the headline fields
+    # (metric/value/sequential_total_sec) are placed at the END of the
+    # object — json.dumps preserves insertion order, so whatever tail
+    # window a consumer keeps, the headline survives.
     scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "SCALE_BENCH.json")
-    if os.path.exists(scale_path):
-        with open(scale_path) as f:
-            scale_pair = json.load(f)
 
     print(json.dumps({
-        "metric": "catalog_workload_wall_sec",
-        "value": throughput_wall,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "sequential_total_sec": sequential_total,
-        "throughput_threads": threads,
-        "scale_pair_sf1": scale_pair,
         "note": ("value = wall-clock to complete all queries submitted "
                  "concurrently (TPC-H throughput-test shape); "
                  "sequential_total_sec and per-query timings are the "
@@ -157,9 +148,17 @@ def main() -> None:
                  "client plan construction); sim_topk_ivf is excluded "
                  "from bench entirely (bench=False): its k-means index "
                  "build is a materialization side effect, not query time; "
-                 "scale_pair_sf1 (if present) is a pre-measured artifact "
-                 "from tools/scale_bench.py at 10x this sf, not part of "
-                 "this run's timings"),
+                 "scale_bench_path (if set) points at a pre-measured "
+                 "Spark-vs-DuckDB pair at 10x this sf, not part of this "
+                 "run's timings"),
+        "queries": timings,
+        "scale_bench_path": scale_path if os.path.exists(scale_path) else None,
+        "throughput_threads": threads,
+        "unit": "sec",
+        "sf": sf,
+        "metric": "catalog_workload_wall_sec",
+        "sequential_total_sec": sequential_total,
+        "value": throughput_wall,
     }))
     sys.stdout.flush()
     spark.stop()
