@@ -401,6 +401,18 @@ def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
     )
 
 
+def _identity_bands(feats: DataFrame) -> DataFrame:
+    """Sentinel band rows (doc_id, band_id=-1, band_key=doc_id): a bucket
+    only the SAME doc_id can land in.  Real band_ids are >= 0, so sentinels
+    never collide with content bands; joining index sentinels against batch
+    sentinels detects "this doc_id was already ingested" exactly — content-
+    free, so it works for short docs whose shingle sets are empty."""
+    return feats.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band_id"),
+        F.col("doc_id").alias("band_key"))
+
+
 def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
                               threshold: float = 0.5,
                               text_col: str = "text", id_col: str = "doc_id",
@@ -412,75 +424,143 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
     history.
 
     The index is the Arrow feature table (doc_id, bks, ss, n — band keys +
-    distinct shingle hashes, operators/shingle_arrow.py) appended per batch.
-    Per batch:
+    distinct shingle hashes, operators/shingle_arrow.py) appended per batch;
+    docs with < 3 tokens carry an EMPTY feature row, so EVERY ingested
+    doc_id is represented.  Per batch:
 
-      1. featurize the batch once (Arrow pass + doc_id repartition barrier);
+      1. featurize the batch ONCE: the Arrow pass writes the feature table
+         to a hidden staging dir inside the index (``_staging_*`` — Spark's
+         listing skips underscore paths), and every downstream branch reads
+         that parquet back — candidates, verify, and the final index commit
+         all reuse one materialization instead of re-running the dominant
+         row-local stage per action;
       2. within-batch candidates via LSH buckets (d1 < d2), PLUS cross
          candidates from joining the batch's band rows against the index's —
          the BATCH side is broadcast, so the historical index is only
-         scanned, never shuffled (at 100 TB the index dwarfs any batch);
-      3. exact Jaccard verify over the union of batch + index shingle sets,
-         semi-filtered to candidate docs;
-      4. drop a new doc iff it matches ANY earlier doc (lower id in-batch,
-         or anything already indexed) — pairwise semantics, so two-batch
-         ingestion equals the one-shot pair set exactly (tested);
-      5. append ALL batch features to the index (dropped docs too: "earlier"
-         includes them, keeping the semantics batch-split-invariant).
+         scanned, never shuffled (at 100 TB the index dwarfs any batch).
+         Identity-sentinel bands (_identity_bands) ride along on both
+         sides: a cross pair with d1 == d2 means the doc_id is ALREADY
+         INGESTED (a replay, or a re-ingest of the same id) and is dropped
+         unconditionally — no Jaccard needed, and it covers short docs
+         whose empty shingle sets can never self-verify;
+      3. exact Jaccard verify (cross pairs with d1 != d2 plus within-batch
+         pairs) over the union of batch + index shingle sets, semi-filtered
+         to candidate docs;
+      4. drop a new doc iff it matches ANY doc ingested before it (lower id
+         in-batch, or anything already indexed).  Arrival-order semantics:
+         the indexed doc always wins, whatever its id — so multi-batch
+         ingestion equals the one-shot pair set exactly WHEN batches arrive
+         in ascending doc_id order (tested), and first-arrival-wins
+         otherwise (tested: a later batch carrying a LOWER id than an
+         indexed near-dup is the one dropped);
+      5. commit the staged features into the index (dropped docs too:
+         "earlier" includes them, keeping the semantics batch-split-
+         invariant) — a per-file rename when no batch id was already
+         indexed (the normal path: zero recompute, metadata-only), else a
+         filtered re-append from the staged parquet that skips
+         already-indexed ids, so a replay never duplicates index entries.
 
-    The dropped-id set is materialized (localCheckpoint) BEFORE the append
-    so the lazy anti-join can never observe the batch's own fingerprints in
-    the index.  Docs with < 3 tokens have no shingles: they are kept and
-    not indexed (exact_dedup_keep_first handles trivia upstream).
+    The dropped/already-ingested id sets are materialized (localCheckpoint)
+    BEFORE the commit so no lazy plan can observe the batch's own
+    fingerprints in the index.
 
     ``sink``: optional callable invoked with the kept rows BEFORE the index
-    append — the exactly-once hook for streaming replay (streaming/
-    ingest.py): a crash between sink and append replays the batch against
+    commit — the exactly-once hook for streaming replay (streaming/
+    ingest.py): a crash between sink and commit replays the batch against
     an index that never saw it, recomputing the identical kept set; a crash
-    after the append replays into an all-self-match batch whose empty kept
-    set touches nothing.
+    after the commit replays into a batch whose ids ALL self-match via the
+    sentinels (short docs included), so the empty kept set touches nothing.
+    The commit itself is sequential per-file renames — the same
+    non-transactional multi-file window Spark's own append commit has; a
+    table format with a transaction log is the production escape hatch.
 
     Returns the kept (accepted) rows of ``new_docs``.
     """
     import os
+    import shutil
+    import uuid
 
     from . import shingle_arrow
 
     spark = new_docs.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    feats_new = (shingle_arrow.shingle_features(new_docs, text_col, id_col)
-                 .repartition(n_shuffle, "doc_id"))
+    os.makedirs(index_dir, exist_ok=True)
+    # single-writer contract (a streaming query owns its index): any
+    # _staging_* left behind by a crashed batch is an orphan — reclaim it
+    for name in os.listdir(index_dir):
+        if name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    staging = os.path.join(index_dir, f"_staging_{uuid.uuid4().hex}")
+
+    # ONE featurization per batch: materialize features (plus empty rows
+    # for <3-token docs, so every batch id is index-representable) to
+    # staging, then hang the whole dedup DAG off the parquet read-back.
+    short_stub = (
+        new_docs.filter(F.size(F.split(F.col(text_col), " ")) < 3)
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                F.array().cast("array<long>").alias("bks"),
+                F.array().cast("array<long>").alias("ss"),
+                F.lit(0).cast("int").alias("n")))
+    (shingle_arrow.shingle_features(new_docs, text_col, id_col)
+     .repartition(n_shuffle, "doc_id")
+     .unionByName(short_stub)
+     .write.parquet(staging))
+    feats_new = spark.read.schema(shingle_arrow.FEATURES_SCHEMA).parquet(staging)
+
     new_bands = shingle_arrow.band_rows(feats_new)
     cands = lsh_candidates(new_bands, max_bucket)
-    sets = feats_new.select("doc_id", "ss", "n")
-    if os.path.isdir(index_dir):
-        # explicit schema: an empty batch's append can leave zero part files
-        # (AQE writes no empty partitions), and a schema-declared read of
-        # such a dir is a valid empty index rather than an inference error.
-        # No head(1)-style emptiness probe here: any limited action on the
-        # batch plan would poison upstream Observation metrics (pipeline.py)
-        # with the limited pass's row counts.
-        old_feats = spark.read.schema(
-            shingle_arrow.FEATURES_SCHEMA).parquet(index_dir)
-        cross = (
-            shingle_arrow.band_rows(old_feats).alias("o")
-            .join(F.broadcast(new_bands).alias("nw"),
-                  (F.col("o.band_id") == F.col("nw.band_id"))
-                  & (F.col("o.band_key") == F.col("nw.band_key")))
-            .select(F.col("o.doc_id").alias("d1"),
-                    F.col("nw.doc_id").alias("d2"))
-            .distinct())
-        cands = cands.unionByName(cross)
-        sets = sets.unionByName(old_feats.select("doc_id", "ss", "n"))
+    # explicit schema: a fresh index dir has no visible part files (staging
+    # is underscore-hidden) and a schema-declared read of it is a valid
+    # empty index rather than an inference error.  No head(1)-style
+    # emptiness probe: any limited action on the batch plan would poison
+    # upstream Observation metrics (pipeline.py) with the limited pass's
+    # row counts.
+    old_feats = spark.read.schema(
+        shingle_arrow.FEATURES_SCHEMA).parquet(index_dir)
+    cross = (
+        shingle_arrow.band_rows(old_feats)
+        .unionByName(_identity_bands(old_feats)).alias("o")
+        .join(F.broadcast(new_bands.unionByName(_identity_bands(feats_new)))
+              .alias("nw"),
+              (F.col("o.band_id") == F.col("nw.band_id"))
+              & (F.col("o.band_key") == F.col("nw.band_key")))
+        .select(F.col("o.doc_id").alias("d1"),
+                F.col("nw.doc_id").alias("d2"))
+        .distinct())
+    already = (cross.filter(F.col("d1") == F.col("d2"))
+               .select(F.col("d2").alias(id_col)).distinct()
+               .localCheckpoint(eager=True))
+    cands = cands.unionByName(cross.filter(F.col("d1") != F.col("d2")))
+    sets = (feats_new.select("doc_id", "ss", "n")
+            .unionByName(old_feats.select("doc_id", "ss", "n")))
     cand_docs = (cands.select(F.col("d1").alias("doc_id"))
                  .union(cands.select(F.col("d2").alias("doc_id")))
                  .distinct())
     sets = sets.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     dups = jaccard_verify_sets(cands, sets, threshold)
+    # two separate anti-joins rather than a union of the two drop sets: a
+    # Union of a fresh plan with a checkpointed LogicalRDD trips constraint
+    # rewriting (key-not-found on the RDD's old attribute ids) in Spark 4
     dropped = (dups.select(F.col("d2").alias(id_col)).distinct()
                .localCheckpoint(eager=True))
-    kept = new_docs.join(dropped, id_col, "left_anti")
+    kept = (new_docs.join(dropped, id_col, "left_anti")
+            .join(already, id_col, "left_anti"))
     if sink is not None:
         sink(kept)
-    feats_new.write.mode("append").parquet(index_dir)
+    # Commit staged features into the index.  Normal path (no batch id was
+    # already indexed): rename part files into place — metadata-only, no
+    # second pass.  Replay/re-ingest path: re-append only the not-yet-
+    # indexed ids from the staged PARQUET (no re-featurization), so the
+    # index never accumulates duplicate doc_ids.
+    if already.count() == 0:
+        for name in os.listdir(staging):
+            if not name.startswith(("_", ".")):
+                os.rename(os.path.join(staging, name),
+                          os.path.join(index_dir, name))
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        (feats_new.join(F.broadcast(already.withColumnRenamed(id_col, "doc_id")),
+                        "doc_id", "left_anti")
+         .write.mode("append").parquet(index_dir))
+        shutil.rmtree(staging, ignore_errors=True)
     return kept

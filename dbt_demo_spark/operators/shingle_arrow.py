@@ -109,8 +109,12 @@ def shingle_features(docs: DataFrame, text_col: str = "text",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(_batch_features(
-                list(pdf[id_col]), list(pdf[text_col]), ab))
+            out = _batch_features(list(pdf[id_col]), list(pdf[text_col]), ab)
+            # a partition holding ONLY <3-token docs yields an empty frame
+            # whose list columns would default to float64 — un-convertible
+            # to array<long>; yield nothing instead
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
 
     from ..sources.parquet import spread
 

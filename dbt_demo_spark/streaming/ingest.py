@@ -11,15 +11,18 @@ Exactly-once on plain parquet, without a transactional table format:
 
   1. accepted rows are written FIRST, as a dynamic partition overwrite
      keyed by ``ingest_batch_id`` (the sink hook fires before the index
-     append — operators/dedup.incremental_minhash_dedup);
-  2. the batch's fingerprints are appended to the index SECOND.
+     commit — operators/dedup.incremental_minhash_dedup);
+  2. the batch's fingerprints are committed to the index SECOND.
 
 A replay after a crash between 1 and 2 reruns the batch against an index
 that never saw it: the identical kept set overwrites its own partition
-with identical rows.  A replay after 2 finds every doc self-matching in
-the index, and an EMPTY dynamic overwrite touches no partitions — the
-already-written output survives.  Either way the warehouse converges to
-the no-crash result.
+with identical rows.  A replay after 2 finds EVERY doc of the batch
+already ingested — the identity-sentinel bands match by doc_id alone, so
+short (< 3-token) docs self-match too, not just the shingled ones — and
+an EMPTY dynamic overwrite touches no partitions while the index commit
+skips every already-indexed id.  Either way the warehouse AND the index
+converge to the no-crash result (tests/test_streaming_ingest.py replays
+both crash windows).
 """
 
 from __future__ import annotations
@@ -27,19 +30,45 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
 
 from ..pipeline import clean_corpus
 
+# the driver corpus's document schema — the default for landing dirs that
+# carry the standard documents table
+DOCUMENT_SCHEMA = ("doc_id long, text string, lang string, source string, "
+                   "n_chars long")
+
 
 def read_document_stream(spark: SparkSession, landing_dir: str,
-                         max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source document stream with the schema probed from the files
-    already present (streams need a declared schema — no inference pass)."""
-    reader = (spark.readStream
-              .schema(spark.read.parquet(landing_dir).schema))
+                         max_files_per_trigger: int | None = None,
+                         schema: StructType | str = DOCUMENT_SCHEMA) -> DataFrame:
+    """File-source document stream with a DECLARED schema (default: the
+    standard documents layout).  Streams need a schema up front; declaring
+    it keeps setup free of the footer-probing inference pass a
+    ``spark.read.parquet(landing_dir)`` probe would cost — the same
+    no-inference discipline as the JSONL source."""
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(landing_dir)
+
+
+def ingest_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
+                 out_dir: str, **clean_kwargs) -> None:
+    """One micro-batch of the ingestion funnel: clean_corpus with a sink
+    that dynamic-partition-overwrites ``out_dir`` at this batch id, then
+    the index commit.  Module-level so the crash-replay tests can re-invoke
+    a batch exactly as the stream would."""
+
+    def sink(clean: DataFrame) -> None:
+        (clean.withColumn("ingest_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch_id")
+         .parquet(out_dir))
+
+    clean_corpus(batch_df, index_dir, sink=sink, **clean_kwargs)
 
 
 def clean_ingest(stream_docs: DataFrame, index_dir: str, out_dir: str,
@@ -53,14 +82,7 @@ def clean_ingest(stream_docs: DataFrame, index_dir: str, out_dir: str,
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        def sink(clean: DataFrame) -> None:
-            (clean.withColumn("ingest_batch_id", F.lit(batch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("ingest_batch_id")
-             .parquet(out_dir))
-
-        clean_corpus(batch_df, index_dir, sink=sink, **clean_kwargs)
+        ingest_batch(batch_df, batch_id, index_dir, out_dir, **clean_kwargs)
 
     return (
         stream_docs.writeStream

@@ -41,3 +41,49 @@ def test_reingest_is_fully_dropped(spark, tmp_path):
     assert first.count() > 0
     again = dedup.incremental_minhash_dedup(docs, idx, THRESHOLD)
     assert again.count() == 0
+
+
+def _mini_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_short_docs_indexed_and_replay_inert(spark, tmp_path):
+    """Docs with < 3 tokens (no shingles) are kept on first ingest but
+    STILL indexed via empty feature rows + identity sentinels, so a replay
+    of the whole batch admits nothing — the r4 replay hole where short docs
+    were re-kept and could clobber a batch partition (ADVICE)."""
+    import os
+
+    rows = [(1, "hi", "en", "s", 2), (2, "", "en", "s", 0),
+            (3, "the quick brown fox jumps over the dog", "en", "s", 38),
+            (4, "an entirely different longer sentence about spark", "en", "s", 49)]
+    idx = str(tmp_path / "idx")
+    first = dedup.incremental_minhash_dedup(_mini_docs(spark, rows), idx, THRESHOLD)
+    assert _ids(first) == {1, 2, 3, 4}
+    # replay the identical batch: every id self-matches via its sentinel
+    again = dedup.incremental_minhash_dedup(_mini_docs(spark, rows), idx, THRESHOLD)
+    assert again.count() == 0
+    # the index holds each id exactly once (replay appended nothing) and no
+    # staging residue survives the commit
+    from dbt_demo_spark.operators.shingle_arrow import FEATURES_SCHEMA
+    feats = spark.read.schema(FEATURES_SCHEMA).parquet(idx)
+    counts = feats.groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in counts} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert not [d for d in os.listdir(idx) if d.startswith("_staging")]
+
+
+def test_non_monotonic_arrival_first_wins(spark, tmp_path):
+    """Arrival-order semantics (documented): the indexed doc wins whatever
+    its id.  A later batch carrying a LOWER id that near-dups an indexed
+    doc is the one dropped — one-shot equivalence is only claimed for
+    batches arriving in ascending id order."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated prose concerning distributed query engines"
+    idx = str(tmp_path / "idx")
+    b1 = _mini_docs(spark, [(100, text, "en", "s", len(text))])
+    assert _ids(dedup.incremental_minhash_dedup(b1, idx, THRESHOLD)) == {100}
+    b2 = _mini_docs(spark, [(5, text, "en", "s", len(text)),
+                            (6, other, "en", "s", len(other))])
+    kept = dedup.incremental_minhash_dedup(b2, idx, THRESHOLD)
+    assert _ids(kept) == {6}  # 5 loses to the already-indexed 100

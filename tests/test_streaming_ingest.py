@@ -5,9 +5,12 @@ must be exactly-once against the persisted index."""
 
 from __future__ import annotations
 
+import pytest
+
 from dbt_demo_spark.pipeline import clean_corpus
 from dbt_demo_spark.sources.parquet import load_table
-from dbt_demo_spark.streaming import clean_ingest, read_document_stream
+from dbt_demo_spark.streaming import (clean_ingest, ingest_batch,
+                                      read_document_stream)
 from tests.conftest import SF_GATE
 
 
@@ -65,3 +68,78 @@ def test_late_file_dedupes_against_streamed_history(spark, tmp_path):
         landing, mode="append")
     _run_stream(spark, landing, idx, out, ckpt)
     assert len(_accepted_ids(out, spark)) == n_first
+
+
+# --- crash-replay: the two windows of the exactly-once protocol -------------
+
+# short (< 3-token) docs ride along deliberately: they have no shingles, so
+# only the identity sentinels make their replay inert (ADVICE r4 — replays
+# used to re-keep them and dynamic-overwrite the partition down to JUST them)
+CRASH_ROWS = [
+    (1, "hi", "en", "s", 2),
+    (2, "", "en", "s", 0),
+    (3, "the quick brown fox jumps over the lazy dog today", "en", "s", 49),
+    (4, "a completely different longer sentence about engines", "en", "s", 52),
+    (5, "the quick brown fox jumps over the lazy dog today!", "en", "s", 50),
+]
+
+
+def _crash_batch(spark):
+    return spark.createDataFrame(
+        CRASH_ROWS,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def _index_ids(spark, idx):
+    from dbt_demo_spark.operators.shingle_arrow import FEATURES_SCHEMA
+
+    rows = (spark.read.schema(FEATURES_SCHEMA).parquet(idx)
+            .groupBy("doc_id").count().collect())
+    return {r["doc_id"]: r["count"] for r in rows}
+
+
+def test_replay_after_commit_is_inert(spark, tmp_path):
+    """Crash AFTER the index commit but before the checkpoint records the
+    batch: the replayed batch finds every id already indexed — kept set
+    empty, the dynamic overwrite touches no partitions, and the index
+    commit appends nothing.  Output and index equal the no-crash run."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest_batch(_crash_batch(spark), 7, idx, out)
+    accepted = _accepted_ids(out, spark)
+    assert {1, 2} <= accepted          # short docs are accepted rows
+    index_before = _index_ids(spark, idx)
+
+    ingest_batch(_crash_batch(spark), 7, idx, out)  # the replay
+    assert _accepted_ids(out, spark) == accepted    # nothing clobbered
+    assert _index_ids(spark, idx) == index_before   # no duplicate entries
+
+
+def test_replay_after_sink_before_commit_converges(spark, tmp_path):
+    """Crash BETWEEN the output write and the index commit: the replay runs
+    against an index that never saw the batch, recomputes the identical
+    kept set, overwrites the partition with identical rows, and commits the
+    fingerprints once."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_sink(clean):
+        import pyspark.sql.functions as F
+
+        (clean.withColumn("ingest_batch_id", F.lit(7))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch_id").parquet(out))
+        raise Boom("crash between sink and index commit")
+
+    with pytest.raises(Boom):
+        clean_corpus(_crash_batch(spark), idx, sink=crashing_sink)
+    crashed_output = _accepted_ids(out, spark)
+    assert crashed_output                 # the sink DID land rows
+    assert _index_ids(spark, idx) == {}   # ...but nothing was committed
+
+    ingest_batch(_crash_batch(spark), 7, idx, out)  # the replay
+    assert _accepted_ids(out, spark) == crashed_output
+    assert set(_index_ids(spark, idx)) == {1, 2, 3, 4, 5}
+    assert all(c == 1 for c in _index_ids(spark, idx).values())
