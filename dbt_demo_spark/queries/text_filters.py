@@ -132,17 +132,21 @@ VOCAB_TOPK_ORACLE = f"""
 def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """Corpus token-frequency top-k (vocabulary head) with deterministic
     tie-break.  One shuffle on the token (explode feeds a partial-aggregated
-    groupBy, so the map side combines before anything moves); the ranking
-    window runs over the AGGREGATED vocabulary — bounded by vocabulary size,
-    never corpus size — so its single-partition sort is safe at 100 TB."""
+    groupBy, so the map side combines before anything moves); the top-k is
+    ``orderBy(...).limit(k)``, which Spark plans as TakeOrderedAndProject —
+    each partition keeps only its local k, the driver merges k-sized heaps —
+    so NO global sort ever runs even over a billions-of-tokens web-corpus
+    vocabulary.  Only the k survivors pass through the ranking window (a
+    k-row single-partition sort, constant-bounded); r4 ranked the FULL
+    vocabulary through one partition, the scale defect this rewrite removes
+    (tests/test_plan_quality.py asserts the TakeOrderedAndProject plan)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
               .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    return (counts.withColumn("rank",
-                              F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------

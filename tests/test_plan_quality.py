@@ -141,3 +141,19 @@ def test_approx_distinct_optin_accuracy_and_plan(spark):
     assert "l_orderkey" in exact_plan.split("Exchange", 2)[2]  # value shuffle
     assert approx_plan.count("Exchange") == 1
     assert approx_plan.count("HashAggregate") < exact_plan.count("HashAggregate")
+
+
+def test_vocab_topk_uses_take_ordered_not_global_sort(spark):
+    """vocab_topk must plan the top-k as TakeOrderedAndProject (per-
+    partition k-heaps merged on the driver), never a single-partition sort
+    of the FULL vocabulary: a web corpus has billions of distinct tokens.
+    The ranking window may only see the k survivors."""
+    from dbt_demo_spark.queries.text_filters import vocab_topk
+    from tests.conftest import SF_GATE
+
+    plan = (vocab_topk(spark, SF_GATE)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    # no global-sort Exchange feeding a Sort over the aggregated vocab:
+    # the only rangepartitioning-free single partition is the k-row window
+    assert "rangepartitioning" not in plan.lower()
