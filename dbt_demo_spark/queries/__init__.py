@@ -20,5 +20,8 @@ from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import llm_pipeline  # noqa: E402,F401
+# corpus-hygiene surface: registers text_repetition (r5, displacing
+# tpch_q19 whose gate moved to a pytest differential — tpch2.py)
+from . import text_filters  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query", "get_queries", "get_oracles"]

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.numeric import round2, sql_round2
 from ..functions.text import HASH_P, sql_tokens, tokens
 from ..sources.parquet import load_table
+from .catalog import query
 
 # ---------------------------------------------------------------------------
 # Repetition stats
@@ -80,10 +81,16 @@ TEXT_REPETITION_ORACLE = f"""
 """
 
 
+@query("text_repetition", oracle=TEXT_REPETITION_ORACLE,
+       tags=("corpus", "hygiene", "repetition"))
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals: distinct-token fraction and the
     duplicated bigram/trigram fractions (high values flag boilerplate or
-    degenerate generations; the classic cut is dup_trigram_frac > ~0.3)."""
+    degenerate generations; the classic cut is dup_trigram_frac > ~0.3).
+    Driver-gated since r5 (displacing tpch_q19): the corpus-preparation
+    funnel's hygiene stage is the repo's flagship surface and deserves a
+    CORRECTNESS row.  Row-local JVM expression work — zero Exchange
+    (tests/test_text_filters.py asserts the plan)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
@@ -91,7 +98,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = _ngrams(toks, n, 3)
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         round2(F.size(F.array_distinct(toks)) * 1.0 / n).alias("uniq_token_frac"),
         round2(_dup_frac(bi)).alias("dup_bigram_frac"),
         round2(_dup_frac(tri)).alias("dup_trigram_frac"),

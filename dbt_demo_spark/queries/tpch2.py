@@ -412,25 +412,30 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query(
-    "tpch_q19_discounted_revenue",
-    oracle=f"""
-        SELECT SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}) / 10000.0 AS revenue
-        FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
-               AND l.l_quantity >= 1 AND l.l_quantity <= 11)
-           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
-               AND l.l_quantity >= 10 AND l.l_quantity <= 20)
-           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
-               AND l.l_quantity >= 20 AND l.l_quantity <= 30)
-    """,
-    tags=("J1", "A4", "P5"),
-)
+# q19's oracle, kept for the pytest differential below the catalog: the
+# driver catalog is capped at 50 rows and q19 is a third CASE-filter variant
+# of q6/q14's shape, so its slot was given to the corpus-hygiene surface
+# (text_repetition — queries/text_filters.py); tests/test_catalog_parity.py
+# still runs q19 under the identical oracle gate every session.
+TPCH_Q19_ORACLE = f"""
+    SELECT SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
 def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunction of brand/size/quantity triples — the
     OR-of-conjunctions predicate evaluated post-join (it mixes columns of
-    both sides); part broadcast so no shuffle."""
+    both sides); part broadcast so no shuffle.  Pytest-differential (see
+    TPCH_Q19_ORACLE above): displaced from the 50-row driver catalog by
+    text_repetition."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     q = F.col("l_quantity")
