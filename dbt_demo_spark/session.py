@@ -20,6 +20,21 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _extra_conf() -> dict:
+    """Ad-hoc config overrides from $SPARK_GRAFT_EXTRA_CONF ("k=v;k=v").
+
+    Exists for measured tuning sweeps (tools/floor_bench.py): every candidate
+    config delta runs through the same session factory the engine ships, so a
+    sweep result is reproducible by exporting the same string."""
+    raw = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    out = {}
+    for pair in raw.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(app_name: str = "dbt_demo_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard config."""
@@ -45,6 +60,8 @@ def get_spark(app_name: str = "dbt_demo_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _extra_conf().items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
