@@ -146,6 +146,15 @@ def main() -> None:
     common = sorted(set(spark["queries"]) & set(duck["queries"]))
     seq_spark = round(sum(spark["queries"][n] for n in common), 3)
     seq_duck = round(sum(duck["queries"][n] for n in common), 3)
+    # Composition-adjusted ratio (VERDICT r4 item 7): the workload ratio is
+    # dominated by two list-ops queries DuckDB is pathologically slow on
+    # (doc_fingerprint, dedup_embedding_cosine: 83% of its sf1 total);
+    # excluding them gives the honest number for the relational bulk, the
+    # one the floor work has to move.  Both ratios are reported.
+    _excl = {"doc_fingerprint", "dedup_embedding_cosine"}
+    bulk = [n for n in common if n not in _excl]
+    adj_spark = round(sum(spark["queries"][n] for n in bulk), 3)
+    adj_duck = round(sum(duck["queries"][n] for n in bulk), 3)
     result = {
         "sf": args.sf,
         "dir": args.dir,
@@ -153,6 +162,11 @@ def main() -> None:
         "duckdb": duck,
         "common_queries": len(common),
         "sequential_ratio": round(seq_spark / seq_duck, 3),
+        "sequential_ratio_excl_listops": round(adj_spark / adj_duck, 3),
+        "excl_listops_note": (
+            f"ratio over the {len(bulk)} relational/bulk queries, excluding "
+            f"{sorted(_excl)} where DuckDB's list-ops are the outlier; "
+            f"spark {adj_spark}s vs duckdb {adj_duck}s"),
         "throughput_ratio": round(
             spark["throughput_wall_sec"] / duck["throughput_wall_sec"], 3),
         "per_query_ratio": {
