@@ -61,9 +61,26 @@ def main() -> None:
     # and fewer initial partitions cut task-scheduling overhead (33.2s vs
     # 36.5s sequential at sf0.1).  At cluster scale SPARK_GRAFT_SHUFFLE
     # overrides this.
+    # Local-mode bench tuning (measured, FLOOR_SWEEP.json): AQE off + shuffle/
+    # broadcast compression off + 64 MB broadcast threshold + 512 MB scan
+    # splits is the best combo in both sweep batches it ran (-11%/-17% vs the
+    # shipping defaults).  At sub-second query sizes AQE's stage
+    # materializations and codec setup cost more than they save; the SHIP
+    # config (session.py defaults, what the driver's correctness gate uses
+    # via configure_existing) keeps AQE on — at 100 TB runtime re-planning is
+    # essential and these constants vanish.
     spark = get_spark(
         app_name="dbt_demo_spark-bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.broadcast.compress": "false",
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+        })
 
     # Warm the JVM/codegen path once so per-query numbers measure the engine,
     # not first-query classloading; ditto the Arrow/Python worker pool used

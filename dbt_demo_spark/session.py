@@ -36,8 +36,13 @@ def _extra_conf() -> dict:
 
 
 def get_spark(app_name: str = "dbt_demo_spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or fetch) a SparkSession with the engine's standard config."""
+              shuffle_partitions: int | None = None,
+              conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    ``conf``: caller-supplied overrides (e.g. bench.py's measured local-mode
+    tuning, FLOOR_SWEEP.json); $SPARK_GRAFT_EXTRA_CONF still wins over these
+    so a sweep/driver can override the caller."""
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{DEFAULT_CPUS}]")
@@ -60,6 +65,8 @@ def get_spark(app_name: str = "dbt_demo_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (conf or {}).items():
+        builder = builder.config(k, v)
     for k, v in _extra_conf().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

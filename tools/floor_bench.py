@@ -66,13 +66,41 @@ COMBOS: dict[str, dict[str, str]] = {
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024)},
+    # --- second-pass hypotheses: per-STAGE overhead is task-count and
+    # thread-count, not IO.  (First pass showed config IO deltas buy ~2.5s
+    # of 23s; planning measured at ~0.05s/query, execution dominates.)
+    "shuffle2": {"spark.sql.shuffle.partitions": "2"},
+    "shuffle1": {"spark.sql.shuffle.partitions": "1"},
+    # fewer executor threads: 32 task slots over <1 MB stages is pure
+    # scheduling + GC churn; a right-sized engine matches slots to volume
+    "cpus8": {"_cpus": "8"},
+    "cpus16": {"_cpus": "16"},
+    "cpus8_bcast": {
+        "_cpus": "8",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024)},
+    # AQE kept ON (the 100 TB posture): the two best single deltas together
+    "bigscan_bcast": {
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024)},
+    "combo_all2": {
+        "_cpus": "16",
+        "spark.sql.shuffle.partitions": "2",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024)},
 }
 
 
 def run_one(combo: str, sf_dir: str) -> dict:
     """Execute one combo in THIS process (caller gives us a fresh JVM)."""
+    conf = dict(COMBOS[combo])
+    cpus = conf.pop("_cpus", None)
+    if cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = cpus  # before session import
     os.environ["SPARK_GRAFT_EXTRA_CONF"] = ";".join(
-        f"{k}={v}" for k, v in COMBOS[combo].items())
+        f"{k}={v}" for k, v in conf.items())
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from dbt_demo_spark.queries import CATALOG
