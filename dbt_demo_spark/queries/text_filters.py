@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import round2, sql_round2
 from ..functions.text import HASH_P, sql_tokens, tokens
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, spread
 from .catalog import query
 
 # ---------------------------------------------------------------------------
@@ -89,9 +89,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate generations; the classic cut is dup_trigram_frac > ~0.3).
     Driver-gated since r5 (displacing tpch_q19): the corpus-preparation
     funnel's hygiene stage is the repo's flagship surface and deserves a
-    CORRECTNESS row.  Row-local JVM expression work — zero Exchange
-    (tests/test_text_filters.py asserts the plan)."""
-    docs = load_table(spark, sf_dir, "documents")
+    CORRECTNESS row.  Row-local JVM expression work; ``spread`` buys the
+    worker pool for the interpreted HOF folds (higher-order functions don't
+    enter whole-stage codegen, and the single-row-group local scan is one
+    task without it — measured 1.28s -> 0.40s at sf0.1; no-op at cluster
+    scale where scans arrive wide)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     bi = _ngrams(toks, n, 2)

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import round2, scaled_long, sql_round2, sql_scaled_long
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, spread
 from .catalog import query
 
 
@@ -303,8 +303,14 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     The `big` set is tiny after HAVING, so Spark broadcasts it into the
     semi join — aggregation pruning before the expensive join."""
     li = load_table(spark, sf_dir, "lineitem")
+    # spread the HAVING-aggregate's input: the local single-row-group scan
+    # is one task, and the qty rollup over all of lineitem is the query's
+    # dominant stage (measured 0.84s -> 0.58s at sf0.1; no-op on
+    # cluster-width scans).  After repartition(l_orderkey) the aggregate is
+    # partition-local — no further exchange.
     big = (
-        li.groupBy("l_orderkey")
+        spread(li.select("l_orderkey", "l_quantity"), "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
         .filter(F.col("qty") > 300)
         .select("l_orderkey")

