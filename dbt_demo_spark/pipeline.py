@@ -2,6 +2,7 @@
 user actually runs, wired from the package's own operators —
 
     ingest -> exact dedup (keep-first) -> repetition filter -> PII redaction
+           -> [optional eval-set decontamination]
            -> [optional source-weighted sampling] -> incremental near-dup
            vs the persisted fingerprint index -> train/val/test split
 
@@ -22,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
+from .operators.decontaminate import decontaminate
 from .operators.dedup import exact_dedup_keep_first, incremental_minhash_dedup
 from .queries.llm_pipeline import _SPLIT_MULT
 from .queries.text_filters import (EMAIL_RE, IPV4_RE, repetition_filter,
@@ -43,6 +45,8 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  max_dup_trigram_frac: float = 0.3,
                  min_uniq_token_frac: float = 0.2,
                  rates: dict[str, float] | None = None,
+                 eval_docs: DataFrame | None = None,
+                 min_matched: int = 1,
                  sink=None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
@@ -83,6 +87,13 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
         "text", F.regexp_replace(
             F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
             IPV4_RE, "<IP>"))
+
+    # eval-set decontamination before sampling/near-dup: the eval n-gram set
+    # broadcasts, the corpus stays a narrow pipeline, and contaminated docs
+    # never reach the Arrow featurization
+    if eval_docs is not None:
+        df = tap(decontaminate(df, eval_docs, min_matched=min_matched),
+                 "after_decontamination")
 
     if rates is not None:
         df = tap(source_weighted_sample(df, rates), "after_sampling")

@@ -62,6 +62,29 @@ def test_sampling_stage_composes(spark, tmp_path):
             == obs["after_repetition"].get["rows"])
 
 
+def test_decontamination_stage_composes(spark, tmp_path):
+    """With an eval set drawn from the corpus itself, the decontamination
+    stage must drop exactly the reported contaminated ids, and the funnel
+    count must agree with running the operator independently."""
+    from dbt_demo_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, SF_GATE, "documents")
+    ev = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 <> 0")
+    idx = str(tmp_path / "idx")
+    clean, obs = clean_corpus(corpus, idx, eval_docs=ev)
+    _run(clean)
+    n_after = obs["after_decontamination"].get["rows"]
+    assert n_after <= obs["after_repetition"].get["rows"]
+
+    # independent replication over the same upstream slice
+    upstream = repetition_filter(
+        corpus.join(dedup.exact_dedup_keep_first(corpus)
+                    .selectExpr("keep_id as doc_id"), "doc_id", "left_semi"))
+    bad = {r.doc_id for r in contamination_report(upstream, ev).collect()}
+    assert n_after == upstream.count() - len(bad)
+
+
 def test_filters_order_preserves_dedup_input(spark, tmp_path):
     """The repetition filter runs before near-dup: a doc dropped for
     repetition must not appear in the index (its fingerprints would
