@@ -122,6 +122,36 @@ def repetition_filter(docs: DataFrame, max_dup_trigram_frac: float = 0.3,
 
 
 # ---------------------------------------------------------------------------
+# Eval-set decontamination (operators/decontaminate.py) under the driver
+# gate: a ~1% deterministic slice of the documents table stands in for the
+# held-out benchmark (doc_id % 97), the rest is the training corpus.
+# ---------------------------------------------------------------------------
+
+DECONTAM_EVAL_PRED = "doc_id % 97 = 0"
+DECONTAM_CORPUS_PRED = "doc_id % 97 <> 0"
+
+
+def _decontam_oracle() -> str:
+    from ..operators.decontaminate import sql_contamination_report
+    return sql_contamination_report(DECONTAM_EVAL_PRED, DECONTAM_CORPUS_PRED)
+
+
+@query("corpus_decontamination", oracle=_decontam_oracle(),
+       tags=("corpus", "decontamination"))
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report of the training slice against the eval slice
+    (the n-gram overlap screen every LLM corpus runs before training).
+    Driver-gated since r5, displacing tpch_q12 — see
+    operators/decontaminate.py for the 100 TB shape (eval grams broadcast;
+    corpus never shuffles before the semi join)."""
+    from ..operators.decontaminate import contamination_report
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return contamination_report(docs.filter(DECONTAM_CORPUS_PRED),
+                                docs.filter(DECONTAM_EVAL_PRED))
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary
 # ---------------------------------------------------------------------------
 

@@ -181,28 +181,35 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q12_priority_shipping",
-    oracle="""
-        SELECT l.l_returnflag AS return_flag,
-               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
-               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
-        FROM orders o
-        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l.l_shipdate < TIMESTAMP '1997-01-01'
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-        GROUP BY 1
-    """,
-    tags=("J1", "A1", "F5"),
-)
+# q12's oracle, kept for the pytest differential below the catalog: the
+# driver catalog is capped at 50 rows, and q12's operators (CASE-conditional
+# aggregation, equi+range join conjunct) stay covered by q14/q8 (conditional
+# aggs) and the as-of/range-join suite; its slot was given to the
+# corpus-decontamination surface (queries/text_filters.py).
+# tests/test_catalog_parity.py still runs q12 under the identical oracle
+# gate every session.
+TPCH_Q12_ORACLE = """
+    SELECT l.l_returnflag AS return_flag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+"""
+
+
 def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: CASE-conditional counts split by priority class
     over late-shipped lines (no l_shipmode/commitdate in the schema:
     return_flag stands in for the mode grouping, shipdate-vs-orderdate+30d
-    for the late predicate — same conditional-aggregation operator)."""
+    for the late predicate — same conditional-aggregation operator).
+    Pytest-differential (see TPCH_Q12_ORACLE above): displaced from the
+    50-row driver catalog by corpus_decontamination."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))

@@ -31,19 +31,23 @@ def test_query_matches_oracle(spark, con, name):
 def test_demoted_queries_still_match_oracle(spark, con):
     """Queries displaced from the 50-entry catalog (the driver checks at
     most 50) keep their DuckDB differential here so correctness never
-    lapses: stg_orders (slot funds events_asof_enrich, r4) and
-    text_token_count (slot funds mart_month_pruned, r4), and
-    tpch_q19 (slot funds text_repetition, r5)."""
+    lapses: stg_orders (slot funds events_asof_enrich, r4),
+    text_token_count (slot funds mart_month_pruned, r4),
+    tpch_q19 (slot funds text_repetition, r5), and
+    tpch_q12 (slot funds corpus_decontamination, r5)."""
     from dbt_demo_spark.queries.llm_pipeline import (TEXT_TOKEN_COUNT_ORACLE,
                                                      text_token_count)
     from dbt_demo_spark.queries.reference_surface import (STG_ORDERS_ORACLE,
                                                           stg_orders)
-    from dbt_demo_spark.queries.tpch2 import (TPCH_Q19_ORACLE,
+    from dbt_demo_spark.queries.tpch2 import (TPCH_Q12_ORACLE,
+                                              TPCH_Q19_ORACLE,
+                                              tpch_q12_priority_shipping,
                                               tpch_q19_discounted_revenue)
 
     for fn, oracle in ((stg_orders, STG_ORDERS_ORACLE),
                        (text_token_count, TEXT_TOKEN_COUNT_ORACLE),
-                       (tpch_q19_discounted_revenue, TPCH_Q19_ORACLE)):
+                       (tpch_q19_discounted_revenue, TPCH_Q19_ORACLE),
+                       (tpch_q12_priority_shipping, TPCH_Q12_ORACLE)):
         res = compare(fn.__name__, fn(spark, SF_GATE), con, oracle)
         assert res.ok, f"{fn.__name__}: {res.detail}"
 
