@@ -14,10 +14,13 @@ Spark-first shape:
     bounded by the LSH bucket guards upstream), so iterating over it never
     touches the corpus again — the final keep filter is one broadcast
     anti join against the scan;
-  * min-label propagation: each round every node takes the min label among
-    itself and its neighbors — two key-partitioned shuffles per round over
-    the edge list, converging in graph-diameter rounds (near-dup clusters
-    are shallow: diameter is small even when cliques are large);
+  * min-label propagation WITH SHORTCUTTING: each round every node takes
+    the min label among itself and its neighbors, then additionally jumps
+    to its current label's label (pointer doubling — the short-cut step of
+    the classic MapReduce CC algorithms).  Neighbor propagation alone
+    needs graph-diameter rounds; the shortcut makes label chains collapse
+    geometrically, so rounds ~ log(diameter) — a 30-node path converges in
+    a handful of rounds instead of 29;
   * each round ends in ``localCheckpoint`` — iterative DataFrame loops
     otherwise stack lineage into an exponentially re-analyzed plan;
   * convergence is checked with a count of changed labels (one driver-side
@@ -72,12 +75,23 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             edges.join(labels, edges.a == labels.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("neighbor_component")))
-        improved = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
                     F.least("component", "neighbor_component")
                     .alias("component"),
                     (F.col("neighbor_component") < F.col("component"))
+                    .alias("changed")))
+        # shortcut (pointer doubling): follow the label one more hop —
+        # component := label(component) — so chains halve every round
+        lab2 = stepped.select(F.col("node").alias("c_node"),
+                              F.col("component").alias("c_component"))
+        improved = (
+            stepped.join(lab2, stepped.component == lab2.c_node, "left")
+            .select("node",
+                    F.least("component", "c_component").alias("component"),
+                    (F.col("changed")
+                     | (F.col("c_component") < F.col("component")))
                     .alias("changed")))
         improved = improved.localCheckpoint(eager=True)
         n_changed = improved.filter("changed").count()

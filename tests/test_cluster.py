@@ -59,6 +59,14 @@ def test_bridge_differs_from_pairwise_drop(spark):
     assert _components(spark, [(1, 3), (2, 3)]) == {1: 1, 2: 1, 3: 1}
 
 
+def test_long_path_converges_within_default_rounds(spark):
+    """A 30-hop path needs 29 rounds under plain neighbor propagation —
+    the pointer-doubling shortcut must collapse it within the default
+    budget (rounds ~ log diameter)."""
+    pairs = [(i, i + 1) for i in range(30)]
+    assert _components(spark, pairs) == {i: 0 for i in range(31)}
+
+
 def test_two_components(spark):
     comp = _components(spark, [(10, 11), (11, 12), (20, 21)])
     assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
