@@ -103,6 +103,30 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         "use a large-star/small-star implementation for deep graphs")
 
 
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          order_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Corpus rows minus every cluster member except the one with the
+    HIGHEST ``order_col`` (ties broken by lowest id — deterministic).  The
+    production near-dup policy is usually "keep the best copy" (longest
+    text, highest quality score), not "keep the smallest id".
+
+    Only CLUSTERED docs (a small set — it is the duplication) enter the
+    ranking window; the unclustered corpus never shuffles: the final step
+    is one broadcast anti join of the loser ids against the scan."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    clustered = docs.join(
+        F.broadcast(comp), docs[id_col] == comp.node).select(
+            F.col(id_col).alias("_id"), F.col(order_col).alias("_ord"),
+            "component")
+    w = Window.partitionBy("component").orderBy(F.desc("_ord"), F.asc("_id"))
+    losers = (clustered.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") > 1)
+              .select(F.col("_id").alias(id_col)))
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def keep_one_per_cluster(docs: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """Corpus rows minus every non-minimal member of each duplicate

@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from dbt_demo_spark.operators.cluster import (SQL_COMPONENTS_ORACLE,
                                               connected_components,
+                                              keep_best_per_cluster,
                                               keep_one_per_cluster)
 from dbt_demo_spark.operators.dedup import minhash_near_dups
 from dbt_demo_spark.sources.parquet import load_table
@@ -99,6 +100,27 @@ def test_keep_one_per_cluster(spark):
             .collect()}
     # cluster {1,2,3} -> keep 1; untouched docs pass through
     assert kept == {0, 1, 4, 5}
+
+
+def test_keep_best_per_cluster(spark):
+    """Cluster {1,2,3} via bridge pairs: the member with the longest text
+    wins (not the min id); ties break to the lower id; unclustered docs
+    pass through untouched."""
+    docs = spark.createDataFrame(
+        [(0, "zz"), (1, "short"), (2, "the longest text of all"), (3, "mid"),
+         (4, "tie"), (5, "tie")],
+        "doc_id long, text string")
+    import pyspark.sql.functions as F
+    docs = docs.withColumn("n_chars", F.length("text"))
+    kept = {r.doc_id for r in
+            keep_best_per_cluster(docs, _pairs_df(spark, [(1, 3), (2, 3)]),
+                                  "n_chars").collect()}
+    assert kept == {0, 2, 4, 5}
+    # tie on n_chars: lower id wins
+    kept2 = {r.doc_id for r in
+             keep_best_per_cluster(docs, _pairs_df(spark, [(4, 5)]),
+                                   "n_chars").collect()}
+    assert kept2 == {0, 1, 2, 3, 4}
 
 
 def test_minhash_pairs_resolve_to_clusters(spark):

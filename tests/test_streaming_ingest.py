@@ -48,6 +48,28 @@ def test_streamed_ingest_equals_batch_pipeline(spark, tmp_path):
     assert _accepted_ids(out, spark) == streamed
 
 
+def test_streamed_decontamination_matches_batch(spark, tmp_path):
+    """clean_kwargs forward through foreachBatch: streaming with an eval
+    set drops the same contaminated docs the batch funnel drops."""
+    docs = load_table(spark, SF_GATE, "documents")
+    ev = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 <> 0")
+    landing = str(tmp_path / "landing")
+    corpus.filter("doc_id < 250").coalesce(1).write.parquet(landing, mode="append")
+    corpus.filter("doc_id >= 250").coalesce(1).write.parquet(landing, mode="append")
+
+    idx, out, ckpt = (str(tmp_path / "idx"), str(tmp_path / "out"),
+                      str(tmp_path / "ckpt"))
+    stream = read_document_stream(spark, landing, max_files_per_trigger=1)
+    q = (clean_ingest(stream, idx, out, ckpt, eval_docs=ev)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    batch_clean, _ = clean_corpus(corpus, str(tmp_path / "idx_b"), eval_docs=ev)
+    want = {r["doc_id"] for r in batch_clean.select("doc_id").collect()}
+    assert _accepted_ids(out, spark) == want
+
+
 def test_late_file_dedupes_against_streamed_history(spark, tmp_path):
     """A file landing later must be deduped against everything the stream
     already indexed — including exact re-deliveries of old docs."""
