@@ -147,3 +147,41 @@ def test_grouping_sets_rollup_cube_same_text(spark, con):
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+def test_pivot_crosstab_matches_case_oracle(spark, con):
+    """The pivot surface (DataFrame `groupBy().pivot()` — month x status
+    cross-tab of exact order cents).  No same-text form: Spark's and
+    DuckDB's PIVOT syntaxes differ, so the DuckDB oracle is the portable
+    CASE-conditional aggregation the pivot desugars to."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_GATE, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    got = (
+        orders
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                 .alias("month_start"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(cents))
+        .select("month_start",
+                F.col("F").cast("long").alias("cents_f"),
+                F.col("O").cast("long").alias("cents_o"),
+                F.col("P").cast("long").alias("cents_p")))
+    res = compare("pivot_crosstab", got, con, """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS cents_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS cents_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS cents_p
+        FROM orders
+        GROUP BY 1
+    """)
+    assert res.ok, res.detail
