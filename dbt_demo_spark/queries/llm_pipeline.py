@@ -31,7 +31,7 @@ from ..functions.vectors import (as_double, cosine, lsh_bucket, sql_cosine,
                                  sql_lsh_bucket, sql_probe_join)
 from ..operators import dedup, similarity
 from ..sources.events import load_events
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, spread
 from .catalog import query
 
 # ---------------------------------------------------------------------------
@@ -424,8 +424,11 @@ _STOPWORDS = ["the", "a", "of", "and", "to"]
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: token count, average token length,
     stopword ratio, and a bounded composite score — all JVM-side
-    higher-order functions, zero Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    higher-order functions, zero Python.  ``spread`` buys the pool for the
+    interpreted HOF folds past the one-task local scan (no-op on
+    cluster-width scans)."""
+    docs = spread(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"), "doc_id")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     avg_len = (F.length("text") - n + 1.0) / n
@@ -487,7 +490,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_markers = F.array(*[
         F.struct(F.lit(lang).alias("lang"), F.lit(tok).alias("tok"))
         for lang, tok in _LANG_MARKERS])
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text", "lang"), "doc_id")
     markers = (spark.range(1).select(F.explode(spark_markers).alias("m"))
                .select("m.lang", "m.tok"))
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -631,8 +635,11 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour rollup of the event stream — the batch twin of the
     Structured Streaming window aggregation (streaming/rollup.py runs the
-    same logical shape with a watermark)."""
-    ev = load_events(spark, sf_dir)
+    same logical shape with a watermark).  ``spread`` parallelizes the
+    partial aggregation past the one-task local scan (measured 0.43->0.22s
+    at sf0.1; no-op on cluster-width scans)."""
+    ev = spread(load_events(spark, sf_dir)
+                .select("ts", "event_type", "user_id", "value"), "user_id")
     return (
         # Spark's date_trunc returns TIMESTAMP_LTZ even for NTZ input; cast
         # back so the schema matches DuckDB's naive TIMESTAMP.
@@ -663,8 +670,12 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: parse the JSON payload column (from_json into
-    a typed struct — schema-on-read) and aggregate a typed field."""
-    ev = load_events(spark, sf_dir)
+    a typed struct — schema-on-read) and aggregate a typed field.
+    ``spread`` (keyed on high-cardinality user_id, NOT the ~5-value
+    event_type) parallelizes the per-row JSON parse past the one-task
+    local scan."""
+    ev = spread(load_events(spark, sf_dir)
+                .select("event_type", "props", "user_id"), "user_id")
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
     return (
         ev.select("event_type", k.alias("k"))
