@@ -55,7 +55,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from dbt_demo_spark.queries import CATALOG
-    from dbt_demo_spark.session import get_spark
+    from dbt_demo_spark.session import LOCAL_BENCH_CONF, get_spark
 
     # 8 shuffle partitions at bench scale: AQE coalesces tiny shuffles anyway,
     # and fewer initial partitions cut task-scheduling overhead (33.2s vs
@@ -72,15 +72,7 @@ def main() -> None:
     spark = get_spark(
         app_name="dbt_demo_spark-bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-        conf={
-            "spark.sql.adaptive.enabled": "false",
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
-            "spark.broadcast.compress": "false",
-            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-            "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
-        })
+        conf=LOCAL_BENCH_CONF)
 
     # Warm the JVM/codegen path once so per-query numbers measure the engine,
     # not first-query classloading; ditto the Arrow/Python worker pool used

@@ -90,10 +90,18 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
     """The filter form: corpus rows minus docs sharing >= ``min_matched``
     distinct n-grams with the eval set.  The contaminated-id set is small
     (it IS the contamination), so it broadcasts into the anti join — the
-    corpus passes through in one narrow scan."""
+    corpus passes through in one narrow scan.
+
+    The id set is materialized (``localCheckpoint``, same pattern as
+    incremental_minhash_dedup's drop sets): the report subtree contains the
+    whole upstream corpus plan, and leaving it lazy re-executes that
+    upstream once per downstream REFERENCE per action — inside clean_corpus
+    the near-dup stage references its input several times, which would
+    multiply the report's corpus pass."""
     bad = (contamination_report(corpus, eval_docs, text_col, id_col)
            .filter(F.col("n_matched") >= min_matched)
-           .select(F.col("doc_id").alias(id_col)))
+           .select(F.col("doc_id").alias(id_col))
+           .localCheckpoint(eager=True))
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
 
 

@@ -401,6 +401,26 @@ def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
     )
 
 
+def read_index(spark, index_dir: str) -> DataFrame:
+    """The persisted fingerprint index: every committed ``batch_*`` dir,
+    listed recursively with a DECLARED schema.
+
+    * explicit schema: a fresh index dir has no visible part files (staging
+      is underscore-hidden) and a schema-declared read of it is a valid
+      empty index rather than an inference error.  No head(1)-style
+      emptiness probe: any limited action on the batch plan would poison
+      upstream Observation metrics (pipeline.py) with the limited pass's
+      row counts;
+    * recursiveFileLookup: commits are ONE atomic directory rename per
+      batch (``_staging_*`` -> ``batch_*``), so the index is a flat set of
+      batch dirs; underscore-prefixed staging stays invisible to Spark's
+      file listing."""
+    from . import shingle_arrow
+
+    return (spark.read.schema(shingle_arrow.FEATURES_SCHEMA)
+            .option("recursiveFileLookup", "true").parquet(index_dir))
+
+
 def _identity_bands(feats: DataFrame) -> DataFrame:
     """Sentinel band rows (doc_id, band_id=-1, band_key=doc_id): a bucket
     only the SAME doc_id can land in.  Real band_ids are >= 0, so sentinels
@@ -509,14 +529,7 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
 
     new_bands = shingle_arrow.band_rows(feats_new)
     cands = lsh_candidates(new_bands, max_bucket)
-    # explicit schema: a fresh index dir has no visible part files (staging
-    # is underscore-hidden) and a schema-declared read of it is a valid
-    # empty index rather than an inference error.  No head(1)-style
-    # emptiness probe: any limited action on the batch plan would poison
-    # upstream Observation metrics (pipeline.py) with the limited pass's
-    # row counts.
-    old_feats = spark.read.schema(
-        shingle_arrow.FEATURES_SCHEMA).parquet(index_dir)
+    old_feats = read_index(spark, index_dir)
     cross = (
         shingle_arrow.band_rows(old_feats)
         .unionByName(_identity_bands(old_feats)).alias("o")
@@ -553,14 +566,24 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
     # indexed ids from the staged PARQUET (no re-featurization), so the
     # index never accumulates duplicate doc_ids.
     if already.count() == 0:
-        for name in os.listdir(staging):
-            if not name.startswith(("_", ".")):
-                os.rename(os.path.join(staging, name),
-                          os.path.join(index_dir, name))
-        shutil.rmtree(staging, ignore_errors=True)
+        # ONE directory rename — atomic on a same-filesystem index, so a
+        # crash leaves either the whole batch committed or none of it
+        # (a per-FILE rename loop had a window where a replay saw part of
+        # the batch indexed, recomputed a partial kept set, and the sink's
+        # partition overwrite deleted the previously-accepted remainder).
+        # read_index lists committed batch dirs recursively; the
+        # underscore prefix keeps uncommitted staging invisible.
+        os.rename(staging, os.path.join(index_dir,
+                                        f"batch_{uuid.uuid4().hex}"))
     else:
+        # replay path: stage the filtered re-append behind the same
+        # underscore veil, then one atomic rename — a crash mid-write must
+        # not leave a partially visible batch dir
+        stage2 = os.path.join(index_dir, f"_staging_{uuid.uuid4().hex}")
         (feats_new.join(F.broadcast(already.withColumnRenamed(id_col, "doc_id")),
                         "doc_id", "left_anti")
-         .write.mode("append").parquet(index_dir))
+         .write.parquet(stage2))
+        os.rename(stage2, os.path.join(index_dir,
+                                       f"batch_{uuid.uuid4().hex}"))
         shutil.rmtree(staging, ignore_errors=True)
     return kept

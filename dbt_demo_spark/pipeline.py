@@ -83,17 +83,20 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     # row-local hygiene: repetition cut, then in-place PII redaction
     df = tap(repetition_filter(df, max_dup_trigram_frac,
                                min_uniq_token_frac), "after_repetition")
+    # eval-set decontamination BEFORE PII redaction: a leaked eval span
+    # containing an email/IP must be matched against the eval set's RAW
+    # n-grams — redacting first rewrites the corpus side of exactly those
+    # grams and lets the leak through.  The eval n-gram set broadcasts, the
+    # corpus stays a narrow pipeline, and contaminated docs never reach
+    # the Arrow featurization.
+    if eval_docs is not None:
+        df = tap(decontaminate(df, eval_docs, min_matched=min_matched),
+                 "after_decontamination")
+
     df = df.withColumn(
         "text", F.regexp_replace(
             F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
             IPV4_RE, "<IP>"))
-
-    # eval-set decontamination before sampling/near-dup: the eval n-gram set
-    # broadcasts, the corpus stays a narrow pipeline, and contaminated docs
-    # never reach the Arrow featurization
-    if eval_docs is not None:
-        df = tap(decontaminate(df, eval_docs, min_matched=min_matched),
-                 "after_decontamination")
 
     if rates is not None:
         df = tap(source_weighted_sample(df, rates), "after_sampling")

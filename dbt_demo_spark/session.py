@@ -19,6 +19,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Measured local-mode bench tuning (FLOOR_SWEEP.json, the winning sweep
+# combo): the single source of truth for bench.py AND the sweep's combo_all,
+# so the committed bench numbers always reflect the sweep's winner.  LOCAL
+# ONLY — the ship defaults below keep AQE on (at 100 TB runtime re-planning
+# is essential and these constants vanish).
+LOCAL_BENCH_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.broadcast.compress": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+}
+
 
 def _extra_conf() -> dict:
     """Ad-hoc config overrides from $SPARK_GRAFT_EXTRA_CONF ("k=v;k=v").

@@ -66,8 +66,7 @@ def test_short_docs_indexed_and_replay_inert(spark, tmp_path):
     assert again.count() == 0
     # the index holds each id exactly once (replay appended nothing) and no
     # staging residue survives the commit
-    from dbt_demo_spark.operators.shingle_arrow import FEATURES_SCHEMA
-    feats = spark.read.schema(FEATURES_SCHEMA).parquet(idx)
+    feats = dedup.read_index(spark, idx)
     counts = feats.groupBy("doc_id").count().collect()
     assert {r["doc_id"]: r["count"] for r in counts} == {1: 1, 2: 1, 3: 1, 4: 1}
     assert not [d for d in os.listdir(idx) if d.startswith("_staging")]

@@ -85,6 +85,26 @@ def test_decontamination_stage_composes(spark, tmp_path):
     assert n_after == upstream.count() - len(bad)
 
 
+def test_decontamination_sees_raw_text_before_redaction(spark, tmp_path):
+    """A leaked eval span CONTAINING an email must still be caught: the
+    funnel must decontaminate against raw n-grams before PII redaction
+    rewrites them (redact-first would turn the leaked span's grams into
+    '<EMAIL>' forms that no longer match the eval set)."""
+    ev = spark.createDataFrame(
+        [(1000, "contact admin@site.com now for help with billing", "en",
+          "fx", 48)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    corpus = spark.createDataFrame(
+        [(1, "please contact admin@site.com now for help with this", "en",
+          "fx", 52),
+         (2, "totally unrelated words about mountains and weather today",
+          "en", "fx", 57)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    clean, _ = clean_corpus(corpus, str(tmp_path / "idx"), eval_docs=ev)
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert kept == {2}
+
+
 def test_filters_order_preserves_dedup_input(spark, tmp_path):
     """The repetition filter runs before near-dup: a doc dropped for
     repetition must not appear in the index (its fingerprints would
@@ -97,7 +117,8 @@ def test_filters_order_preserves_dedup_input(spark, tmp_path):
     idx = str(tmp_path / "idx")
     clean, _ = clean_corpus(docs, idx)
     _run(clean)
-    indexed = {r["doc_id"] for r in spark.read.parquet(idx)
+    from dbt_demo_spark.operators.dedup import read_index
+    indexed = {r["doc_id"] for r in read_index(spark, idx)
                .select("doc_id").collect()}
     allowed = {r["doc_id"] for r in survivors.select("doc_id").collect()}
     assert indexed <= allowed

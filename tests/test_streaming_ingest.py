@@ -113,10 +113,9 @@ def _crash_batch(spark):
 
 
 def _index_ids(spark, idx):
-    from dbt_demo_spark.operators.shingle_arrow import FEATURES_SCHEMA
+    from dbt_demo_spark.operators.dedup import read_index
 
-    rows = (spark.read.schema(FEATURES_SCHEMA).parquet(idx)
-            .groupBy("doc_id").count().collect())
+    rows = read_index(spark, idx).groupBy("doc_id").count().collect()
     return {r["doc_id"]: r["count"] for r in rows}
 
 

@@ -30,6 +30,8 @@ from concurrent.futures import ThreadPoolExecutor
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from dbt_demo_spark.session import LOCAL_BENCH_CONF  # noqa: E402
+
 # Each combo is a set of EXTRA confs layered on the engine's standard
 # session (session.py).  Keys chosen from the candidates the r3/r4 verdicts
 # named plus the obvious local-mode constants (compression, scheduling).
@@ -58,14 +60,9 @@ COMBOS: dict[str, dict[str, str]] = {
     "bigscan": {
         "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024)},
-    "combo_all": {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.shuffle.compress": "false",
-        "spark.shuffle.spill.compress": "false",
-        "spark.broadcast.compress": "false",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
-        "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024)},
+    # the winning combo IS the shipped local bench conf — one source of truth
+    # (session.LOCAL_BENCH_CONF), so bench numbers always match the sweep
+    "combo_all": None,  # filled below from session.LOCAL_BENCH_CONF
     # --- second-pass hypotheses: per-STAGE overhead is task-count and
     # thread-count, not IO.  (First pass showed config IO deltas buy ~2.5s
     # of 23s; planning measured at ~0.05s/query, execution dominates.)
@@ -91,6 +88,8 @@ COMBOS: dict[str, dict[str, str]] = {
         "spark.sql.files.maxPartitionBytes": str(512 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024)},
 }
+
+COMBOS["combo_all"] = dict(LOCAL_BENCH_CONF)
 
 
 def run_one(combo: str, sf_dir: str) -> dict:
