@@ -11,6 +11,24 @@ from tests.conftest import SF_GATE
 THRESHOLD = 0.5
 
 
+def test_read_index_reads_legacy_flat_layout(spark, tmp_path):
+    """Indexes written before the atomic-directory commit kept part files at
+    the index root; read_index (recursiveFileLookup) must read BOTH that
+    flat layout and the batch_* subdirs, mixed in one dir."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.operators.shingle_arrow import FEATURES_SCHEMA
+
+    idx = str(tmp_path / "idx")
+    row = spark.createDataFrame(
+        [(1, [2, 3], [4, 5], 2)], FEATURES_SCHEMA)
+    row.write.parquet(idx, mode="append")                     # legacy: root files
+    row.select((F.col("doc_id") + 1).alias("doc_id"), "bks", "ss", "n") \
+       .write.parquet(f"{idx}/batch_test")                    # new: batch dir
+    got = {r.doc_id for r in dedup.read_index(spark, idx).collect()}
+    assert got == {1, 2}
+
+
 def _ids(df, col="doc_id"):
     return {r[col] for r in df.select(col).distinct().collect()}
 
