@@ -1,8 +1,9 @@
 """End-to-end corpus-preparation pipeline: the composition a training-data
 user actually runs, wired from the package's own operators —
 
-    ingest -> exact dedup (keep-first) -> repetition filter -> PII redaction
-           -> [optional eval-set decontamination]
+    ingest -> exact dedup (keep-first) -> repetition filter
+           -> [optional eval-set decontamination, on RAW text]
+           -> PII redaction
            -> [optional source-weighted sampling] -> incremental near-dup
            vs the persisted fingerprint index -> train/val/test split
 
