@@ -475,10 +475,12 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
          indexed near-dup is the one dropped);
       5. commit the staged features into the index (dropped docs too:
          "earlier" includes them, keeping the semantics batch-split-
-         invariant) — a per-file rename when no batch id was already
-         indexed (the normal path: zero recompute, metadata-only), else a
-         filtered re-append from the staged parquet that skips
-         already-indexed ids, so a replay never duplicates index entries.
+         invariant) — ONE atomic directory rename of the staging dir into a
+         committed batch dir when no batch id was already indexed (the
+         normal path: zero recompute, metadata-only), else a filtered
+         re-append from the staged parquet that skips already-indexed ids
+         (staged behind the same underscore veil, then one rename), so a
+         replay never duplicates index entries.
 
     The dropped/already-ingested id sets are materialized (localCheckpoint)
     BEFORE the commit so no lazy plan can observe the batch's own
@@ -490,9 +492,11 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
     an index that never saw it, recomputing the identical kept set; a crash
     after the commit replays into a batch whose ids ALL self-match via the
     sentinels (short docs included), so the empty kept set touches nothing.
-    The commit itself is sequential per-file renames — the same
-    non-transactional multi-file window Spark's own append commit has; a
-    table format with a transaction log is the production escape hatch.
+    The commit itself is a SINGLE same-filesystem directory rename —
+    atomic at the POSIX level, so a crash leaves either the whole batch
+    committed or none of it (no multi-file window); a table format with a
+    transaction log is the production escape hatch for object stores
+    where rename is not atomic.
 
     Returns the kept (accepted) rows of ``new_docs``.
     """

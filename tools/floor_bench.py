@@ -96,8 +96,6 @@ def run_one(combo: str, sf_dir: str) -> dict:
     """Execute one combo in THIS process (caller gives us a fresh JVM)."""
     conf = dict(COMBOS[combo])
     cpus = conf.pop("_cpus", None)
-    if cpus:
-        os.environ["SPARK_GRAFT_CPUS"] = cpus  # before session import
     os.environ["SPARK_GRAFT_EXTRA_CONF"] = ";".join(
         f"{k}={v}" for k, v in conf.items())
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
@@ -105,7 +103,11 @@ def run_one(combo: str, sf_dir: str) -> dict:
     from dbt_demo_spark.queries import CATALOG
     from dbt_demo_spark.session import get_spark
 
-    spark = get_spark(app_name=f"floor-{combo}", shuffle_partitions=8)
+    # _cpus must go through the master= arg: session.py binds DEFAULT_CPUS
+    # at import time, so an env var set here is read too late (ADVICE r5 —
+    # the original sweep's cpus combos silently ran at local[32])
+    spark = get_spark(app_name=f"floor-{combo}", shuffle_partitions=8,
+                      master=f"local[{cpus}]" if cpus else None)
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite").save()
     spark.range(32).repartition(32).mapInPandas(
