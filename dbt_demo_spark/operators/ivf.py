@@ -106,16 +106,22 @@ def build_index(corpus: DataFrame, path: str, n_clusters: int = DEFAULT_K,
                 seed: int = 7, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 sample: float | None = DEFAULT_TRAIN_SAMPLE,
-                model=None) -> IvfIndex:
+                model=None, centroids=None) -> IvfIndex:
     """Train-once / persist: fit the quantizer on a corpus SAMPLE (the
     100 TB path — k-means cost stays independent of corpus size), assign
     every corpus vector map-side, and write the assigned corpus partitioned
     by cluster_id so probes prune partitions at read time.  Pass ``model``
-    to reuse an already-fitted quantizer."""
+    to reuse an already-fitted quantizer, or ``centroids`` (list of
+    vectors) to build from an OFFLINE-trained frozen quantizer — the
+    serving-side lifecycle (operators/ivf_frozen.py, tools/freeze_ivf.py)
+    that also makes the scoring path SQL-oracle-checkable."""
     spark = corpus.sparkSession
-    model = model or train_quantizer(corpus, k=n_clusters, seed=seed,
-                                     vec_col=vec_col, sample=sample)
-    cents = _centroid_array(model)
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        model = model or train_quantizer(corpus, k=n_clusters, seed=seed,
+                                         vec_col=vec_col, sample=sample)
+        cents = _centroid_array(model)
     assigned = assign_clusters(corpus, cents, id_col, vec_col,
                                "neighbor_id", nprobe=1)
     (assigned.write.mode("overwrite").partitionBy("cluster_id")
