@@ -112,23 +112,30 @@ def main() -> None:
 
     # POWER first: sequential, one at a time, on a warmed but otherwise idle
     # session — running it before the throughput passes keeps per-query
-    # numbers free of leftover GC/scheduler pressure (VERDICT r2).  Two
+    # numbers free of leftover GC/scheduler pressure (VERDICT r2).  Three
     # passes, per-query MIN (same best-of-N discipline as the throughput
     # number): single-pass run-to-run spread at this sf is ~1.5x from JVM
-    # GC alone, and min-of-2 measures steady-state capability.
-    spark._jvm.System.gc()
-    time.sleep(1.0)
-    p1 = {name: run(name) for name in names}
-    spark._jvm.System.gc()
-    time.sleep(1.0)
-    p2 = {name: run(name) for name in names}
-    timings = {name: round(min(p1[name], p2[name]), 3) for name in names}
+    # GC alone, and back-to-back repetition measurements (r6, the
+    # agg_monthly_combined variant sweep) show a query's first
+    # post-context run lands ~2x above steady state while reps 2-3
+    # converge — min-of-3 reads the steady state min-of-2 misses because
+    # its two samples sit a full catalog pass apart.  The DuckDB side of
+    # tools/scale_bench.py uses the same pass count, so cross-engine
+    # ratios stay symmetric.
+    passes = []
+    for _ in range(3):
+        spark._jvm.System.gc()
+        time.sleep(1.0)
+        passes.append({name: run(name) for name in names})
+    timings = {name: round(min(p[name] for p in passes), 3) for name in names}
     sequential_total = round(sum(timings.values()), 3)
 
-    # THROUGHPUT: full workload concurrently, wall-clock; best of 2 passes
-    # to damp thread-scheduler/GC noise (run-to-run spread is ~2x at this sf).
+    # THROUGHPUT: full workload concurrently, wall-clock; best of 3 passes
+    # to damp thread-scheduler/GC/ambient noise (r6 measured back-to-back
+    # full-bench walls spanning 3.8-8.5s under shared-host load; the DuckDB
+    # side of tools/scale_bench.py uses the same pass count).
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(threads) as ex:
             list(ex.map(run, names))

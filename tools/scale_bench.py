@@ -9,9 +9,10 @@ executing each query's own oracle SQL on the same parquet inputs, and print
 one JSON object with both sides and the ratios.
 
 DuckDB methodology mirrors the judge's remeasure and bench.py: one warmup
-pass, then two sequential passes taking the per-query MIN (results fully
-materialized via .arrow()), then a 16-thread throughput pass (best of 2)
-using one cursor per thread on a shared connection.
+pass, then three sequential passes taking the per-query MIN (results fully
+materialized via .arrow(); pass count matches bench.py so ratios compare
+steady state to steady state), then a 16-thread throughput pass (best of
+2) using one connection per thread.
 
 Usage:
   python tools/make_scale.py --out /tmp/sf1 --k 10
@@ -55,9 +56,10 @@ def duckdb_side(sf_dir: str, threads: int) -> dict:
         return out
 
     named_pass("warmup")
-    p1 = named_pass("p1")
-    p2 = named_pass("p2")
-    timings = {n: round(min(p1[n], p2[n]), 3) for n in oracles}
+    # min-of-3, matching bench.py's pass count (r6) so the cross-engine
+    # sequential ratio compares steady state to steady state
+    ps = [named_pass(f"p{i}") for i in (1, 2, 3)]
+    timings = {n: round(min(p[n] for p in ps), 3) for n in oracles}
 
     # Throughput with one CONNECTION per worker thread (thread-local): 16
     # cursors multiplexed over a single native connection segfault under
@@ -80,7 +82,7 @@ def duckdb_side(sf_dir: str, threads: int) -> dict:
         return run(c, sql)
 
     walls = []
-    for _ in range(2):
+    for _ in range(3):  # best-of-3, matching bench.py (r6)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(threads) as ex:
             list(ex.map(tls_run, oracles.values()))
