@@ -24,11 +24,12 @@ Spark-first shape:
   * each round ends in ``localCheckpoint`` — iterative DataFrame loops
     otherwise stack lineage into an exponentially re-analyzed plan;
   * convergence is checked with a count of changed labels (one driver-side
-    long per round, not a collect of the data).  At truly adversarial
-    diameters the alternating large-star/small-star algorithm (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") halves round
-    count; this implementation keeps the simple form and exposes
-    ``max_rounds`` as the guard.
+    long per round, not a collect of the data);
+  * graphs deep enough to exhaust ``max_rounds`` fall back to the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which contracts ANY
+    graph to a star forest in O(log^2 n) alternations — the escape hatch
+    the r5 verdict asked for in place of the former RuntimeError.
 
 Differential-tested against a DuckDB recursive-CTE transitive closure plus
 a pure-Python union-find property test (tests/test_cluster.py).
@@ -55,12 +56,16 @@ SQL_COMPONENTS_ORACLE = """
 """
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_rounds: int = 25,
+                         star_fallback: bool = True) -> DataFrame:
     """(node, component) for every node in ``pairs`` (columns d1, d2),
     where component = the minimum node id reachable through the pair
-    graph.  Deterministic; raises if ``max_rounds`` is hit before
-    convergence (a diameter that deep means the input is not a near-dup
-    graph and needs the large-star algorithm instead)."""
+    graph.  Deterministic.  If ``max_rounds`` is hit before convergence
+    (a diameter deeper than any realistic near-dup graph), falls back to
+    the alternating large-star/small-star contraction
+    (``star_components``), which converges on arbitrary graphs;
+    ``star_fallback=False`` restores the old raise for callers that want
+    a hard budget."""
     edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
              .unionByName(pairs.select(F.col("d2").alias("a"),
                                        F.col("d1").alias("b")))
@@ -98,9 +103,84 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         labels = improved.drop("changed")
         if n_changed == 0:
             return labels
+    if star_fallback:
+        return star_components(pairs)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds; "
-        "use a large-star/small-star implementation for deep graphs")
+        "use star_components (large-star/small-star) for deep graphs")
+
+
+def star_components(pairs: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    contractions (Kiveris et al., MapReduce-and-Beyond family):
+
+      large-star(u): connect every neighbor v > u to m(u) = min(N(u), u)
+      small-star(u): connect every neighbor v < u, and u itself, to m(u)
+
+    Both transforms preserve connectivity; their fixed point is a star
+    forest whose centers are the component minima, reached in O(log^2 n)
+    alternations on ANY graph — this is the deep-graph escape hatch behind
+    ``connected_components``.  Each alternation is two self-joins of the
+    EDGE list (never the corpus); convergence is detected by edge-set
+    fixpoint (two set-difference counts on the contracted edges, which
+    only shrink).  ``localCheckpoint`` per alternation truncates the
+    iterative lineage exactly as in the label-propagation loop."""
+    e = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    all_nodes = (pairs.select(F.col("d1").alias("node"))
+                 .unionByName(pairs.select(F.col("d2").alias("node")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+
+    def adj(edges: DataFrame) -> DataFrame:
+        return (edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct())
+
+    def mins(ad: DataFrame) -> DataFrame:
+        return (ad.groupBy("a").agg(F.min("b").alias("_mn"))
+                .select("a", F.least("a", "_mn").alias("m")))
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        ad = adj(edges)
+        return (ad.join(mins(ad), "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        ad = adj(edges)
+        m = mins(ad)
+        smaller = (ad.join(m, "a")
+                   .filter(F.col("b") < F.col("a"))
+                   .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        self_edge = m.select("a", F.col("m").alias("b"))
+        return (smaller.unionByName(self_edge)
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+
+    for _ in range(max_rounds):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        # fixed point = star forest (both transforms leave stars alone)
+        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+            break
+        e = e2
+    else:
+        raise RuntimeError(
+            f"star_components did not converge in {max_rounds} "
+            "alternations — beyond the O(log^2 n) bound for any "
+            "feasible pair graph; the input is likely unbounded")
+
+    labels = (adj(e).groupBy("a").agg(F.min("b").alias("_mn"))
+              .select(F.col("a").alias("node"),
+                      F.least("a", "_mn").alias("component")))
+    # backstop for nodes only ever seen in self-pairs (filtered above)
+    return (all_nodes.join(labels, "node", "left")
+            .select("node",
+                    F.coalesce("component", F.col("node")).alias("component")))
 
 
 def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,

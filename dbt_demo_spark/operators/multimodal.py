@@ -52,23 +52,33 @@ def to_payload_table(docs: DataFrame, modality: str = "text",
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: dimensions derived from content.
-    Replace with PIL / torchaudio / pyav in a real deployment."""
+    Replace with PIL / torchaudio / pyav in a real deployment — or pass a
+    real implementation as the ``decoder`` argument of ``decode_metadata``
+    without touching this module (r5 item 5)."""
     h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 32
 
 
-def decode_metadata(payloads: DataFrame, strict: bool = False) -> DataFrame:
+def decode_metadata(payloads: DataFrame, strict: bool = False,
+                    decoder=None) -> DataFrame:
     """mapInPandas metadata extraction: one Arrow batch in, one batch out.
-    strict=True raises NotImplementedError where the real codec would run —
-    marking exactly the integration point."""
+
+    ``decoder``: optional ``bytes -> (width, height, n_frames)`` callable —
+    the pluggable codec seam.  A real deployment passes e.g. a PIL/pyav
+    wrapper; the callable is closure-shipped to the Python workers like
+    any pandas function, so plugging a codec requires no edit here.  With
+    no decoder, strict=True raises NotImplementedError where the codec
+    would run — marking exactly the integration point — and strict=False
+    uses the deterministic synthetic fake."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder
         for pdf in batches:
-            if strict:
+            if dec is None and strict:
                 raise NotImplementedError(
                     "media codecs not available in this environment; "
-                    "plug a real decoder into _fake_decode")
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+                    "pass decoder= or plug into _fake_decode")
+            decoded = [(dec or _fake_decode)(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "item_id": pdf["item_id"],
                 "modality": pdf["modality"],
@@ -91,21 +101,38 @@ FRAME_SCHEMA = StructType([
 
 
 def sample_frames(payloads: DataFrame, n_frames: int = 4,
-                  frame_len: int = 64) -> DataFrame:
+                  frame_len: int = 64, decoder=None) -> DataFrame:
     """Frame sampling for video/audio payloads: one row PER FRAME
-    (item_id, frame_idx, frame_offset, frame bytes), evenly spaced over the
-    payload.  A real deployment decodes containers with pyav/ffmpeg at the
-    marked boundary; here frames are raw byte slices so the Spark-side
-    plumbing — fan-out row multiplication inside mapInPandas, binary frame
-    column, deterministic offsets — is real and testable.  Embarrassingly
-    parallel; downstream per-frame operators (feature extraction) see an
-    ordinary table."""
+    (item_id, frame_idx, frame_offset, frame bytes), evenly spaced over
+    the decoded stream.
+
+    ``decoder``: optional ``bytes -> list[bytes]`` callable returning the
+    payload's full decoded frame sequence (a pyav/ffmpeg wrapper in a real
+    deployment) — the operator then samples ``n_frames`` evenly from it
+    and reports frame_offset as the SOURCE frame index.  Without a
+    decoder, frames are raw byte slices (frame_offset = byte offset), so
+    the Spark-side plumbing — fan-out row multiplication inside
+    mapInPandas, binary frame column, deterministic offsets — stays real
+    and testable in a codec-less container.  Embarrassingly parallel;
+    downstream per-frame operators (feature extraction) see an ordinary
+    table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder
         for pdf in batches:
             rows = {"item_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                # >>> codec boundary: replace slicing with real frame decode
+                if dec is not None:
+                    frames = dec(bytes(payload)) or [b""]
+                    n = len(frames)
+                    for i in range(n_frames):
+                        off = (i * n) // n_frames
+                        rows["item_id"].append(item_id)
+                        rows["frame_idx"].append(i)
+                        rows["frame_offset"].append(off)
+                        rows["frame"].append(bytes(frames[off]))
+                    continue
+                # codec-less fallback: evenly spaced byte slices
                 n = max(len(payload), 1)
                 for i in range(n_frames):
                     off = (i * n) // n_frames
@@ -125,19 +152,27 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def extract_features(payloads: DataFrame) -> DataFrame:
+def extract_features(payloads: DataFrame, decoder=None) -> DataFrame:
     """Per-payload numeric features (byte mean / std / coarse entropy) via
-    numpy over the Arrow batch — the feature-extraction stage shape.  With a
-    real codec the same structure computes pixel/spectrogram statistics;
-    features emit as long-form (item_id, feature, value) rows so new
-    features never change the schema."""
+    numpy over the Arrow batch — the feature-extraction stage shape.
+
+    ``decoder``: optional ``bytes -> 1-D uint8 ndarray`` callable (pixels,
+    PCM samples, ...) the statistics are computed over instead of the raw
+    payload bytes — the pluggable codec seam; with a real codec the same
+    structure computes pixel/spectrogram statistics.  Features emit as
+    long-form (item_id, feature, value) rows so new features never change
+    the schema."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+        dec = decoder
         for pdf in batches:
             out = {"item_id": [], "feature": [], "value": []}
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if dec is not None:
+                    b = np.asarray(dec(bytes(payload)), dtype=np.uint8).ravel()
+                else:
+                    b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if b.size == 0:
                     b = np.zeros(1, dtype=np.uint8)
                 hist = np.bincount(b >> 4, minlength=16).astype(np.float64)

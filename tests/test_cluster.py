@@ -13,7 +13,8 @@ from hypothesis import strategies as st
 from dbt_demo_spark.operators.cluster import (SQL_COMPONENTS_ORACLE,
                                               connected_components,
                                               keep_best_per_cluster,
-                                              keep_one_per_cluster)
+                                              keep_one_per_cluster,
+                                              star_components)
 from dbt_demo_spark.operators.dedup import minhash_near_dups
 from dbt_demo_spark.sources.parquet import load_table
 from tests.conftest import SF_GATE
@@ -90,6 +91,41 @@ def test_matches_duckdb_recursive_closure(spark):
 def test_property_matches_union_find(spark, pairs):
     pairs = [(a, b) for a, b in pairs if a != b]
     assert _components(spark, pairs) == _union_find(pairs)
+
+
+def test_deep_chain_falls_back_to_star_instead_of_raising(spark):
+    """A path too deep for a tiny round budget used to raise; now the
+    large-star/small-star fallback resolves it (VERDICT r5 item 3).  The
+    explicit opt-out still raises."""
+    pairs = [(i, i + 1) for i in range(40)]
+    rows = connected_components(_pairs_df(spark, pairs), max_rounds=2).collect()
+    assert {r.node: r.component for r in rows} == {i: 0 for i in range(41)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs_df(spark, pairs), max_rounds=2,
+                             star_fallback=False)
+
+
+def test_star_components_direct(spark):
+    """star_components alone: path, bridge, and two components."""
+    def star(pairs):
+        return {r.node: r.component
+                for r in star_components(_pairs_df(spark, pairs)).collect()}
+
+    assert star([(1, 2), (2, 3), (3, 4), (4, 5)]) == {i: 1 for i in range(1, 6)}
+    assert star([(1, 3), (2, 3)]) == {1: 1, 2: 1, 3: 1}
+    assert star([(10, 11), (11, 12), (20, 21)]) == {
+        10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1, max_size=20).filter(
+                    lambda ps: any(a != b for a, b in ps)))
+def test_star_property_matches_union_find(spark, pairs):
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {r.node: r.component
+           for r in star_components(_pairs_df(spark, pairs)).collect()}
+    assert got == _union_find(pairs)
 
 
 def test_keep_one_per_cluster(spark):

@@ -365,6 +365,54 @@ def test_multimodal_strict_marks_codec_boundary(spark, docs):
         multimodal.decode_metadata(payloads, strict=True).collect()
 
 
+def test_multimodal_injected_codec_end_to_end(spark, docs):
+    """The decoder= seam (r5 item 5): a user-supplied codec callable flows
+    through decode_metadata / sample_frames / extract_features without
+    editing the operators, and its outputs are what lands in the tables.
+    Codecs are defined locally so cloudpickle ships them BY VALUE — the
+    same way a user-mounted decoder closure reaches the workers."""
+    import numpy as np
+
+    def _stub_meta_codec(payload: bytes) -> tuple[int, int, int]:
+        # a "real" decoder stand-in: dimensions from the payload text
+        text = payload.decode("utf-8", errors="replace")
+        return len(text.split()), len(text), 1 + text.count("\n")
+
+    def _stub_frame_codec(payload: bytes) -> list[bytes]:
+        # "decode" the container into word-frames
+        return [w.encode() for w in payload.decode("utf-8").split()] or [b""]
+
+    payloads = multimodal.to_payload_table(docs.limit(8))
+    raw = {r.item_id: bytes(r.payload) for r in payloads.collect()}
+
+    meta = {r.item_id: r for r in multimodal.decode_metadata(
+        payloads, decoder=_stub_meta_codec).collect()}
+    assert len(meta) == 8
+    for item, r in meta.items():
+        w, h, n = _stub_meta_codec(raw[item])
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        # strict=True must NOT raise when a decoder is mounted
+    assert multimodal.decode_metadata(
+        payloads, strict=True, decoder=_stub_meta_codec).count() == 8
+
+    frames = multimodal.sample_frames(
+        payloads, n_frames=3, decoder=_stub_frame_codec).collect()
+    assert len(frames) == 24
+    for r in frames:
+        decoded = _stub_frame_codec(raw[r.item_id])
+        # frame_offset indexes the DECODED stream; bytes come from it
+        assert bytes(r.frame) == decoded[r.frame_offset]
+
+    def pcm(payload: bytes):
+        return np.frombuffer(payload, dtype=np.uint8)[::2]  # "downsample"
+
+    feats = {(r.item_id, r.feature): r.value
+             for r in multimodal.extract_features(
+                 payloads, decoder=pcm).collect()}
+    item = next(iter(raw))
+    assert feats[(item, "mean")] == pytest.approx(float(pcm(raw[item]).mean()))
+
+
 def test_multimodal_payload_stats_match_decode(spark, docs):
     payloads = multimodal.to_payload_table(docs.limit(10))
     jvm = {r.item_id: r for r in multimodal.payload_stats(payloads).collect()}
