@@ -19,8 +19,8 @@ Methodology (TPC-H power/throughput shape, both numbers reported):
     number is the headline.
   * THROUGHPUT pass — the whole workload submitted concurrently
     ($SPARK_GRAFT_BENCH_THREADS threads, default 16) on the same session,
-    measuring wall-clock to complete ALL queries; best of 2 passes (GC /
-    scheduler noise is ~2x at this sf).  This is how a multi-query
+    measuring wall-clock to complete ALL queries; best of 3 passes (GC /
+    scheduler/ambient noise is ~2x at this sf).  This is how a multi-query
     analytics engine is actually driven (and how TPC-H's throughput test is
     defined); concurrent submission overlaps the per-query constant across
     cores that tiny sf0.1 queries cannot saturate alone.
@@ -158,7 +158,7 @@ def main() -> None:
         "note": ("value = wall-clock to complete all queries submitted "
                  "concurrently (TPC-H throughput-test shape); "
                  "sequential_total_sec and per-query timings are the "
-                 "one-at-a-time warmed power pass (min of 2, run BEFORE "
+                 "one-at-a-time warmed power pass (min of 3, run BEFORE "
                  "the throughput passes; plans built once and re-executed "
                  "— timings cover JVM planning + execution, not py4j "
                  "client plan construction); sim_topk_ivf is excluded "

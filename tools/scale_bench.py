@@ -104,7 +104,10 @@ def spark_side(sf_dir: str, threads: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    # bench.py prints the FULL object first, then a minimal truncation-proof
+    # headline line (r6) — take the line that carries the per-query map
+    line = [l for l in out.stdout.splitlines()
+            if l.startswith("{") and '"queries"' in l][-1]
     j = json.loads(line)
     return {
         "queries": j["queries"],
