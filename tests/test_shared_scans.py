@@ -1,0 +1,65 @@
+"""Shared-scan multi-query mode (sources/parquet.shared_scans): results
+are identical in and out of the block, the block serves cached relations,
+and the plain scans come back (cache released) on exit — including on
+error."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_demo_spark.queries import CATALOG
+from dbt_demo_spark.sources import parquet
+from dbt_demo_spark.sources.parquet import load_table, shared_scans
+from tests.conftest import SF_GATE
+
+QUERIES = ["tpch_q6_forecast_revenue", "agg_monthly_orders",
+           "events_hourly_rollup", "text_quality"]
+
+COLUMNS = {
+    "lineitem": ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    "orders": ["o_orderdate", "o_orderstatus", "o_orderkey", "o_totalprice"],
+    "documents": ["doc_id", "text"],
+    "events": None,
+}
+
+
+def _results(spark):
+    return {n: sorted(map(tuple, CATALOG[n].fn(spark, SF_GATE).collect()))
+            for n in QUERIES}
+
+
+def test_shared_scans_results_identical_and_restored(spark):
+    plain = _results(spark)
+    key = (spark.sparkContext.applicationId, SF_GATE, "lineitem")
+    before = parquet._SCANS.get(key)
+
+    with shared_scans(spark, SF_GATE, COLUMNS):
+        served = load_table(spark, SF_GATE, "lineitem")
+        # the block serves the cached, column-pruned relation
+        assert served.storageLevel.useMemory
+        assert set(served.columns) == set(COLUMNS["lineitem"])
+        assert _results(spark) == plain
+
+    after = load_table(spark, SF_GATE, "lineitem")
+    assert not after.storageLevel.useMemory      # cache dropped
+    assert set(after.columns) >= {"l_orderkey", "l_partkey"}  # full scan back
+    if before is not None:
+        assert after is before                    # memo restored, not rebuilt
+
+
+def test_shared_scans_restores_on_error(spark):
+    with pytest.raises(RuntimeError, match="boom"):
+        with shared_scans(spark, SF_GATE, {"orders": None}):
+            assert load_table(spark, SF_GATE, "orders").storageLevel.useMemory
+            raise RuntimeError("boom")
+    assert not load_table(spark, SF_GATE, "orders").storageLevel.useMemory
+
+
+def test_missing_column_fails_loudly_not_wrong(spark):
+    """A footprint that under-covers the batch must fail at ANALYSIS time
+    (missing column), never silently compute on fewer columns."""
+    from pyspark.errors import AnalysisException
+
+    with shared_scans(spark, SF_GATE, {"orders": ["o_orderkey"]}):
+        with pytest.raises(AnalysisException):
+            CATALOG["agg_monthly_orders"].fn(spark, SF_GATE).collect()
