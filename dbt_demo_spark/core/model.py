@@ -27,6 +27,8 @@ class ModelDef:
     materialized: str  # "view" | "table" (dbt_project.yml:19-22) | "incremental" | "ephemeral"
     fn: ModelFn
     partition_by: tuple[str, ...] = ()   # table layout at scale (month keys)
+    bucket_by: tuple[str, ...] = ()      # hash-bucket layout (join keys):
+    n_buckets: int = 0                   # co-located joins, no exchange
     doc: str = ""
 
 
@@ -50,13 +52,17 @@ class ModelRegistry:
 
     def model(self, name: str, *, deps: tuple[str, ...] = (),
               materialized: str = "view",
-              partition_by: tuple[str, ...] = ()) -> Callable[[ModelFn], ModelFn]:
+              partition_by: tuple[str, ...] = (),
+              bucket_by: tuple[str, ...] = (),
+              n_buckets: int = 0) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry."""
 
         def deco(fn: ModelFn) -> ModelFn:
             self.register(ModelDef(name=name, deps=tuple(deps),
                                    materialized=materialized, fn=fn,
                                    partition_by=tuple(partition_by),
+                                   bucket_by=tuple(bucket_by),
+                                   n_buckets=n_buckets,
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -75,6 +81,8 @@ class ModelRegistry:
                     "depends_on": list(m.deps),
                     "materialized": m.materialized,
                     "partition_by": list(m.partition_by),
+                    "bucket_by": list(m.bucket_by),
+                    "n_buckets": m.n_buckets,
                     "description": m.doc,
                 } for m in self._models.values()
             },

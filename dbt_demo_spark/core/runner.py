@@ -21,6 +21,12 @@ the incremental mode the reference's table-rebuild policy scales into:
     source data rewrites one partition instead of rescanning/rewriting the
     whole mart — the difference between O(day) and O(history) work at
     100 TB.  Requires ``partition_by``.
+  * ``table`` + ``bucket_by``/``n_buckets`` -> bucketed table through the
+    session catalog (``bucketBy().sortBy().saveAsTable``): rows hash-
+    clustered on the declared join keys at WRITE time, so two marts
+    bucketed on the same keys with the same count join with ZERO
+    exchanges — the fact-to-fact shuffle paid once per build instead of
+    once per query, the classic co-located-join layout for 100 TB marts.
   * ``ephemeral`` -> dbt's compile-time-inline materialization [public
     knowledge: dbt ephemeral models are interpolated into consumers as
     CTEs, never created in the warehouse].  Here the model's DataFrame is
@@ -62,7 +68,8 @@ class Runner:
             refs = {d: relations[d] for d in mdef.deps}
             df = mdef.fn(refs)
             if mdef.materialized == "table":
-                df = self._materialize_table(name, df, mdef.partition_by)
+                df = self._materialize_table(name, df, mdef.partition_by,
+                                             mdef.bucket_by, mdef.n_buckets)
             elif mdef.materialized == "incremental":
                 df = self._materialize_incremental(name, df, mdef.partition_by)
             elif mdef.materialized == "ephemeral":
@@ -73,11 +80,31 @@ class Runner:
         return relations
 
     def _materialize_table(self, name: str, df: DataFrame,
-                           partition_by: tuple[str, ...]) -> DataFrame:
+                           partition_by: tuple[str, ...],
+                           bucket_by: tuple[str, ...] = (),
+                           n_buckets: int = 0) -> DataFrame:
         path = os.path.join(self.warehouse_dir, name)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if bucket_by:
+            # BUCKETED table: hash-clustered (and sorted) on the declared
+            # join keys, registered through the session catalog — bucket
+            # metadata lives there, not in the files, so downstream reads
+            # MUST come from spark.table(), which this returns.  Two marts
+            # bucketed on the same keys with the same bucket count join
+            # WITHOUT any Exchange (plan-asserted in tests/
+            # test_bucketing.py) — at 100 TB this is the shuffle a
+            # fact-to-fact join cannot otherwise avoid, paid ONCE at write
+            # time instead of per query.
+            if n_buckets <= 0:
+                raise ValueError(
+                    f"model {name}: bucket_by requires n_buckets > 0")
+            (writer.option("path", path)
+             .bucketBy(n_buckets, *bucket_by)
+             .sortBy(*bucket_by)
+             .saveAsTable(name))
+            return self.spark.table(name)
         writer.parquet(path)
         return self._read_back(name, path)
 
