@@ -53,6 +53,11 @@ class Runner:
         self.spark = spark
         self.registry = registry
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
+        # bucketed models register SESSION-CATALOG tables (bucket metadata
+        # lives in the catalog, not the files); track them so clean()
+        # drops the entries along with the warehouse files — otherwise a
+        # post-clean spark.table() would resolve to deleted paths
+        self._catalog_tables: set[str] = set()
 
     def run(self, sources: dict[str, DataFrame],
             select: list[str] | None = None) -> dict[str, DataFrame]:
@@ -104,7 +109,16 @@ class Runner:
              .bucketBy(n_buckets, *bucket_by)
              .sortBy(*bucket_by)
              .saveAsTable(name))
+            # a leftover temp view of the same name (e.g. a prior run of
+            # this model as a view in the same session) would shadow the
+            # catalog table and silently drop the bucket metadata
+            self.spark.catalog.dropTempView(name)
+            self._catalog_tables.add(name)
             return self.spark.table(name)
+        if n_buckets:
+            raise ValueError(
+                f"model {name}: n_buckets without bucket_by — declare the "
+                "bucket key columns or drop n_buckets")
         writer.parquet(path)
         return self._read_back(name, path)
 
@@ -133,5 +147,11 @@ class Runner:
         return out
 
     def clean(self) -> None:
-        """dbt clean analog (dbt_project.yml:13-15): drop the warehouse."""
+        """dbt clean analog (dbt_project.yml:13-15): drop the warehouse
+        files AND the catalog entries of this runner's bucketed tables
+        (the session catalog is global — leaving them would strand table
+        names pointing at deleted paths)."""
+        for name in self._catalog_tables:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        self._catalog_tables.clear()
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)

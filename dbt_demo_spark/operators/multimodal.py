@@ -78,7 +78,9 @@ def decode_metadata(payloads: DataFrame, strict: bool = False,
                 raise NotImplementedError(
                     "media codecs not available in this environment; "
                     "pass decoder= or plug into _fake_decode")
-            decoded = [(dec or _fake_decode)(p) for p in pdf["payload"]]
+            # bytes() normalization: the same contract as the other two
+            # decoder seams, whatever type Arrow hands the binary column as
+            decoded = [(dec or _fake_decode)(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "item_id": pdf["item_id"],
                 "modality": pdf["modality"],

@@ -9,6 +9,7 @@ read narrow bytes (verify with `.explain`: ReadSchema / PushedFilters).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,20 +63,22 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     construction (VERDICT r5).  File count under-counts splittable
     multi-row-group files, which only makes the guard MORE conservative in
     the direction that matters: a scan already wider than the pool is
-    never re-shuffled.  Contract: ``spread`` is a SCAN-side helper — a
-    non-file-source input (in-memory test frame) has no file list and is
-    treated as narrow; don't call it downstream of an exchange."""
+    never re-shuffled.  A non-file-source input (in-memory frame, derived
+    plan) has no file list; for those the guard falls back to the RDD
+    partition count — accurate, and only paid OFF the scan fast path —
+    so a frame already at pool width is never re-shuffled (a composed
+    pipeline calling spread twice must not pay two exchanges)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if len(df.inputFiles()) < target:
+    files = df.inputFiles()
+    narrow = (len(files) < target if files
+              else df.rdd.getNumPartitions() < target)
+    if narrow:
         from pyspark.sql import functions as F
         # FIXED numPartitions: a bare repartition(col) is an AQE coalescing
         # target, and AQE folds a few-hundred-KB shuffle straight back to
         # one partition — exactly the serialization being removed
         return df.repartition(target, F.col(key))
     return df
-
-
-from contextlib import contextmanager
 
 
 @contextmanager

@@ -79,3 +79,38 @@ def test_bucket_by_requires_n_buckets(spark, tmp_path):
     src = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="n_buckets"):
         runner.run({"src": src})
+
+
+def test_n_buckets_without_bucket_by_rejected(spark, tmp_path):
+    """The inverse typo must fail loudly too — silently materializing a
+    plain table would leave every downstream join paying the shuffle the
+    declared layout was supposed to eliminate."""
+    reg = ModelRegistry()
+
+    @reg.model("bad2", deps=("src",), materialized="table", n_buckets=8)
+    def bad2(refs):
+        return refs["src"]
+
+    runner = Runner(spark, reg, warehouse_dir=str(tmp_path))
+    src = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="bucket_by"):
+        runner.run({"src": src})
+
+
+def test_clean_drops_catalog_tables(spark, tmp_path):
+    """clean() must drop the bucketed models' session-catalog entries along
+    with the warehouse files — a stranded name would resolve to deleted
+    paths."""
+    reg = ModelRegistry()
+
+    @reg.model("fact_clean_check", deps=("src",), materialized="table",
+               bucket_by=("k",), n_buckets=2)
+    def fact_clean_check(refs):
+        return refs["src"]
+
+    runner = Runner(spark, reg, warehouse_dir=str(tmp_path / "wh"))
+    src = spark.range(10).select(F.col("id").alias("k"))
+    runner.run({"src": src})
+    assert spark.catalog.tableExists("fact_clean_check")
+    runner.clean()
+    assert not spark.catalog.tableExists("fact_clean_check")

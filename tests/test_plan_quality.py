@@ -157,3 +157,19 @@ def test_vocab_topk_uses_take_ordered_not_global_sort(spark):
     # no global-sort Exchange feeding a Sort over the aggregated vocab:
     # the only rangepartitioning-free single partition is the k-row window
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_spread_is_idempotent_on_wide_frames(spark):
+    """spread() must be a no-op on frames already at pool width — both the
+    second spread in a composed pipeline (the r6 code-review finding: the
+    inputFiles()-only guard re-shuffled every derived frame) and a file
+    scan already wider than the pool."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.sources.parquet import spread
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    mem = spark.range(1000).coalesce(1).select(F.col("id").alias("doc_id"))
+    once = spread(mem, "doc_id")
+    assert once.rdd.getNumPartitions() == target
+    assert spread(once, "doc_id") is once  # identity, not another exchange

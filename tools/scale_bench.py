@@ -12,7 +12,7 @@ DuckDB methodology mirrors the judge's remeasure and bench.py: one warmup
 pass, then three sequential passes taking the per-query MIN (results fully
 materialized via .arrow(); pass count matches bench.py so ratios compare
 steady state to steady state), then a 16-thread throughput pass (best of
-2) using one connection per thread.
+3, also matching bench.py) using one connection per thread.
 
 Usage:
   python tools/make_scale.py --out /tmp/sf1 --k 10

@@ -67,8 +67,13 @@ def main() -> None:
     from dbt_demo_spark.session import LOCAL_BENCH_CONF, get_spark
     from dbt_demo_spark.sources.parquet import shared_scans
 
+    conf = dict(LOCAL_BENCH_CONF)
+    # scan_columns parses Location lines from formatted plans; Spark
+    # truncates metadata strings at 100 chars by default, which would
+    # silently drop deep paths from the cached footprint
+    conf["spark.sql.maxMetadataStringLength"] = "4096"
     spark = get_spark(app_name="shared-scan-bench", shuffle_partitions=8,
-                      conf=LOCAL_BENCH_CONF)
+                      conf=conf)
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite").save()
     spark.range(32).repartition(32).mapInPandas(
@@ -104,6 +109,10 @@ def main() -> None:
     columns = {t: sorted(c) for t, c in cols.items()}
     if "events" in columns:
         columns["events"] = None  # cache the normalized loader output whole
+    if not columns:
+        raise RuntimeError(f"scan_columns found no tables under {sf_dir} — "
+                           "Location lines truncated or dir mismatch")
+    print(f"cached footprint: {sorted(columns)}", file=sys.stderr)
 
     # ---- shared mode: queries CONSTRUCTED inside the block so they bind
     # to the cached tables; cache build (one decode per table) is timed
