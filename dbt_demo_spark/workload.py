@@ -1,0 +1,125 @@
+"""Batch (multi-query) workload execution — the engine-level API over
+sources/parquet.shared_scans.
+
+A repeated analytics workload (the catalog, a dashboard refresh, a
+nightly mart rebuild) touches the same sources many times; serving the
+batch from column-pruned cached scans decodes each source ONCE per batch
+(measured: SHARED_SCAN.json, 17% off the sf1 sequential catalog).  This
+module makes that a one-call engine feature:
+
+    from dbt_demo_spark.workload import run_workload
+    timings = run_workload(spark, sf_dir, {"q1": fn1, "q2": fn2},
+                           out_dir="/warehouse/results")
+
+The cached footprint is derived from the BATCH'S OWN PLANS: each query is
+constructed once against the plain scans, its formatted physical plan is
+parsed for (Location, ReadSchema) pairs under ``sf_dir``, and the union
+of read columns per table is what gets cached — the footprint a
+cluster-side workload manager would compute.  Queries are then
+RE-constructed inside the shared-scan block (DataFrames bind their scans
+at construction) and materialized there, because the cache is released
+when the block exits.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.parquet import shared_scans
+
+_LOC_RE = re.compile(r"Location: \w+ \[file:(?P<path>[^\]]+)\]")
+_SCHEMA_RE = re.compile(r"ReadSchema: struct<(?P<cols>[^>]*)>")
+
+
+def scan_columns(df: DataFrame, sf_dir: str) -> dict[str, set[str]]:
+    """table -> columns this plan reads from ``sf_dir``, parsed from the
+    formatted explain's (Location, ReadSchema) pairs.  Raises the metadata
+    string limit for the duration so deep paths cannot be truncated out of
+    the footprint (restored afterwards)."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8192")
+    try:
+        text = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+    finally:
+        spark.conf.set(key, old)
+    out: dict[str, set[str]] = {}
+    loc = None
+    for line in text.splitlines():
+        m = _LOC_RE.search(line)
+        if m:
+            loc = m.group("path")
+            continue
+        m = _SCHEMA_RE.search(line)
+        if m and loc and os.path.dirname(loc.rstrip("/")) == sf_dir.rstrip("/"):
+            table = os.path.basename(loc.rstrip("/")).removesuffix(".parquet")
+            cols = {c.split(":")[0] for c in m.group("cols").split(",") if c}
+            out.setdefault(table, set()).update(cols)
+            loc = None
+    return out
+
+
+def batch_footprint(dfs: dict[str, DataFrame],
+                    sf_dir: str) -> dict[str, list[str] | None]:
+    """Union of every query's column footprint per table.  ``events``
+    caches the full normalized loader output (its scan schema — raw
+    nanos/long layouts — differs from the served schema)."""
+    cols: dict[str, set[str]] = {}
+    for df in dfs.values():
+        for t, cset in scan_columns(df, sf_dir).items():
+            cols.setdefault(t, set()).update(cset)
+    out: dict[str, list[str] | None] = {t: sorted(c) for t, c in cols.items()}
+    if "events" in out:
+        out["events"] = None
+    return out
+
+
+def run_workload(spark: SparkSession, sf_dir: str,
+                 queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+                 *, shared: bool = True,
+                 sink: Callable[[str, DataFrame], None] | None = None,
+                 out_dir: str | None = None) -> dict[str, float]:
+    """Execute a named query batch; returns per-query wall seconds.
+
+    ``sink(name, df)`` materializes each result (default: parquet under
+    ``out_dir/name``; one of sink/out_dir is required — results must be
+    materialized INSIDE the shared block, a lazy handle returned past the
+    cache's lifetime would silently recompute from cold scans).  With
+    ``shared=False`` runs the same loop against plain scans — the A/B
+    the receipts tool (tools/shared_scan_bench.py) measures."""
+    if sink is None:
+        if out_dir is None:
+            raise ValueError("run_workload needs sink= or out_dir=")
+
+        def sink(name: str, df: DataFrame) -> None:
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+    def execute() -> dict[str, float]:
+        timings = {}
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            sink(name, fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    if not shared:
+        return execute()
+
+    # footprint pass: construct once against plain scans, read the plans
+    dfs = {n: fn(spark, sf_dir) for n, fn in queries.items()}
+    footprint = batch_footprint(dfs, sf_dir)
+    if not footprint:
+        return execute()  # no sf_dir scans (pure in-memory queries)
+    with shared_scans(spark, sf_dir, footprint):
+        return execute()
+
+
+__all__ = ["batch_footprint", "run_workload", "scan_columns"]

@@ -67,6 +67,65 @@ def test_manifest_carries_bucket_layout(bucketed_rels):
     assert node["bucket_by"] == ["cust_id"] and node["n_buckets"] == 4
 
 
+def test_bucketed_tpch_marts_join_differential(spark, tmp_path):
+    """The layout on the real tables: orders and lineitem marts bucketed
+    on the order key join with ONE exchange total (the final small
+    group-by; the fact-to-fact join itself is exchange-free), and the
+    result hash-matches a DuckDB oracle computing the same join from the
+    raw tables."""
+    from dbt_demo_spark.sources.parquet import load_table
+    from dbt_demo_spark.testing import compare, duckdb_connection
+    from tests.conftest import SF_GATE
+
+    reg = ModelRegistry()
+
+    @reg.model("mart_orders_b", deps=("orders",), materialized="table",
+               bucket_by=("o_orderkey",), n_buckets=8)
+    def mart_orders_b(refs):
+        return refs["orders"].select("o_orderkey", "o_orderpriority")
+
+    @reg.model("mart_lineitem_b", deps=("lineitem",), materialized="table",
+               bucket_by=("l_orderkey",), n_buckets=8)
+    def mart_lineitem_b(refs):
+        return refs["lineitem"].select("l_orderkey", "l_quantity")
+
+    runner = Runner(spark, reg, warehouse_dir=str(tmp_path / "wh"))
+    try:
+        rels = runner.run({
+            "orders": load_table(spark, SF_GATE, "orders"),
+            "lineitem": load_table(spark, SF_GATE, "lineitem"),
+        })
+        joined = (
+            rels["mart_orders_b"].join(
+                rels["mart_lineitem_b"],
+                F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("total_qty")))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan  # only the tiny agg
+            res = compare(
+                "bucketed_join", joined, duckdb_connection(SF_GATE),
+                """
+                SELECT o_orderpriority,
+                       COUNT(*) AS n_items,
+                       -- DuckDB SUM(BIGINT) widens to HUGEINT; pin BIGINT
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1
+                """)
+            assert res.ok, res.detail
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        runner.clean()
+    assert not spark.catalog.tableExists("mart_orders_b")
+
+
 def test_bucket_by_requires_n_buckets(spark, tmp_path):
     reg = ModelRegistry()
 

@@ -55,6 +55,42 @@ def test_shared_scans_restores_on_error(spark):
     assert not load_table(spark, SF_GATE, "orders").storageLevel.useMemory
 
 
+def test_workload_api_footprint_and_equality(spark, tmp_path):
+    """run_workload (dbt_demo_spark/workload.py): the footprint derived
+    from the batch's own plans covers exactly the read columns, and the
+    shared-mode outputs are byte-equal to plain-mode outputs."""
+    from dbt_demo_spark.workload import batch_footprint, run_workload
+
+    queries = {n: CATALOG[n].fn for n in QUERIES}
+    dfs = {n: fn(spark, SF_GATE) for n, fn in queries.items()}
+    fp = batch_footprint(dfs, SF_GATE)
+    assert set(fp) == {"lineitem", "orders", "documents", "events"}
+    assert fp["events"] is None               # normalized loader, whole
+    assert set(fp["orders"]) == set(COLUMNS["orders"])
+    assert "l_shipdate" in fp["lineitem"] and "l_partkey" not in fp["lineitem"]
+
+    t_shared = run_workload(spark, SF_GATE, queries,
+                            out_dir=str(tmp_path / "shared"))
+    t_plain = run_workload(spark, SF_GATE, queries, shared=False,
+                           out_dir=str(tmp_path / "plain"))
+    assert set(t_shared) == set(t_plain) == set(QUERIES)
+    for n in QUERIES:
+        a = sorted(map(tuple, spark.read.parquet(
+            str(tmp_path / "shared" / n)).collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            str(tmp_path / "plain" / n)).collect()))
+        assert a == b, n
+    # cache released after the workload returns
+    assert not load_table(spark, SF_GATE, "orders").storageLevel.useMemory
+
+
+def test_workload_requires_sink(spark):
+    from dbt_demo_spark.workload import run_workload
+
+    with pytest.raises(ValueError, match="sink"):
+        run_workload(spark, SF_GATE, {})
+
+
 def test_missing_column_fails_loudly_not_wrong(spark):
     """A footprint that under-covers the batch must fail at ANALYSIS time
     (missing column), never silently compute on fewer columns."""

@@ -21,37 +21,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-_LOC_RE = re.compile(r"Location: \w+ \[file:(?P<path>[^\]]+)\]")
-_SCHEMA_RE = re.compile(r"ReadSchema: struct<(?P<cols>[^>]*)>")
-
-
-def scan_columns(df, sf_dir: str) -> dict[str, set[str]]:
-    """table -> columns read, parsed from the formatted plan's
-    (Location, ReadSchema) pairs under ``sf_dir``."""
-    text = df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution
-        .ExplainMode.fromString("formatted"))
-    out: dict[str, set[str]] = {}
-    loc = None
-    for line in text.splitlines():
-        m = _LOC_RE.search(line)
-        if m:
-            loc = m.group("path")
-            continue
-        m = _SCHEMA_RE.search(line)
-        if m and loc and os.path.dirname(loc.rstrip("/")) == sf_dir.rstrip("/"):
-            table = os.path.basename(loc.rstrip("/")).removesuffix(".parquet")
-            cols = {c.split(":")[0] for c in m.group("cols").split(",") if c}
-            out.setdefault(table, set()).update(cols)
-            loc = None
-    return out
 
 
 def main() -> None:
@@ -66,14 +40,10 @@ def main() -> None:
     from dbt_demo_spark.queries import CATALOG
     from dbt_demo_spark.session import LOCAL_BENCH_CONF, get_spark
     from dbt_demo_spark.sources.parquet import shared_scans
+    from dbt_demo_spark.workload import batch_footprint
 
-    conf = dict(LOCAL_BENCH_CONF)
-    # scan_columns parses Location lines from formatted plans; Spark
-    # truncates metadata strings at 100 chars by default, which would
-    # silently drop deep paths from the cached footprint
-    conf["spark.sql.maxMetadataStringLength"] = "4096"
     spark = get_spark(app_name="shared-scan-bench", shuffle_partitions=8,
-                      conf=conf)
+                      conf=LOCAL_BENCH_CONF)
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite").save()
     spark.range(32).repartition(32).mapInPandas(
@@ -102,13 +72,9 @@ def main() -> None:
     plain = {n: round(min(pi[n] for pi in p), 3) for n in names}
 
     # column footprint of the whole batch, from the plans themselves
-    cols: dict[str, set[str]] = {}
-    for n in names:
-        for t, cset in scan_columns(dfs[n], sf_dir).items():
-            cols.setdefault(t, set()).update(cset)
-    columns = {t: sorted(c) for t, c in cols.items()}
-    if "events" in columns:
-        columns["events"] = None  # cache the normalized loader output whole
+    # (dbt_demo_spark.workload is the library home of the derivation —
+    # this tool is the receipts harness over the same API)
+    columns = batch_footprint(dfs, sf_dir)
     if not columns:
         raise RuntimeError(f"scan_columns found no tables under {sf_dir} — "
                            "Location lines truncated or dir mismatch")
