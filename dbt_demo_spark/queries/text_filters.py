@@ -322,3 +322,33 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
             IPV4_RE, "<IP>").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length quantiles (pytest-differential — the catalog is capped at
+# 50 entries; tests/test_catalog_parity.py runs the same oracle gate)
+# ---------------------------------------------------------------------------
+
+CORPUS_LENGTH_QUANTILES_ORACLE = """
+    SELECT lang,
+           quantile_cont(n_chars, [0.25, 0.5, 0.9, 0.99]) AS q_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+"""
+
+
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles — the corpus-composition
+    stat every training-mixture report carries.  EXACT interpolated
+    percentiles: Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    both compute index = p*(n-1) linear interpolation over the sorted
+    group, bit-identical on integer-valued data (the differential
+    compares raw doubles, no rounding).  The exact form sorts per group —
+    fine at report granularity; the one-pass 100 TB path is
+    ``approx_percentile`` (Greenwald-Khanna sketch, mergeable across
+    partitions), bound-tested in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.expr("percentile(n_chars, array(0.25, 0.5, 0.9, 0.99))")
+                 .alias("q_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))

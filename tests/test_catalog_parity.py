@@ -39,6 +39,8 @@ def test_demoted_queries_still_match_oracle(spark, con):
                                                      text_token_count)
     from dbt_demo_spark.queries.reference_surface import (STG_ORDERS_ORACLE,
                                                           stg_orders)
+    from dbt_demo_spark.queries.text_filters import (
+        CORPUS_LENGTH_QUANTILES_ORACLE, corpus_length_quantiles)
     from dbt_demo_spark.queries.tpch2 import (TPCH_Q12_ORACLE,
                                               TPCH_Q19_ORACLE,
                                               tpch_q12_priority_shipping,
@@ -47,7 +49,9 @@ def test_demoted_queries_still_match_oracle(spark, con):
     for fn, oracle in ((stg_orders, STG_ORDERS_ORACLE),
                        (text_token_count, TEXT_TOKEN_COUNT_ORACLE),
                        (tpch_q19_discounted_revenue, TPCH_Q19_ORACLE),
-                       (tpch_q12_priority_shipping, TPCH_Q12_ORACLE)):
+                       (tpch_q12_priority_shipping, TPCH_Q12_ORACLE),
+                       (corpus_length_quantiles,
+                        CORPUS_LENGTH_QUANTILES_ORACLE)):
         res = compare(fn.__name__, fn(spark, SF_GATE), con, oracle)
         assert res.ok, f"{fn.__name__}: {res.detail}"
 

@@ -1056,3 +1056,31 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r.user_id, r.trigger_ts, r.follow_ts, round(r.lag_seconds, 6))
         for r in spark.sql("SELECT * FROM attrib").collect())
     assert got == want
+
+
+def test_approx_percentile_tracks_exact_rank_bound(spark):
+    """The one-pass 100 TB quantile path (corpus_length_quantiles'
+    docstring): approx_percentile is a Greenwald-Khanna sketch with rank
+    error <= n/accuracy, mergeable across partitions.  Assert each
+    approximate quantile sits inside the guaranteed rank window of the
+    per-language sorted lengths."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_GATE
+
+    docs = load_table(spark, SF_GATE, "documents")
+    acc = 100  # rank error <= n/100
+    rows = (docs.groupBy("lang").agg(
+        F.expr(f"approx_percentile(n_chars, array(0.5, 0.9), {acc})")
+        .alias("approx"),
+        F.sort_array(F.collect_list("n_chars")).alias("vals")).collect())
+    assert rows
+    for r in rows:
+        n = len(r.vals)
+        eps = n / acc
+        for p, got in zip((0.5, 0.9), r.approx):
+            lo = r.vals[max(0, math.floor(p * n - eps) - 1)]
+            hi = r.vals[min(n - 1, math.ceil(p * n + eps))]
+            assert lo <= got <= hi, (r.lang, p, got, lo, hi)
