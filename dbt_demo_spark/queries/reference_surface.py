@@ -22,7 +22,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.numeric import round2, sql_round2
+from ..functions.numeric import round2, scaled_long, sql_round2, sql_scaled_long
 from ..sources.parquet import load_table, spread
 from .catalog import query
 
@@ -407,6 +407,88 @@ def mart_month_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mart.filter(F.col("month_start") == F.lit("1995-03-01").cast("date"))
         .select("month_start", "order_status", "orders_placed", "total_amount")
+    )
+
+
+_BUCKETED_MARTS: dict = {}
+
+
+def bucketed_order_marts(spark: SparkSession, sf_dir: str):
+    """Build-once BUCKETED orders/lineitem marts through the real Runner
+    path (core/runner.py bucket_by materialization): both marts hash-
+    clustered and sorted on the order key with the same bucket count, so
+    the fact-to-fact join downstream needs no exchange — the shuffle is
+    paid once per build, not per query.  Materialize-once per
+    (session, sf_dir) under .mart_cache with a digest tag (same
+    discipline as month_partitioned_mart and the IVF index); catalog
+    table names carry the digest so two sf_dirs never collide in the
+    session catalog."""
+    from ..core.model import ModelDef, ModelRegistry
+    from ..core.runner import Runner
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rels = _BUCKETED_MARTS.get(key)
+    if rels is None:
+        abs_dir = os.path.abspath(sf_dir)
+        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
+        o_name = f"mart_orders_bk_{digest}"
+        l_name = f"mart_lineitem_bk_{digest}"
+        reg = ModelRegistry()
+        reg.register(ModelDef(
+            name=o_name, deps=("orders",), materialized="table",
+            fn=lambda refs: refs["orders"].select(
+                "o_orderkey", "o_orderpriority"),
+            bucket_by=("o_orderkey",), n_buckets=8))
+        reg.register(ModelDef(
+            name=l_name, deps=("lineitem",), materialized="table",
+            fn=lambda refs: refs["lineitem"].select(
+                "l_orderkey", "l_quantity", "l_extendedprice"),
+            bucket_by=("l_orderkey",), n_buckets=8))
+        wh = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".mart_cache",
+            f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}",
+            "bucketed")
+        out = Runner(spark, reg, warehouse_dir=wh).run({
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        })
+        rels = (out[o_name], out[l_name])
+        _BUCKETED_MARTS[key] = rels
+    return rels
+
+
+@query(
+    "mart_bucketed_revenue",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               SUM({sql_scaled_long('l_extendedprice')}) / 100.0
+                   AS shipped_value
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """,
+    tags=("S4", "D2", "bucketing", "J-colocated"),
+)
+def mart_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-fact join over BUCKETED marts (the r6 bucket_by
+    materialization under the driver gate, displacing tpch_q20 whose
+    operator shapes stay gated elsewhere): per-priority item counts and
+    exact-integer shipped value from orders⋈lineitem, where both marts are
+    hash-clustered on the order key so the join runs with no exchange —
+    only the final 5-group aggregate shuffles (plan-asserted in
+    tests/test_plan_quality.py).  The oracle computes the identical result
+    from the raw tables — layout must never change answers."""
+    o, li = bucketed_order_marts(spark, sf_dir)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+             (F.sum(scaled_long(F.col("l_extendedprice"))) / 100.0)
+             .alias("shipped_value"))
     )
 
 

@@ -461,30 +461,34 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q20_part_promotion",
-    oracle="""
-        SELECT s.s_name AS supplier_name, n.n_name AS nation_name
-        FROM supplier s
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE s.s_suppkey IN (
-            SELECT l_suppkey
-            FROM lineitem
-            JOIN part ON p_partkey = l_partkey
-            WHERE p_type = 'SMALL'
-              AND l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-            GROUP BY l_suppkey, l_partkey
-            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
-        )
-    """,
-    tags=("J-semi", "A1", "A8"),
-)
+TPCH_Q20_ORACLE = """
+    SELECT s.s_name AS supplier_name, n.n_name AS nation_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'SMALL'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+    )
+"""
+
+
 def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers that moved >50 units of any SMALL part in
     1996 — nested IN collapsed to a HAVING-filtered aggregate + semi join
     (the schema has no partsupp, so availability is measured by shipped
-    quantity)."""
+    quantity).
+
+    Pytest-differential (TPCH_Q20_ORACLE above): displaced from the 50-row
+    driver catalog by mart_bucketed_revenue in r6 — its operator shapes
+    (HAVING-filtered aggregate, semi join, broadcast dim) stay gated via
+    tpch_q21 / tpch_q17 / tpch_q11; the oracle gate continues in
+    tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")

@@ -173,3 +173,21 @@ def test_spread_is_idempotent_on_wide_frames(spark):
     once = spread(mem, "doc_id")
     assert once.rdd.getNumPartitions() == target
     assert spread(once, "doc_id") is once  # identity, not another exchange
+
+
+def test_bucketed_mart_join_plans_without_exchange(spark):
+    """mart_bucketed_revenue (the r6 bucketed-materialization gate row):
+    with broadcast disabled, the fact-to-fact join over the same-key
+    same-count bucketed marts must plan with exactly ONE exchange — the
+    final 5-group aggregate; the join itself reads co-located buckets."""
+    from dbt_demo_spark.queries.reference_surface import mart_bucketed_revenue
+    from tests.conftest import SF_GATE
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (mart_bucketed_revenue(spark, SF_GATE)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
