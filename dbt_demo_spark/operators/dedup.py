@@ -240,19 +240,85 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
     )
 
 
-def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
+def materialize_features(docs: DataFrame, path: str, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Persist the shingle/minhash FEATURE table (doc_id, bks, ss, n) as a
+    corpus materialization: featurize ONCE per corpus snapshot, then every
+    dedup-family consumer (``minhash_near_dups(features=...)``, repeated
+    threshold sweeps, cluster-resolution reruns) reads the parquet instead
+    of re-running the Arrow pass over the raw text.  This is the same
+    table the incremental index persists per batch
+    (``read_index`` — identical schema), promoted to a standalone
+    build step: at 100 TB the corpus featurization is the dominant dedup
+    cost, and it is a pure function of the text — exactly what a
+    materialization is for.  Returns the read-back handle."""
+    from . import shingle_arrow
+
+    spark = docs.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (shingle_arrow.shingle_features(docs, text_col, id_col)
+     .repartition(n_shuffle, "doc_id")
+     .write.mode("overwrite").parquet(path))
+    return load_features(spark, path)
+
+
+def load_features(spark, path: str) -> DataFrame:
+    """Read a persisted feature table with the declared schema (no footer
+    inference; empty dirs stay inert — same discipline as read_index)."""
+    from . import shingle_arrow
+
+    return spark.read.schema(shingle_arrow.FEATURES_SCHEMA).parquet(path)
+
+
+def _minhash_from_features(feats: DataFrame, threshold: float,
+                           max_bucket: int | None) -> DataFrame:
+    """Candidate generation + exact verify over a (doc_id, bks, ss, n)
+    feature table — the shared back half of the MinHash pipeline."""
+    from . import shingle_arrow
+
+    cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
+    # Verify only touches docs that appear in some candidate pair — a
+    # tiny, guard-bounded set — so semi-filter the shingle-set table by
+    # the broadcast candidate ids before the pair join instead of
+    # shuffling every doc's full shingle array twice (2.8s -> 2.0s at
+    # sf1; at 100 TB this is the difference between moving the corpus
+    # and moving the candidates).
+    cand_docs = (cands.select(F.col("d1").alias("doc_id"))
+                 .union(cands.select(F.col("d2").alias("doc_id")))
+                 .distinct())
+    sets = (feats.select("doc_id", "ss", "n")
+            .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    return jaccard_verify_sets(cands, sets, threshold)
+
+
+def minhash_near_dups(docs: DataFrame | None, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
                       token_hash=token_hashes,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      features: DataFrame | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> bands ->
     candidates -> Jaccard >= threshold.  Returns (d1, d2, jaccard).
 
     ``token_hash``: portable char hash (default) or xxhash64 for production.
     ``max_bucket``: drop degenerate LSH buckets (see lsh_candidates).
+    ``features``: a pre-built feature table (``materialize_features`` /
+    ``load_features``) — skips featurization entirely, so threshold and
+    guard sweeps over the same corpus pay the Arrow pass once
+    (``docs`` may be None then; portable-hash features only).
 
     With the default portable hash the pipeline runs on the Arrow-vectorized
     feature pass (operators/shingle_arrow.py — integer-identical, ~3x
     faster); custom hashes keep the pure-JVM expression path."""
+    if features is not None:
+        if token_hash is not token_hashes:
+            raise ValueError("features= carries portable-hash features; "
+                             "custom token_hash needs the inline path")
+        n_shuffle = int(features.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        # same ReuseExchange barrier as the inline path: the table feeds
+        # five plan branches, one exchange serves them all
+        return _minhash_from_features(
+            features.repartition(n_shuffle, "doc_id"), threshold, max_bucket)
     if token_hash is token_hashes:
         from . import shingle_arrow
 
@@ -270,19 +336,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
         n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         feats = (shingle_arrow.shingle_features(docs, text_col, id_col)
                  .repartition(n_shuffle, "doc_id"))
-        cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
-        # Verify only touches docs that appear in some candidate pair — a
-        # tiny, guard-bounded set — so semi-filter the shingle-set table by
-        # the broadcast candidate ids before the pair join instead of
-        # shuffling every doc's full shingle array twice (2.8s -> 2.0s at
-        # sf1; at 100 TB this is the difference between moving the corpus
-        # and moving the candidates).
-        cand_docs = (cands.select(F.col("d1").alias("doc_id"))
-                     .union(cands.select(F.col("d2").alias("doc_id")))
-                     .distinct())
-        sets = (feats.select("doc_id", "ss", "n")
-                .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
-        return jaccard_verify_sets(cands, sets, threshold)
+        return _minhash_from_features(feats, threshold, max_bucket)
     shingled = doc_shingles(docs, text_col, id_col, token_hash)
     cands = lsh_candidates(band_rows(shingled), max_bucket)
     return jaccard_verify(cands, shingled, threshold)

@@ -1084,3 +1084,27 @@ def test_approx_percentile_tracks_exact_rank_bound(spark):
             lo = r.vals[max(0, math.floor(p * n - eps) - 1)]
             hi = r.vals[min(n - 1, math.ceil(p * n + eps))]
             assert lo <= got <= hi, (r.lang, p, got, lo, hi)
+
+
+def test_materialized_features_reusable_across_sweeps(spark, docs, tmp_path):
+    """The shared featurization materialization (r6): persist the feature
+    table once, then minhash_near_dups(features=...) reproduces the inline
+    pipeline's pairs EXACTLY across thresholds and guards — the Arrow pass
+    paid once per corpus snapshot, not once per sweep point."""
+    feats = dedup.materialize_features(docs, str(tmp_path / "feats"))
+    for threshold, max_bucket in ((0.5, None), (0.5, 16), (0.7, None)):
+        inline = {(r.d1, r.d2, r.jaccard) for r in dedup.minhash_near_dups(
+            docs, threshold, max_bucket=max_bucket).collect()}
+        reused = {(r.d1, r.d2, r.jaccard) for r in dedup.minhash_near_dups(
+            None, threshold, max_bucket=max_bucket,
+            features=feats).collect()}
+        assert reused == inline, (threshold, max_bucket)
+    # load_features round-trips the same handle shape
+    loaded = dedup.load_features(spark, str(tmp_path / "feats"))
+    assert {r.doc_id for r in loaded.collect()} == \
+        {r.doc_id for r in feats.collect()}
+    # custom hashes must refuse portable-hash features, not silently mix
+    from dbt_demo_spark.functions.text import token_hashes_xxhash
+    with pytest.raises(ValueError, match="portable-hash"):
+        dedup.minhash_near_dups(None, 0.5, features=feats,
+                                token_hash=token_hashes_xxhash)
