@@ -33,20 +33,51 @@ from pyspark.sql import DataFrame, SparkSession
 from .sources.parquet import shared_scans
 
 _LOC_RE = re.compile(r"Location: \w+ \[file:(?P<path>[^\]]+)\]")
-_SCHEMA_RE = re.compile(r"ReadSchema: struct<(?P<cols>[^>]*)>")
+# greedy to the LAST '>' on the line: nested types (array<float>,
+# map<string,int>) contain '>' themselves — a lazy match would cut the
+# column list at the first one and silently drop later columns (r6
+# code-review finding)
+_SCHEMA_RE = re.compile(r"ReadSchema: struct<(?P<cols>.*)>\s*$")
+
+
+def _split_top_level(cols: str) -> list[str]:
+    """Split a struct body on commas at bracket depth 0 only — commas
+    inside nested type parameters (map<string,int>) are not separators."""
+    out, cur, depth = [], [], 0
+    for ch in cols:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def scan_columns(df: DataFrame, sf_dir: str) -> dict[str, set[str]]:
     """table -> columns this plan reads from ``sf_dir``, parsed from the
-    formatted explain's (Location, ReadSchema) pairs.  Raises the metadata
-    string limit for the duration so deep paths cannot be truncated out of
-    the footprint (restored afterwards)."""
+    formatted explain's (Location, ReadSchema) pairs.
+
+    The parse happens on a FRESH query execution (``df.select("*")``) with
+    the metadata string limit raised for the duration: a previously
+    materialized plan binds its metadata strings under the default
+    100-char limit, which would truncate deep paths out of the footprint;
+    the fresh plan formats under the raised limit regardless of the
+    handle's history.  ``sf_dir`` is normalized before comparison so
+    relative or non-canonical spellings still match the absolute paths
+    Spark prints."""
     spark = df.sparkSession
+    sf_abs = os.path.abspath(sf_dir)
     key = "spark.sql.maxMetadataStringLength"
     old = spark.conf.get(key)
     spark.conf.set(key, "8192")
     try:
-        text = df._jdf.queryExecution().explainString(
+        text = df.select("*")._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString("formatted"))
     finally:
@@ -59,9 +90,11 @@ def scan_columns(df: DataFrame, sf_dir: str) -> dict[str, set[str]]:
             loc = m.group("path")
             continue
         m = _SCHEMA_RE.search(line)
-        if m and loc and os.path.dirname(loc.rstrip("/")) == sf_dir.rstrip("/"):
+        if (m and loc
+                and os.path.abspath(os.path.dirname(loc.rstrip("/"))) == sf_abs):
             table = os.path.basename(loc.rstrip("/")).removesuffix(".parquet")
-            cols = {c.split(":")[0] for c in m.group("cols").split(",") if c}
+            cols = {c.split(":")[0].strip()
+                    for c in _split_top_level(m.group("cols")) if c}
             out.setdefault(table, set()).update(cols)
             loc = None
     return out
@@ -117,7 +150,14 @@ def run_workload(spark: SparkSession, sf_dir: str,
     dfs = {n: fn(spark, sf_dir) for n, fn in queries.items()}
     footprint = batch_footprint(dfs, sf_dir)
     if not footprint:
-        return execute()  # no sf_dir scans (pure in-memory queries)
+        # legitimate for pure in-memory batches, but loud: a caller who
+        # expected sharing should not discover it silently off
+        import warnings
+
+        warnings.warn(
+            f"run_workload: no {sf_dir} scans found in the batch's plans; "
+            "executing without shared scans", stacklevel=2)
+        return execute()
     with shared_scans(spark, sf_dir, footprint):
         return execute()
 

@@ -91,6 +91,38 @@ def test_workload_requires_sink(spark):
         run_workload(spark, SF_GATE, {})
 
 
+def test_scan_columns_survives_nested_types_and_paths(spark):
+    """r6 code-review findings on the footprint parser: a column AFTER a
+    complex-typed column must not be dropped (greedy struct body +
+    depth-aware split), a non-canonical sf_dir spelling must still match
+    the absolute paths Spark prints, and a handle whose plan was already
+    materialized must still parse (fresh query execution inside)."""
+    from dbt_demo_spark.workload import batch_footprint, scan_columns
+
+    emb = (load_table(spark, SF_GATE, "embeddings")
+           .select("vec_id", "embedding", "label"))
+    fp = scan_columns(emb, SF_GATE)
+    assert fp["embeddings"] == {"vec_id", "embedding", "label"}
+
+    # non-canonical dir spelling
+    dotted = SF_GATE.rstrip("/") + "/."
+    assert "embeddings" in scan_columns(emb, dotted)
+
+    # pre-materialized handle: collect first, parse after
+    emb.limit(1).collect()
+    assert scan_columns(emb, SF_GATE)["embeddings"] == {
+        "vec_id", "embedding", "label"}
+
+    # empty footprint warns instead of silently degrading
+    from dbt_demo_spark.workload import run_workload
+
+    mem = spark.range(3)
+    with pytest.warns(UserWarning, match="without shared scans"):
+        run_workload(spark, SF_GATE,
+                     {"m": lambda s, d: mem},
+                     sink=lambda n, df: df.count())
+
+
 def test_missing_column_fails_loudly_not_wrong(spark):
     """A footprint that under-covers the batch must fail at ANALYSIS time
     (missing column), never silently compute on fewer columns."""
