@@ -273,22 +273,41 @@ def load_features(spark, path: str) -> DataFrame:
 def _minhash_from_features(feats: DataFrame, threshold: float,
                            max_bucket: int | None) -> DataFrame:
     """Candidate generation + exact verify over a (doc_id, bks, ss, n)
-    feature table — the shared back half of the MinHash pipeline."""
+    feature table — the shared back half of the MinHash pipeline.
+
+    FUSED verify (r6): the candidate PAIR list is guard-bounded and tiny
+    (it IS the duplication), so it broadcasts as the build side of both
+    set joins and the corpus feature table streams through two map-side
+    probes hanging off its one ReuseExchange — no set row ever shuffles,
+    no candidate-id semi-filter stages.  Replaces the previous
+    semi-filter-then-join form: identical pairs, 17 -> 11 exchanges and
+    2x on the catalog row at sf0.1 (measured r6); at scale the corpus
+    moves zero extra bytes either way, this form just has fewer stages.
+    No hint on the intermediate (candidates x first set): Catalyst's size
+    estimate already keeps it the build side, AQE re-plans it at runtime
+    on clusters, and an explicit hint was measured to force an extra
+    broadcast materialization stage (0.45 -> 0.71s)."""
     from . import shingle_arrow
 
     cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
-    # Verify only touches docs that appear in some candidate pair — a
-    # tiny, guard-bounded set — so semi-filter the shingle-set table by
-    # the broadcast candidate ids before the pair join instead of
-    # shuffling every doc's full shingle array twice (2.8s -> 2.0s at
-    # sf1; at 100 TB this is the difference between moving the corpus
-    # and moving the candidates).
-    cand_docs = (cands.select(F.col("d1").alias("doc_id"))
-                 .union(cands.select(F.col("d2").alias("doc_id")))
-                 .distinct())
-    sets = (feats.select("doc_id", "ss", "n")
-            .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
-    return jaccard_verify_sets(cands, sets, threshold)
+    sets = feats.select("doc_id", "ss", "n")
+    s1 = sets.alias("s1")
+    s2 = sets.alias("s2")
+    return (
+        F.broadcast(cands)
+        .join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .select("d1", "d2", F.col("s1.ss").alias("ss1"),
+                F.col("s1.n").alias("n1"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2",
+                (F.size(F.array_intersect(F.col("ss1"), F.col("s2.ss")))
+                 * 1.0
+                 / (F.col("n1") + F.col("s2.n")
+                    - F.size(F.array_intersect(F.col("ss1"),
+                                               F.col("s2.ss")))))
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_near_dups(docs: DataFrame | None, threshold: float = 0.5,
