@@ -38,6 +38,7 @@ the incremental mode the reference's table-rebuild policy scales into:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -49,15 +50,34 @@ from .model import ModelRegistry
 
 class Runner:
     def __init__(self, spark: SparkSession, registry: ModelRegistry,
-                 warehouse_dir: str | None = None) -> None:
+                 warehouse_dir: str | None = None,
+                 catalog_namespace: str | None = None) -> None:
         self.spark = spark
         self.registry = registry
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
+        # Catalog-table namespace: the session catalog is GLOBAL, so two
+        # runners materializing a same-named bucketed model would silently
+        # clobber each other's entry and the loser's clean() would drop the
+        # survivor's table (ADVICE r6).  Default: a digest of the warehouse
+        # dir — distinct warehouses never collide; pass "" to opt out
+        # (single-runner sessions that want bare catalog names).
+        if catalog_namespace is None:
+            catalog_namespace = "wh_" + hashlib.sha1(
+                os.path.abspath(self.warehouse_dir).encode()).hexdigest()[:10]
+        self.catalog_namespace = catalog_namespace
         # bucketed models register SESSION-CATALOG tables (bucket metadata
         # lives in the catalog, not the files); track them so clean()
         # drops the entries along with the warehouse files — otherwise a
         # post-clean spark.table() would resolve to deleted paths
         self._catalog_tables: set[str] = set()
+
+    def catalog_name(self, model_name: str) -> str:
+        """The session-catalog table name a bucketed model materializes
+        under (namespaced per-runner; the model name itself stays the
+        registry/relations key and is registered as a temp-view alias)."""
+        if self.catalog_namespace:
+            return f"{model_name}__{self.catalog_namespace}"
+        return model_name
 
     def run(self, sources: dict[str, DataFrame],
             select: list[str] | None = None) -> dict[str, DataFrame]:
@@ -105,16 +125,22 @@ class Runner:
             if n_buckets <= 0:
                 raise ValueError(
                     f"model {name}: bucket_by requires n_buckets > 0")
+            cat_name = self.catalog_name(name)
             (writer.option("path", path)
              .bucketBy(n_buckets, *bucket_by)
              .sortBy(*bucket_by)
-             .saveAsTable(name))
+             .saveAsTable(cat_name))
             # a leftover temp view of the same name (e.g. a prior run of
             # this model as a view in the same session) would shadow the
             # catalog table and silently drop the bucket metadata
-            self.spark.catalog.dropTempView(name)
-            self._catalog_tables.add(name)
-            return self.spark.table(name)
+            self.spark.catalog.dropTempView(cat_name)
+            self._catalog_tables.add(cat_name)
+            out = self.spark.table(cat_name)
+            # temp-view ALIAS under the model name: name-based spark.sql
+            # access keeps working, and a view is just a named logical plan
+            # over the catalog relation — bucket metadata rides through
+            out.createOrReplaceTempView(name)
+            return out
         if n_buckets:
             raise ValueError(
                 f"model {name}: n_buckets without bucket_by — declare the "

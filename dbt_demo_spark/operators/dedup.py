@@ -286,11 +286,24 @@ def _minhash_from_features(feats: DataFrame, threshold: float,
     No hint on the intermediate (candidates x first set): Catalyst's size
     estimate already keeps it the build side, AQE re-plans it at runtime
     on clusters, and an explicit hint was measured to force an extra
-    broadcast materialization stage (0.45 -> 0.71s)."""
+    broadcast materialization stage (0.45 -> 0.71s).
+
+    The broadcast hint on the pair list is only safe because the guard
+    bounds it: UNGUARDED (``max_bucket=None``) a degenerate bucket makes
+    the pair list quadratic and a forced driver-side broadcast can OOM
+    (ADVICE r6) — that path keeps the semi-filter form, which broadcasts
+    only the strictly-smaller distinct candidate-id set and lets
+    Catalyst/AQE pick the pair join's build side from runtime sizes."""
     from . import shingle_arrow
 
     cands = lsh_candidates(shingle_arrow.band_rows(feats), max_bucket)
     sets = feats.select("doc_id", "ss", "n")
+    if max_bucket is None:
+        cand_docs = (cands.select(F.col("d1").alias("doc_id"))
+                     .union(cands.select(F.col("d2").alias("doc_id")))
+                     .distinct())
+        sets = sets.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        return jaccard_verify_sets(cands, sets, threshold)
     s1 = sets.alias("s1")
     s2 = sets.alias("s2")
     return (

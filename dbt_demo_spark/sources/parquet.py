@@ -67,9 +67,18 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     plan) has no file list; for those the guard falls back to the RDD
     partition count — accurate, and only paid OFF the scan fast path —
     so a frame already at pool width is never re-shuffled (a composed
-    pipeline calling spread twice must not pay two exchanges)."""
+    pipeline calling spread twice must not pay two exchanges).
+
+    A DERIVED file-backed frame (spread -> mapInPandas -> spread) still
+    reports the underlying scan's file list, so the file count alone would
+    re-shuffle a frame a repartition already widened — CollapseRepartition
+    only merges ADJACENT repartitions (ADVICE r6).  The analyzed logical
+    plan (already built at construction) is string-scanned for a
+    Repartition node; only such frames pay the accurate RDD-width check."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     files = df.inputFiles()
+    if files and "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        files = []  # derived past a repartition: trust the RDD width below
     narrow = (len(files) < target if files
               else df.rdd.getNumPartitions() < target)
     if narrow:
@@ -79,6 +88,21 @@ def spread(df: DataFrame, key: str) -> DataFrame:
         # one partition — exactly the serialization being removed
         return df.repartition(target, F.col(key))
     return df
+
+
+def _ordered(base: DataFrame, cols: list[str]) -> list[str]:
+    """Project a cached footprint in the SOURCE TABLE'S column order: the
+    footprint arrives as a sorted set, and serving columns in a different
+    order than the plain scan would change star-expansion / positional
+    schemas inside the block — the in/out contract is byte-identical
+    results (ADVICE r6)."""
+    want = set(cols)
+    out = [c for c in base.columns if c in want]
+    missing = want - set(out)
+    if missing:
+        raise ValueError(f"shared_scans: columns {sorted(missing)} not in "
+                         f"source table ({base.columns})")
+    return out
 
 
 @contextmanager
@@ -112,14 +136,16 @@ def shared_scans(spark: SparkSession, sf_dir: str,
             if name == "events":
                 key = (spark.sparkContext.applicationId, sf_dir)
                 base = _events.load_events(spark, sf_dir)
-                cached = (base.select(*cols) if cols else base).persist()
+                cached = (base.select(*_ordered(base, cols))
+                          if cols else base).persist()
                 old = _events._SCANS.get(key)
                 _events._SCANS[key] = cached
                 handles.append((_events._SCANS, key, old, cached))
             else:
                 key = (spark.sparkContext.applicationId, sf_dir, name)
                 base = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-                cached = (base.select(*cols) if cols else base).persist()
+                cached = (base.select(*_ordered(base, cols))
+                          if cols else base).persist()
                 old = _SCANS.get(key)
                 _SCANS[key] = cached
                 handles.append((_SCANS, key, old, cached))

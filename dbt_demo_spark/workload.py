@@ -32,12 +32,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .sources.parquet import shared_scans
 
-_LOC_RE = re.compile(r"Location: \w+ \[file:(?P<path>[^\]]+)\]")
+# any URI scheme (file:, hdfs:, s3a:, ...) — matching only file: would
+# silently degrade run_workload to unshared execution on cluster
+# filesystems, contrary to the 100 TB posture (ADVICE r6)
+_LOC_RE = re.compile(
+    r"Location: [^\[]+\[(?P<path>[a-zA-Z][a-zA-Z0-9+.-]*:[^\]]+)\]")
 # greedy to the LAST '>' on the line: nested types (array<float>,
 # map<string,int>) contain '>' themselves — a lazy match would cut the
 # column list at the first one and silently drop later columns (r6
 # code-review finding)
 _SCHEMA_RE = re.compile(r"ReadSchema: struct<(?P<cols>.*)>\s*$")
+
+
+def _strip_file_scheme(p: str) -> str:
+    """file:/x, file:///x -> /x; non-file URIs returned unchanged."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _dir_matches(loc: str, sf_dir: str, sf_abs: str) -> bool:
+    """Does the scan Location's parent directory name ``sf_dir``?  Local
+    paths compare as normalized filesystem paths (file: scheme stripped
+    from either side); remote URIs compare as trimmed URI strings —
+    os.path on an s3a:// string would be meaningless."""
+    parent = os.path.dirname(loc.rstrip("/"))
+    if parent.startswith("file:") or ":" not in parent.split("/", 1)[0]:
+        return os.path.abspath(_strip_file_scheme(parent)) == sf_abs
+    return parent.rstrip("/") == sf_dir.rstrip("/")
 
 
 def _split_top_level(cols: str) -> list[str]:
@@ -90,8 +114,7 @@ def scan_columns(df: DataFrame, sf_dir: str) -> dict[str, set[str]]:
             loc = m.group("path")
             continue
         m = _SCHEMA_RE.search(line)
-        if (m and loc
-                and os.path.abspath(os.path.dirname(loc.rstrip("/"))) == sf_abs):
+        if m and loc and _dir_matches(loc, sf_dir, sf_abs):
             table = os.path.basename(loc.rstrip("/")).removesuffix(".parquet")
             cols = {c.split(":")[0].strip()
                     for c in _split_top_level(m.group("cols")) if c}

@@ -33,7 +33,7 @@ def bucketed_rels(spark, tmp_path):
     rels = runner.run({"src_sales": sales, "src_visits": visits})
     yield rels, sales, visits, reg
     for t in ("fact_sales", "fact_visits"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS `{runner.catalog_name(t)}`")
 
 
 def test_bucketed_join_has_no_exchange(spark, bucketed_rels):
@@ -123,7 +123,7 @@ def test_bucketed_tpch_marts_join_differential(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         runner.clean()
-    assert not spark.catalog.tableExists("mart_orders_b")
+    assert not spark.catalog.tableExists(runner.catalog_name("mart_orders_b"))
 
 
 def test_bucket_by_requires_n_buckets(spark, tmp_path):
@@ -170,6 +170,42 @@ def test_clean_drops_catalog_tables(spark, tmp_path):
     runner = Runner(spark, reg, warehouse_dir=str(tmp_path / "wh"))
     src = spark.range(10).select(F.col("id").alias("k"))
     runner.run({"src": src})
-    assert spark.catalog.tableExists("fact_clean_check")
+    cat = runner.catalog_name("fact_clean_check")
+    assert spark.catalog.tableExists(cat)
+    # name-based access still works through the temp-view alias
+    assert spark.table("fact_clean_check").count() == 10
     runner.clean()
-    assert not spark.catalog.tableExists("fact_clean_check")
+    assert not spark.catalog.tableExists(cat)
+
+
+def test_two_runners_same_model_name_do_not_clobber(spark, tmp_path):
+    """Catalog namespacing (ADVICE r6): two runners materializing a
+    same-named bucketed model must not overwrite each other's session-
+    catalog entry, and one runner's clean() must not drop the other's
+    table."""
+    def make(tag, wh):
+        reg = ModelRegistry()
+
+        @reg.model("fact_shared_name", deps=("src",), materialized="table",
+                   bucket_by=("k",), n_buckets=2)
+        def fact_shared_name(refs):
+            return refs["src"]
+
+        runner = Runner(spark, reg, warehouse_dir=str(wh))
+        rels = runner.run({"src": spark.range(tag).select(
+            F.col("id").alias("k"))})
+        return runner, rels["fact_shared_name"]
+
+    r1, df1 = make(10, tmp_path / "wh_a")
+    r2, df2 = make(20, tmp_path / "wh_b")
+    try:
+        assert r1.catalog_name("fact_shared_name") != \
+            r2.catalog_name("fact_shared_name")
+        # both catalog entries alive, each serving its own contents
+        assert spark.table(r1.catalog_name("fact_shared_name")).count() == 10
+        assert spark.table(r2.catalog_name("fact_shared_name")).count() == 20
+        r2.clean()
+        # runner 1's table survives runner 2's clean
+        assert spark.table(r1.catalog_name("fact_shared_name")).count() == 10
+    finally:
+        r1.clean()

@@ -175,6 +175,31 @@ def test_spread_is_idempotent_on_wide_frames(spark):
     assert spread(once, "doc_id") is once  # identity, not another exchange
 
 
+def test_spread_is_idempotent_on_file_backed_composed_pipelines(
+        spark, tmp_path):
+    """A FILE-BACKED frame derived past a repartition (spread -> transform
+    -> spread) still reports the scan's file list via inputFiles(); the
+    second spread must not add a redundant exchange on top of the first
+    (ADVICE r6 — CollapseRepartition only merges adjacent repartitions)."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.sources.parquet import spread
+
+    path = str(tmp_path / "one_file")
+    spark.range(1000).select(F.col("id").alias("doc_id")).coalesce(1) \
+        .write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert len(scan.inputFiles()) == 1
+    composed = spread(scan, "doc_id").withColumn(
+        "doc_id2", F.col("doc_id") * 2)
+    again = spread(composed, "doc_id")
+    assert again is composed  # no second exchange
+    # AQE prints Final + Initial plans; count only the final section
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
+
+
 def test_bucketed_mart_join_plans_without_exchange(spark):
     """mart_bucketed_revenue (the r6 bucketed-materialization gate row):
     with broadcast disabled, the fact-to-fact join over the same-key

@@ -131,3 +131,48 @@ def test_missing_column_fails_loudly_not_wrong(spark):
     with shared_scans(spark, SF_GATE, {"orders": ["o_orderkey"]}):
         with pytest.raises(AnalysisException):
             CATALOG["agg_monthly_orders"].fn(spark, SF_GATE).collect()
+
+
+def test_location_regex_matches_any_uri_scheme():
+    """_LOC_RE must match hdfs/s3a Locations, not only file: — a cluster
+    filesystem would otherwise silently degrade run_workload to unshared
+    execution (ADVICE r6)."""
+    from dbt_demo_spark.workload import _LOC_RE, _dir_matches
+
+    local = "Location: InMemoryFileIndex(1 paths) [file:/data/sf1/orders.parquet]"
+    hdfs = "Location: InMemoryFileIndex(1 paths) [hdfs://nn:8020/w/sf1/orders.parquet]"
+    s3 = "Location: InMemoryFileIndex(1 paths) [s3a://bucket/sf1/orders.parquet]"
+    for line in (local, hdfs, s3):
+        assert _LOC_RE.search(line), line
+    assert _dir_matches(
+        _LOC_RE.search(local).group("path"), "/data/sf1", "/data/sf1")
+    assert _dir_matches(
+        _LOC_RE.search(hdfs).group("path"),
+        "hdfs://nn:8020/w/sf1", "/irrelevant")
+    assert _dir_matches(
+        _LOC_RE.search(s3).group("path"),
+        "s3a://bucket/sf1/", "/irrelevant")
+    assert not _dir_matches(
+        _LOC_RE.search(s3).group("path"),
+        "s3a://bucket/other", "/irrelevant")
+
+
+def test_shared_scans_preserve_source_column_order(spark):
+    """Inside the block, a star expansion over a cached table must produce
+    the SAME column order as the plain scan — the footprint arrives as a
+    sorted set but is projected in table order (ADVICE r6)."""
+    from dbt_demo_spark.sources.parquet import load_table
+
+    plain = load_table(spark, SF_GATE, "orders").select(
+        "o_totalprice", "o_orderkey", "o_orderdate")
+    before = plain.select("*").columns
+    with shared_scans(spark, SF_GATE,
+                      {"orders": sorted(["o_totalprice", "o_orderkey",
+                                         "o_orderdate"])}):
+        inside = load_table(spark, SF_GATE, "orders").select("*").columns
+    # cached projection serves columns in the source table's order
+    orders_cols = load_table(spark, SF_GATE, "orders").columns
+    want = [c for c in orders_cols
+            if c in {"o_totalprice", "o_orderkey", "o_orderdate"}]
+    assert inside == want
+    assert before == ["o_totalprice", "o_orderkey", "o_orderdate"]
