@@ -22,12 +22,18 @@ from ..functions.text import tokens
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk_text): whitespace-token windows
     of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``.  The last
     chunk may be short (the tail is kept, never padded or dropped); every
     token appears in at least one chunk; consecutive chunks share exactly
-    ``overlap`` tokens except possibly at the tail."""
+    ``overlap`` tokens except possibly at the tail.
+
+    ``carry_cols``: per-document columns (e.g. a ``split`` assignment)
+    projected through onto every chunk — a pure projection, so carrying
+    them costs nothing vs the join-back a trainer-shard writer would
+    otherwise pay over the exploded chunk table."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
@@ -43,10 +49,13 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(
             F.slice(toks, i * stride + 1, chunk_tokens), " "))
+    carry = list(carry_cols)
     return (
-        docs.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
-        .select("doc_id", F.posexplode("_chunks").alias("chunk_id", "chunk_text"))
+        docs.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"),
+                    *carry)
+        .select("doc_id", *carry,
+                F.posexplode("_chunks").alias("chunk_id", "chunk_text"))
         .withColumn("chunk_id", F.col("chunk_id").cast("int"))
         .withColumn("n_tokens", F.size(F.split("chunk_text", " ")))
-        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text", *carry)
     )

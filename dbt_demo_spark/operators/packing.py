@@ -30,22 +30,41 @@ chunk_tokens <= budget).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 PACKED_SCHEMA = ("shard int, bin_id long, doc_id long, chunk_id int, "
-                 "n_tokens int")
+                 "n_tokens int, pos int")
 
 
 def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
-                id_col: str = "doc_id") -> DataFrame:
-    """(shard, bin_id, doc_id, chunk_id, n_tokens): every input chunk
+                id_col: str = "doc_id",
+                group_cols: tuple[str, ...] = (),
+                carry_cols: tuple[str, ...] = (),
+                shard_col: Column | None = None) -> DataFrame:
+    """(shard, bin_id, doc_id, chunk_id, n_tokens, pos): every input chunk
     assigned to exactly one bin; sum(n_tokens) per bin <= budget unless the
     bin holds a single oversized chunk.  Deterministic for fixed
-    ``n_shards``."""
+    ``n_shards``.  ``pos`` is the chunk's placement index within its bin
+    (the FFD iteration order) — the order a shard writer concatenates the
+    bin's chunks in, so packed sequences are reproducible byte-for-byte.
+
+    ``group_cols``: extra packing-group columns carried through the output
+    (e.g. a ``split`` assignment — bins must never mix train and val rows,
+    so the split participates in the grouping, not just the layout).
+    ``carry_cols``: per-chunk payload columns (e.g. the chunk text) that
+    ride the packing shuffle WITHOUT joining the grouping — the shard
+    writer needs the text grouped by bin anyway, and carrying it through
+    the one packing shuffle beats recomputing the chunk pipeline and
+    paying a second join shuffle to reattach it.
+    ``shard_col``: override the shard-assignment expression (default
+    ``pmod(xxhash64(id), n_shards)``; a portable-hash caller passes its own
+    so the assignment is reproducible outside Spark)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
 
     import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    extra = list(group_cols)
 
     def pack_shard(pdf):
         # FFD: descending size, tie-broken by (doc_id, chunk_id) for
@@ -55,7 +74,9 @@ def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
             ["n_tokens", "doc_id", "chunk_id"],
             ascending=[False, True, True], kind="mergesort")
         bins: list[int] = []  # remaining room per bin
+        fill: list[int] = []  # chunks placed per bin (the next pos)
         assign = []
+        pos = []
         for tok in pdf["n_tokens"]:
             placed = -1
             for b, room in enumerate(bins):
@@ -65,18 +86,30 @@ def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
                     break
             if placed < 0:
                 bins.append(max(0, budget - tok))
+                fill.append(0)
                 placed = len(bins) - 1
             assign.append(placed)
-        out = pdf[["shard", "doc_id", "chunk_id", "n_tokens"]].copy()
-        out.insert(1, "bin_id", assign)
-        return out
+            pos.append(fill[placed])
+            fill[placed] += 1
+        out = pdf[["shard", "doc_id", "chunk_id", "n_tokens",
+                   *extra, *carry]].copy()
+        out["bin_id"] = assign
+        out["pos"] = pos
+        return out[["shard", "bin_id", "doc_id", "chunk_id", "n_tokens",
+                    "pos", *extra, *carry]]
 
-    sharded = chunks.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int"))
+    carry = list(carry_cols)
+    if shard_col is None:
+        shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    sharded = chunks.withColumn("shard", shard_col.cast("int"))
+    fields = {f.name: f.dataType.simpleString() for f in chunks.schema.fields}
+    schema = PACKED_SCHEMA + "".join(
+        f", {c} {fields[c]}" for c in extra + carry)
     return (
-        sharded.select("shard", "doc_id", "chunk_id", "n_tokens")
-        .groupBy("shard")
-        .applyInPandas(pack_shard, PACKED_SCHEMA)
+        sharded.select("shard", "doc_id", "chunk_id", "n_tokens",
+                       *extra, *carry)
+        .groupBy("shard", *extra)
+        .applyInPandas(pack_shard, schema)
     )
 
 

@@ -1,0 +1,188 @@
+"""Training-shard output layout — the trainer-facing end of the corpus
+pipeline: accepted documents become split-partitioned, budget-packed
+parquet shards a data loader consumes directly.
+
+Composition (every piece is an already-tested operator):
+
+    chunk_documents (fixed token windows, split carried through)
+      -> pack_chunks (sharded first-fit-decreasing into token budgets,
+                      grouped by (split, shard) so no bin mixes splits)
+      -> one row per PACKED SEQUENCE (ordered chunk texts + provenance)
+      -> parquet partitioned by (split, shard)
+
+Scale posture: chunking is row-local JVM dataflow; packing is ONE shuffle
+on (split, shard); the sequence roll-up rides the same partitioning
+(groupBy on a superset of the packing keys); the write is a streaming-free
+dynamic partition layout.  Shard assignment uses the PORTABLE integer hash
+by default (functions/text.HASH_P arithmetic — the same family as
+text_stable_split) so the census below is oracle-checkable in any engine
+and the layout is reproducible outside Spark; ``xxhash64`` is the
+production alternative (cheaper, better mixed, Spark-only).
+
+The census (``shard_census``) is the receipt: per (split, shard) document
+/ chunk / token counts computed WITHOUT exploding chunks — the chunk count
+per document is closed-form integer arithmetic — so it runs as a pure
+aggregation over the corpus and doubles as the driver-gateable catalog row
+(queries/llm_pipeline.py corpus_shard_census).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import HASH_P, tokens
+from .chunk import chunk_documents
+from .packing import pack_chunks
+
+# Fibonacci-hash multiplier reduced mod HASH_P, DISTINCT from the split
+# multiplier (queries/llm_pipeline._SPLIT_MULT uses the Knuth constant):
+# shard and split assignments must be independent hash functions or shard
+# populations would correlate with split membership.  Reduced form keeps
+# every intermediate <= (P-1)^2 — int64-safe for any doc_id.
+_SHARD_MULT = 11400714819323198485 % HASH_P
+
+
+@dataclass(frozen=True)
+class ShardSpec:
+    """Layout parameters for the packed-shard output.
+
+    chunk_tokens / overlap: the chunker's window (operators/chunk.py);
+    budget: max tokens per packed sequence (the model context length);
+    n_shards: packing-parallelism + file fan-out per split."""
+    chunk_tokens: int
+    budget: int
+    overlap: int = 0
+    n_shards: int = 16
+
+    def __post_init__(self):
+        if self.budget < self.chunk_tokens:
+            raise ValueError(
+                f"budget {self.budget} < chunk_tokens {self.chunk_tokens}: "
+                "every full chunk would be oversized")
+        if self.n_shards <= 0:
+            raise ValueError("n_shards must be positive")
+
+
+def shard_column(doc_id: Column, n_shards: int) -> Column:
+    """Portable deterministic shard assignment: pure int64-safe integer
+    math, identical in any engine (the oracle twin is plain SQL)."""
+    return ((doc_id % HASH_P) * _SHARD_MULT) % HASH_P % n_shards
+
+
+def build_training_shards(docs: DataFrame, spec: ShardSpec,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          split_col: str = "split") -> DataFrame:
+    """One row per packed training sequence:
+
+    (split, shard, bin_id, n_chunks, n_tokens, doc_ids, chunk_texts)
+
+    ``chunk_texts`` is the bin's chunks in FFD placement order (the
+    ``pos`` index pack_chunks emits) — concatenating them is the
+    trainer's sequence; ``doc_ids`` is aligned provenance.  Bins never
+    mix splits (the split participates in the packing group) and never
+    exceed ``spec.budget`` tokens unless a single chunk alone does
+    (impossible here: ShardSpec enforces budget >= chunk_tokens and the
+    chunker never emits a chunk longer than chunk_tokens)."""
+    chunks = chunk_documents(docs, spec.chunk_tokens, spec.overlap,
+                             text_col=text_col, id_col=id_col,
+                             carry_cols=(split_col,))
+    # the chunk text rides the packing shuffle as a carry column: the
+    # layout needs text grouped by bin anyway, so this is the one shuffle
+    # the corpus bytes must cross — a join-back alternative would
+    # recompute the chunk pipeline AND pay a second shuffle to reattach it
+    packed = pack_chunks(chunks, spec.budget, n_shards=spec.n_shards,
+                         group_cols=(split_col,),
+                         carry_cols=("chunk_text",),
+                         shard_col=shard_column(F.col("doc_id"),
+                                                spec.n_shards))
+    # the roll-up groups on a superset of the packing keys, riding the
+    # packing shuffle's clustering — no extra exchange
+    seq = (
+        packed.groupBy(split_col, "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            # placement-ordered roll-ups: sort_array on (pos, payload)
+            # structs, then project — aggregation order is never relied on
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("pos"), F.col("doc_id")))),
+                lambda s: s["doc_id"]).alias("doc_ids"),
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("pos"), F.col("chunk_text")))),
+                lambda s: s["chunk_text"]).alias("chunk_texts"),
+        )
+    )
+    return seq
+
+
+def write_training_shards(docs: DataFrame, out_dir: str, spec: ShardSpec,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          split_col: str = "split") -> None:
+    """Materialize the packed sequences as parquet partitioned by
+    (split, shard): ``out_dir/split=train/shard=3/part-*.parquet``.  A
+    trainer reads one split directory; a distributed loader assigns shard
+    directories to workers; both prune at the directory level (static
+    partition pruning — no footer even gets read outside the slice).
+
+    The repartition on the partition keys makes each (split, shard) land
+    as ONE file written by one task — without it every task can emit a
+    file into every directory (tasks x partitions small files, the classic
+    dynamic-partition-write mistake at scale)."""
+    seq = build_training_shards(docs, spec, text_col, id_col, split_col)
+    (seq.repartition(F.col(split_col), F.col("shard"))
+     .write.mode("overwrite")
+     .partitionBy(split_col, "shard")
+     .parquet(out_dir))
+
+
+def read_training_shards(spark, out_dir: str) -> DataFrame:
+    """Read the packed-shard layout back (partition columns restored)."""
+    return spark.read.parquet(out_dir)
+
+
+def shard_census(docs: DataFrame, spec: ShardSpec,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 split_col: Column | None = None) -> DataFrame:
+    """Per (split, shard): document, chunk, and token counts — the shard
+    layout's receipt, computed WITHOUT exploding chunks: the chunker's
+    chunk count per document is closed-form,
+
+        n_chunks = greatest(1, 1 + floor((n - chunk + stride - 1)/stride))
+
+    so the census is one narrow aggregation over the corpus (one shuffle
+    on ~n_shards*3 groups), engine-portable, and cheap enough to run as a
+    gate on every build.  ``n_tokens`` counts PACKED tokens — each chunk
+    past the first repeats exactly ``overlap`` tokens, so the closed form
+    is ``n + (n_chunks - 1) * overlap`` (exact: the chunker guarantees
+    every tail is longer than the overlap) — equal to the realized
+    layout's per-(split, shard) token sum (tested).  ``split_col``
+    defaults to the pipeline's deterministic hash split
+    (pipeline.split_column)."""
+    from ..pipeline import split_column
+
+    if split_col is None:
+        split_col = split_column(F.col(id_col))
+    stride = spec.chunk_tokens - spec.overlap
+    n = F.size(tokens(F.col(text_col)))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.lit(1) + F.floor((n - F.lit(spec.chunk_tokens) + F.lit(stride)
+                            - F.lit(1)) / F.lit(stride)).cast("int"))
+    return (
+        docs.select(
+            split_col.alias("split"),
+            shard_column(F.col(id_col), spec.n_shards).cast("long")
+            .alias("shard"),
+            n.alias("_n"), n_chunks.alias("_nc"))
+        .groupBy("split", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("_nc").alias("n_chunks"),
+             (F.sum("_n")
+              + (F.sum("_nc") - F.count(F.lit(1))) * F.lit(spec.overlap))
+             .cast("long").alias("n_tokens"))
+    )

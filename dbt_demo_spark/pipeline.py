@@ -49,6 +49,7 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  eval_docs: DataFrame | None = None,
                  min_matched: int = 1,
                  sink=None,
+                 shard_spec=None, shards_dir: str | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -65,7 +66,18 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     incremental_minhash_dedup and streaming/ingest.py).  When a sink
     materializes the output itself, the returned handle need not be acted
     on and the observations fire during the sink's job.
+
+    ``shard_spec`` + ``shards_dir``: the TRAINER-FACING output mode — the
+    accepted rows are additionally chunked, budget-packed, and written as
+    split-partitioned parquet shards under ``shards_dir``
+    (operators/shards.write_training_shards).  The shard write happens in
+    the sink position, BEFORE the fingerprint-index commit, so it inherits
+    the same exactly-once replay story as any other sink: a crash before
+    the commit replays into an identical accepted set and the overwrite
+    lands the identical shards.
     """
+    if (shard_spec is None) != (shards_dir is None):
+        raise ValueError("shard_spec and shards_dir go together")
     obs: dict[str, Observation] = {}
 
     def tap(df: DataFrame, name: str) -> DataFrame:
@@ -107,7 +119,17 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     def finalize(accepted: DataFrame) -> DataFrame:
         return accepted.withColumn("split", split_column(F.col("doc_id")))
 
-    inner_sink = (lambda kept: sink(finalize(kept))) if sink is not None else None
+    def inner_sink(kept: DataFrame) -> None:
+        final = finalize(kept)
+        if shard_spec is not None:
+            from .operators.shards import write_training_shards
+
+            write_training_shards(final, shards_dir, shard_spec)
+        if sink is not None:
+            sink(final)
+
+    if shard_spec is None and sink is None:
+        inner_sink = None
     df = tap(incremental_minhash_dedup(df, index_dir, threshold,
                                        max_bucket=max_bucket,
                                        sink=inner_sink), "accepted")

@@ -657,6 +657,59 @@ def text_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Training-shard layout receipt (round 7): split x shard census of the
+# packed-shard output (operators/shards.py).  Chunk counts are closed-form
+# integer arithmetic — no explode — so the census is one narrow aggregation
+# and every expression is engine-portable.
+_CENSUS_CHUNK, _CENSUS_OVERLAP, _CENSUS_SHARDS = 64, 8, 8
+_CENSUS_STRIDE = _CENSUS_CHUNK - _CENSUS_OVERLAP
+
+
+def _census_spec():
+    from ..operators.shards import ShardSpec
+
+    return ShardSpec(chunk_tokens=_CENSUS_CHUNK, budget=1024,
+                     overlap=_CENSUS_OVERLAP, n_shards=_CENSUS_SHARDS)
+
+
+def _census_oracle() -> str:
+    from ..operators.shards import _SHARD_MULT
+
+    bucket = f"((doc_id % {HASH_P}) * {_SPLIT_MULT}) % {HASH_P} % 100"
+    shard = (f"((doc_id % {HASH_P}) * {_SHARD_MULT}) % {HASH_P} "
+             f"% {_CENSUS_SHARDS}")
+    n = f"len({sql_tokens('text')})"
+    n_chunks = (f"GREATEST(1, 1 + CAST(FLOOR(({n} - {_CENSUS_CHUNK} + "
+                f"{_CENSUS_STRIDE} - 1) / ({_CENSUS_STRIDE} * 1.0)) AS INT))")
+    return f"""
+        SELECT CASE WHEN {bucket} < 80 THEN 'train'
+                    WHEN {bucket} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST({shard} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({n_chunks}) AS BIGINT) AS n_chunks,
+               CAST(SUM({n}) + (SUM({n_chunks}) - COUNT(*))
+                    * {_CENSUS_OVERLAP} AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
+@query("corpus_shard_census", oracle=_census_oracle(),
+       tags=("shards", "training-layout", "census"))
+def corpus_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment census of the training-shard layout
+    (operators/shards.py, the trainer-facing pipeline output): per
+    (split, shard) document, chunk, and token counts, with the chunk count
+    per document computed closed-form — the receipt a shard build gates
+    on, cheap enough to run on every corpus snapshot (one shuffle over
+    ~3 x n_shards groups)."""
+    from ..operators.shards import shard_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_census(docs, _census_spec())
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + events
 # ---------------------------------------------------------------------------

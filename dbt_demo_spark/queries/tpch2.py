@@ -732,9 +732,11 @@ def cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q22_global_sales_opportunity",
-    oracle=f"""
+# Demoted from the 50-entry catalog in round 7: the anti join is gated by
+# q21, the scalar-subquery threshold by q11/q15/q17, substring is row-local;
+# the slot funds corpus_shard_census (the training-shard layout receipt).
+# Differential coverage continues in tests/test_catalog_parity.py.
+TPCH_Q22_ORACLE = f"""
         WITH pos_avg AS (
             SELECT SUM({sql_scaled_long('c_acctbal')}) * 1.0 / COUNT(*) AS avg_units
             FROM customer WHERE c_acctbal > 0
@@ -748,14 +750,17 @@ def cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
           )
         GROUP BY 1
-    """,
-    tags=("J-anti", "A5", "A7", "F-substr"),
-)
+    """
+
+
 def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich-but-inactive customers grouped by a substring
     key (digits of c_name stand in for the phone country code).  The
     positive-balance average is a broadcast scalar; inactivity is a
-    left_anti join on orders.  Balances compared in exact integer cents."""
+    left_anti join on orders.  Balances compared in exact integer cents.
+
+    Pytest-differential (TPCH_Q22_ORACLE above): displaced from the 50-row
+    driver window in round 7 by corpus_shard_census."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     pos_avg = (
