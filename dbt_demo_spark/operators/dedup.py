@@ -412,10 +412,12 @@ def simhash(docs: DataFrame, n_bits: int = 16, text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
+def ngram_jaccard_pairs(query_docs: DataFrame | None,
+                        corpus: DataFrame | None,
                         threshold: float,
                         max_doc_freq: int | None = None,
-                        query_filter: Column | None = None) -> DataFrame:
+                        query_filter: Column | None = None,
+                        features: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard of each query doc against the corpus via an
     inverted-index join on shingle hash (explode -> join -> count), skipping
     the signature step entirely.  Right-sized when the query side is small
@@ -433,12 +435,21 @@ def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
     BEFORE the join — without it one boilerplate shingle joins every query
     against the whole corpus at scale.  Dropped shingles still count in
     qn/cn, so reported Jaccard becomes a conservative lower bound (a pair
-    overlapping ONLY on boilerplate stops matching — usually the point)."""
+    overlapping ONLY on boilerplate stops matching — usually the point).
+
+    ``features``: a pre-built corpus feature table (materialize_features /
+    load_features — portable-hash features only) replacing the corpus
+    Arrow pass entirely; ``corpus`` may be None then.  Guard/threshold
+    sweeps and repeated catalog runs over the same corpus snapshot pay
+    featurization once (X29)."""
     from . import shingle_arrow
 
     # Arrow-vectorized distinct-shingle sets (integer-identical to the JVM
     # doc_shingles + array_distinct path; see operators/shingle_arrow.py)
-    cf = shingle_arrow.shingle_features(corpus)
+    if features is not None:
+        cf = features
+    else:
+        cf = shingle_arrow.shingle_features(corpus)
     if max_doc_freq is not None or query_filter is not None:
         # the corpus features feed several branches (doc-frequency
         # aggregation, join input, and the filtered query side); a
@@ -448,7 +459,7 @@ def ngram_jaccard_pairs(query_docs: DataFrame | None, corpus: DataFrame,
         # 100 TB).  Unguarded with a separate query frame, the features are
         # read once — no barrier.  (Fixed N: AQE would coalesce a bare
         # repartition(col) of the small feature table to one partition.)
-        n_shuffle = int(corpus.sparkSession.conf.get(
+        n_shuffle = int(cf.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"))
         cf = cf.repartition(n_shuffle, "doc_id")
     if query_filter is not None:

@@ -148,6 +148,56 @@ def _minhash_oracle(max_bucket: int | None = None) -> str:
 
 _MAX_BUCKET = 16
 
+# X29 feature reuse at the catalog level (r7, VERDICT item 4): the two
+# dedup rows both consume the SAME (doc_id, bks, ss, n) shingle-feature
+# table, and featurization is the dominant per-query cost — so the table
+# is materialized ONCE per (session, corpus snapshot) under .mart_cache
+# (same build-once discipline as bucketed_order_marts and the IVF index;
+# features are a pure function of the text, so a dir surviving from an
+# earlier session over the same immutable corpus is still valid) and both
+# rows serve from the parquet read-back.  Pair sets are identical to the
+# inline path (X29 equality tests + the rows' own DuckDB oracles).
+_DEDUP_FEATURES: dict = {}
+_DEDUP_FEATURES_LOCK = __import__("threading").Lock()
+
+
+def _corpus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    # lock: the bench throughput phase runs catalog queries on a thread
+    # pool; two cold-start dedup rows must not both build the table
+    with _DEDUP_FEATURES_LOCK:
+        feats = _DEDUP_FEATURES.get(key)
+        if feats is None:
+            abs_dir = os.path.abspath(sf_dir)
+            # digest covers the SOURCE FILES' identity (path + size +
+            # mtime), not just the path: a regenerated corpus at the same
+            # location must invalidate the cached features, or a stale
+            # materialization would silently serve wrong pairs
+            src = os.path.join(abs_dir, "documents.parquet")
+            stamp = "|".join(
+                f"{f}:{os.path.getsize(os.path.join(src, f))}:"
+                f"{os.stat(os.path.join(src, f)).st_mtime_ns}"
+                for f in sorted(os.listdir(src))
+                if not f.startswith(("_", "."))) if os.path.isdir(src) else (
+                f"{os.path.getsize(src)}:{os.stat(src).st_mtime_ns}"
+                if os.path.exists(src) else "absent")
+            digest = hashlib.sha1(
+                f"{abs_dir}|{stamp}".encode()).hexdigest()[:12]
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                ".mart_cache",
+                f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}"
+                f"-{digest}",
+                "dedup_features")
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                feats = dedup.load_features(spark, path)
+            else:
+                feats = dedup.materialize_features(
+                    load_table(spark, sf_dir, "documents"), path)
+            _DEDUP_FEATURES[key] = feats
+    return feats
+
 
 @query("dedup_minhash_lsh_guarded", oracle=_minhash_oracle(_MAX_BUCKET),
        tags=("dedup", "lsh", "guard"))
@@ -155,9 +205,13 @@ def dedup_minhash_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH with the degenerate-bucket guard: band buckets holding
     > MAX_BUCKET docs (boilerplate clusters) are dropped before the
     self-join, bounding the bucket-join blow-up at 100 TB
-    (operators/dedup.py lsh_candidates max_bucket)."""
-    return dedup.minhash_near_dups(load_table(spark, sf_dir, "documents"),
-                                   threshold=0.5, max_bucket=_MAX_BUCKET)
+    (operators/dedup.py lsh_candidates max_bucket).  Serves from the
+    per-corpus feature materialization (_corpus_features, X29) — the
+    Arrow featurization is paid once per corpus snapshot, not per
+    query."""
+    return dedup.minhash_near_dups(None, threshold=0.5,
+                                   max_bucket=_MAX_BUCKET,
+                                   features=_corpus_features(spark, sf_dir))
 
 
 _SIMHASH_BITS = 16
@@ -222,12 +276,14 @@ def dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard with the hot-shingle cutoff: shingles appearing in
     > MAX_DOC_FREQ corpus docs are dropped from the inverted index before
     the join, so boilerplate n-grams cannot join every query against the
-    whole corpus (operators/dedup.py ngram_jaccard_pairs max_doc_freq)."""
-    docs = load_table(spark, sf_dir, "documents")
+    whole corpus (operators/dedup.py ngram_jaccard_pairs max_doc_freq).
+    Serves from the per-corpus feature materialization (_corpus_features,
+    X29) — no per-query Arrow pass."""
     return (
-        dedup.ngram_jaccard_pairs(None, docs, threshold=0.5,
+        dedup.ngram_jaccard_pairs(None, None, threshold=0.5,
                                   max_doc_freq=_MAX_DOC_FREQ,
-                                  query_filter=F.col("doc_id") % 20 == 0)
+                                  query_filter=F.col("doc_id") % 20 == 0,
+                                  features=_corpus_features(spark, sf_dir))
         .select("qid", "cid", "jaccard")
     )
 
