@@ -83,6 +83,21 @@ def main() -> None:
 
     names = [name for name, spec in CATALOG.items() if spec.bench]
 
+    # The catalog total is composition-sensitive: three text/list rows
+    # (below) dominate the DuckDB baseline's total because its list ops
+    # collapse there, flattering the cross-engine ratio.  The RELATIONAL
+    # subtotal — everything else — is the honest number for the
+    # relational/bulk tail and is emitted alongside the full total
+    # (VERDICT r6 item 2) so nobody has to recompute it from per-query rows.
+    NON_RELATIONAL = {"corpus_decontamination", "doc_fingerprint",
+                      "dedup_embedding_cosine"}
+
+    # Opt-in SHARED-SCAN mode (VERDICT r6 item 3): serve the whole catalog
+    # batch from cached column-pruned scans (workload.py) — each source
+    # decoded once per pass instead of once per query.  Kept off by
+    # default; the plain mode stays the number of record.
+    shared_mode = os.environ.get("SPARK_GRAFT_SHARED_SCAN", "") == "1"
+
     # Build each query's DataFrame ONCE and re-execute the handle: every
     # `.write` still runs the full JVM pipeline (analysis result is cached on
     # the handle, but optimization, physical planning, AQE re-planning and
@@ -122,25 +137,45 @@ def main() -> None:
     # its two samples sit a full catalog pass apart.  The DuckDB side of
     # tools/scale_bench.py uses the same pass count, so cross-engine
     # ratios stay symmetric.
-    passes = []
-    for _ in range(3):
-        spark._jvm.System.gc()
-        time.sleep(1.0)
-        passes.append({name: run(name) for name in names})
-    timings = {name: round(min(p[name] for p in passes), 3) for name in names}
-    sequential_total = round(sum(timings.values()), 3)
+    from contextlib import nullcontext
 
-    # THROUGHPUT: full workload concurrently, wall-clock; best of 3 passes
-    # to damp thread-scheduler/GC/ambient noise (r6 measured back-to-back
-    # full-bench walls spanning 3.8-8.5s under shared-host load; the DuckDB
-    # side of tools/scale_bench.py uses the same pass count).
-    walls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(threads) as ex:
-            list(ex.map(run, names))
-        walls.append(time.perf_counter() - t0)
-    throughput_wall = round(min(walls), 3)
+    if shared_mode:
+        from dbt_demo_spark.sources.parquet import shared_scans
+        from dbt_demo_spark.workload import batch_footprint
+
+        footprint = batch_footprint(dfs, sf_dir)
+        scan_ctx = shared_scans(spark, sf_dir, footprint)
+    else:
+        scan_ctx = nullcontext()
+
+    with scan_ctx:
+        if shared_mode:
+            # DataFrames bind their scans at construction — rebuild inside
+            # the block so every query reads the cached projections
+            dfs.update({n: CATALOG[n].fn(spark, sf_dir) for n in names})
+        passes = []
+        for _ in range(3):
+            spark._jvm.System.gc()
+            time.sleep(1.0)
+            passes.append({name: run(name) for name in names})
+        timings = {name: round(min(p[name] for p in passes), 3)
+                   for name in names}
+        sequential_total = round(sum(timings.values()), 3)
+        sequential_relational = round(
+            sum(t for n, t in timings.items() if n not in NON_RELATIONAL), 3)
+
+        # THROUGHPUT: full workload concurrently, wall-clock; best of 3
+        # passes to damp thread-scheduler/GC/ambient noise (r6 measured
+        # back-to-back full-bench walls spanning 3.8-8.5s under shared-host
+        # load; the DuckDB side of tools/scale_bench.py uses the same pass
+        # count).
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(threads) as ex:
+                list(ex.map(run, names))
+            walls.append(time.perf_counter() - t0)
+        throughput_wall = round(min(walls), 3)
 
     # Scale evidence lives in the committed SCALE_BENCH.json (produced by
     # tools/make_scale.py + tools/scale_bench.py): a Spark-vs-DuckDB pair
@@ -172,7 +207,14 @@ def main() -> None:
         "throughput_threads": threads,
         "unit": "sec",
         "sf": sf,
+        "shared_scans": shared_mode,
+        "relational_note": (
+            "sequential_relational_sec excludes "
+            f"{sorted(NON_RELATIONAL)} — the text/list rows that dominate "
+            "the DuckDB baseline's total; the subtotal is the honest "
+            "cross-engine number for the relational/bulk tail"),
         "metric": "catalog_workload_wall_sec",
+        "sequential_relational_sec": sequential_relational,
         "sequential_total_sec": sequential_total,
         "value": throughput_wall,
     }))
@@ -184,6 +226,7 @@ def main() -> None:
         "metric": "catalog_workload_wall_sec",
         "value": throughput_wall,
         "sequential_total_sec": sequential_total,
+        "sequential_relational_sec": sequential_relational,
         "unit": "sec",
         "sf": sf,
     }))

@@ -151,12 +151,15 @@ def main() -> None:
     common = sorted(set(spark["queries"]) & set(duck["queries"]))
     seq_spark = round(sum(spark["queries"][n] for n in common), 3)
     seq_duck = round(sum(duck["queries"][n] for n in common), 3)
-    # Composition-adjusted ratio (VERDICT r4 item 7): the workload ratio is
-    # dominated by two list-ops queries DuckDB is pathologically slow on
-    # (doc_fingerprint, dedup_embedding_cosine: 83% of its sf1 total);
-    # excluding them gives the honest number for the relational bulk, the
-    # one the floor work has to move.  Both ratios are reported.
-    _excl = {"doc_fingerprint", "dedup_embedding_cosine"}
+    # RELATIONAL-ONLY subtotal (VERDICT r6 item 2, superseding the r4
+    # two-row exclusion): the workload ratio is dominated by three
+    # text/list rows where DuckDB collapses (corpus_decontamination,
+    # doc_fingerprint, dedup_embedding_cosine — together 72% of its sf0.1
+    # total, 89% at sf1); excluding them gives the honest number for the
+    # relational/bulk tail, the one the floor work has to move.  Both
+    # ratios and both engines' subtotals are first-class fields.
+    _excl = {"corpus_decontamination", "doc_fingerprint",
+             "dedup_embedding_cosine"}
     bulk = [n for n in common if n not in _excl]
     adj_spark = round(sum(spark["queries"][n] for n in bulk), 3)
     adj_duck = round(sum(duck["queries"][n] for n in bulk), 3)
@@ -167,10 +170,12 @@ def main() -> None:
         "duckdb": duck,
         "common_queries": len(common),
         "sequential_ratio": round(seq_spark / seq_duck, 3),
-        "sequential_ratio_excl_listops": round(adj_spark / adj_duck, 3),
-        "excl_listops_note": (
+        "sequential_relational_spark_sec": adj_spark,
+        "sequential_relational_duckdb_sec": adj_duck,
+        "sequential_ratio_relational": round(adj_spark / adj_duck, 3),
+        "relational_note": (
             f"ratio over the {len(bulk)} relational/bulk queries, excluding "
-            f"{sorted(_excl)} where DuckDB's list-ops are the outlier; "
+            f"{sorted(_excl)} where DuckDB's text/list ops are the outlier; "
             f"spark {adj_spark}s vs duckdb {adj_duck}s"),
         "throughput_ratio": round(
             spark["throughput_wall_sec"] / duck["throughput_wall_sec"], 3),
