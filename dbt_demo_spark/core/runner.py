@@ -80,28 +80,81 @@ class Runner:
         return model_name
 
     def run(self, sources: dict[str, DataFrame],
-            select: list[str] | None = None) -> dict[str, DataFrame]:
+            select: list[str] | None = None,
+            threads: int = 1) -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
-        (sources + built models) by name."""
+        (sources + built models) by name.
+
+        ``threads`` > 1 runs INDEPENDENT DAG branches concurrently — the
+        dbt ``threads`` profile setting [public knowledge]: a model is
+        submitted to the pool the moment its refs are built, so sibling
+        staging models and independent mart writes overlap wall-clock.
+        Spark job submission is thread-safe; each materialization is its
+        own job, and on a busy cluster ``spark.scheduler.mode=FAIR`` keeps
+        one giant mart from starving the short branches (the default FIFO
+        still overlaps I/O + planning, which is most of what small models
+        pay).  Results are identical to the sequential order because the
+        dependency gate, not submission order, decides when a model
+        runs (tested with a diamond DAG)."""
+        if threads <= 1:
+            relations: dict[str, DataFrame] = dict(sources)
+            for name in self.registry.topo_order(select):
+                relations[name] = self._build_model(name, relations)
+            return relations
+        return self._run_parallel(sources, select, threads)
+
+    def _build_model(self, name: str,
+                     relations: dict[str, DataFrame]) -> DataFrame:
+        mdef = self.registry[name]
+        missing = [d for d in mdef.deps if d not in relations]
+        if missing:
+            raise KeyError(f"model {name}: unresolved refs {missing}")
+        refs = {d: relations[d] for d in mdef.deps}
+        df = mdef.fn(refs)
+        if mdef.materialized == "table":
+            df = self._materialize_table(name, df, mdef.partition_by,
+                                         mdef.bucket_by, mdef.n_buckets)
+        elif mdef.materialized == "incremental":
+            df = self._materialize_incremental(name, df, mdef.partition_by)
+        elif mdef.materialized == "ephemeral":
+            pass  # inlined into consumers; no view, no storage
+        else:
+            df.createOrReplaceTempView(name)
+        return df
+
+    def _run_parallel(self, sources: dict[str, DataFrame],
+                      select: list[str] | None,
+                      threads: int) -> dict[str, DataFrame]:
+        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                        wait)
+
         relations: dict[str, DataFrame] = dict(sources)
-        for name in self.registry.topo_order(select):
-            mdef = self.registry[name]
-            missing = [d for d in mdef.deps if d not in relations]
-            if missing:
-                raise KeyError(f"model {name}: unresolved refs {missing}")
-            refs = {d: relations[d] for d in mdef.deps}
-            df = mdef.fn(refs)
-            if mdef.materialized == "table":
-                df = self._materialize_table(name, df, mdef.partition_by,
-                                             mdef.bucket_by, mdef.n_buckets)
-            elif mdef.materialized == "incremental":
-                df = self._materialize_incremental(name, df, mdef.partition_by)
-            elif mdef.materialized == "ephemeral":
-                pass  # inlined into consumers; no view, no storage
-            else:
-                df.createOrReplaceTempView(name)
-            relations[name] = df
+        pending = list(self.registry.topo_order(select))
+        with ThreadPoolExecutor(threads) as ex:
+            in_flight: dict = {}
+            while pending or in_flight:
+                # a model is ready iff every ref resolves NOW; refs to
+                # not-yet-built models keep it pending
+                ready = [n for n in pending
+                         if all(d in relations
+                                for d in self.registry[n].deps)]
+                for n in ready:
+                    pending.remove(n)
+                    # snapshot the refs under the current relations state;
+                    # dict reads are safe — only this thread writes it
+                    in_flight[ex.submit(self._build_model, n,
+                                        dict(relations))] = n
+                if not in_flight:
+                    # nothing runnable and nothing running: unresolved refs
+                    missing = {n: [d for d in self.registry[n].deps
+                                   if d not in relations]
+                               for n in pending}
+                    raise KeyError(f"unresolved refs: {missing}")
+                done, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = in_flight.pop(fut)
+                    relations[name] = fut.result()  # re-raises model errors
         return relations
 
     def _materialize_table(self, name: str, df: DataFrame,
