@@ -89,12 +89,10 @@ def scan_parts(spark, sf_dir):
             supp.select("s_suppkey", "s_nationkey"),
         ],
         "tpch_q21_waiting_suppliers": [
-            li.select("l_orderkey", "l_suppkey", "l_commitdate",
-                      "l_receiptdate"),
+            li.select("l_orderkey", "l_suppkey", "l_shipdate"),
             orders.filter(F.col("o_orderstatus") == "F")
             .select("o_orderkey"),
-            supp.select("s_suppkey", "s_name", "s_nationkey"),
-            nation.select("n_nationkey", "n_name"),
+            supp.select("s_suppkey", "s_name"),
         ],
     }
 
