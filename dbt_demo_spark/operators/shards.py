@@ -122,7 +122,8 @@ def build_training_shards(docs: DataFrame, spec: ShardSpec,
 
 def write_training_shards(docs: DataFrame, out_dir: str, spec: ShardSpec,
                           text_col: str = "text", id_col: str = "doc_id",
-                          split_col: str = "split") -> None:
+                          split_col: str = "split",
+                          partition_literals: dict | None = None) -> None:
     """Materialize the packed sequences as parquet partitioned by
     (split, shard): ``out_dir/split=train/shard=3/part-*.parquet``.  A
     trainer reads one split directory; a distributed loader assigns shard
@@ -132,12 +133,23 @@ def write_training_shards(docs: DataFrame, out_dir: str, spec: ShardSpec,
     The repartition on the partition keys makes each (split, shard) land
     as ONE file written by one task — without it every task can emit a
     file into every directory (tasks x partitions small files, the classic
-    dynamic-partition-write mistake at scale)."""
+    dynamic-partition-write mistake at scale).
+
+    ``partition_literals``: extra leading partition columns written as
+    literals (e.g. ``{"ingest_batch_id": 7}`` from the streaming twin).
+    When given, the write switches to a DYNAMIC partition overwrite so a
+    replayed batch overwrites exactly its own partitions — the same
+    exactly-once story as the streaming warehouse sink — instead of
+    clobbering the whole layout."""
     seq = build_training_shards(docs, spec, text_col, id_col, split_col)
-    (seq.repartition(F.col(split_col), F.col("shard"))
-     .write.mode("overwrite")
-     .partitionBy(split_col, "shard")
-     .parquet(out_dir))
+    lead = list(partition_literals or {})
+    for k, v in (partition_literals or {}).items():
+        seq = seq.withColumn(k, F.lit(v))
+    writer = (seq.repartition(F.col(split_col), F.col("shard"))
+              .write.mode("overwrite"))
+    if lead:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*lead, split_col, "shard").parquet(out_dir)
 
 
 def read_training_shards(spark, out_dir: str) -> DataFrame:

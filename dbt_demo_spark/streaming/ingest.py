@@ -55,11 +55,24 @@ def read_document_stream(spark: SparkSession, landing_dir: str,
 
 
 def ingest_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
-                 out_dir: str, **clean_kwargs) -> None:
+                 out_dir: str, shard_spec=None, shards_dir: str | None = None,
+                 **clean_kwargs) -> None:
     """One micro-batch of the ingestion funnel: clean_corpus with a sink
     that dynamic-partition-overwrites ``out_dir`` at this batch id, then
     the index commit.  Module-level so the crash-replay tests can re-invoke
-    a batch exactly as the stream would."""
+    a batch exactly as the stream would.
+
+    ``shard_spec`` + ``shards_dir``: additionally land the accepted rows
+    as packed training shards under
+    ``shards_dir/ingest_batch_id=N/split=.../shard=.../`` — the
+    trainer-facing layout, continuously produced.  The shard write rides
+    the same sink position (before the index commit) with a dynamic
+    overwrite keyed by the batch id, so both replay windows converge
+    exactly like the warehouse sink: a pre-commit replay rewrites
+    identical shards, a post-commit replay's empty accepted set touches
+    no partitions."""
+    if (shard_spec is None) != (shards_dir is None):
+        raise ValueError("shard_spec and shards_dir go together")
 
     def sink(clean: DataFrame) -> None:
         (clean.withColumn("ingest_batch_id", F.lit(batch_id))
@@ -67,6 +80,12 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("ingest_batch_id")
          .parquet(out_dir))
+        if shard_spec is not None:
+            from ..operators.shards import write_training_shards
+
+            write_training_shards(
+                clean, shards_dir, shard_spec,
+                partition_literals={"ingest_batch_id": batch_id})
 
     clean_corpus(batch_df, index_dir, sink=sink, **clean_kwargs)
 

@@ -164,3 +164,53 @@ def test_replay_after_sink_before_commit_converges(spark, tmp_path):
     assert _accepted_ids(out, spark) == crashed_output
     assert set(_index_ids(spark, idx)) == {1, 2, 3, 4, 5}
     assert all(c == 1 for c in _index_ids(spark, idx).values())
+
+
+def test_streamed_shard_output_replay_safe_and_matches_batch(spark, tmp_path):
+    """Continuous shard production (r7): shard_spec/shards_dir forward
+    through foreachBatch; each micro-batch lands
+    shards_dir/ingest_batch_id=N/split=... shards over exactly its
+    accepted docs, and replaying a batch converges (dynamic overwrite)."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.operators.shards import ShardSpec
+
+    spec = ShardSpec(chunk_tokens=16, budget=64, overlap=0, n_shards=2)
+    docs = load_table(spark, SF_GATE, "documents")
+    landing = str(tmp_path / "landing")
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(
+        landing, mode="append")
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(
+        landing, mode="append")
+
+    idx, out, shards = (str(tmp_path / "idx"), str(tmp_path / "out"),
+                        str(tmp_path / "shards"))
+    stream = read_document_stream(spark, landing, max_files_per_trigger=1)
+    q = (clean_ingest(stream, idx, out, str(tmp_path / "ckpt"),
+                      shard_spec=spec, shards_dir=shards)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(shards)
+    assert {r.ingest_batch_id for r in
+            got.select("ingest_batch_id").distinct().collect()} == {0, 1}
+    # shard doc provenance == the accepted warehouse rows, per batch
+    accepted = spark.read.parquet(out)
+    for b in (0, 1):
+        shard_docs = {d for r in got.filter(F.col("ingest_batch_id") == b)
+                      .select("doc_ids").collect() for d in r.doc_ids}
+        warehouse = {r.doc_id for r in accepted.filter(
+            F.col("ingest_batch_id") == b).collect()}
+        assert shard_docs == warehouse, b
+
+    before = sorted(
+        (r.ingest_batch_id, r.split, r.shard, r.bin_id, tuple(r.doc_ids))
+        for r in got.collect())
+    # post-commit replay of batch 0: empty accepted set, shards untouched
+    first_file = spark.read.parquet(landing).filter("doc_id < 250")
+    ingest_batch(first_file, 0, idx, out, shard_spec=spec,
+                 shards_dir=shards)
+    after = sorted(
+        (r.ingest_batch_id, r.split, r.shard, r.bin_id, tuple(r.doc_ids))
+        for r in spark.read.parquet(shards).collect())
+    assert after == before
