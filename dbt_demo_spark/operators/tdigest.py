@@ -178,3 +178,57 @@ def sketch_quantiles(df: DataFrame, value_col: str, probs,
     """One-call path: two-level t-digest quantiles for a column."""
     d = merge_shard_digests(tdigest_shards(df, value_col, delta), delta)
     return {p: quantile(d, p) for p in probs}
+
+
+def grouped_sketch_quantiles(df: DataFrame, key_col: str, value_col: str,
+                             probs, delta: float = 200.0,
+                             n_shards: int = 32) -> DataFrame:
+    """Per-key quantile sketches — the mergeable twin of the exact
+    per-language quantiles (X28, corpus_length_quantiles): returns one
+    row per key with the estimated quantiles as an array (aligned with
+    ``probs``).
+
+    Two-level inside Spark: stage 1 digests (key, hash-shard) groups via
+    applyInPandas — a skewed key's values spread over ``n_shards``
+    sub-digests so no single task holds a hot key's whole stream; stage 2
+    merges each key's shard digests (sketch-sized rows) and estimates.
+    Both stages shuffle only (key, digest) rows after the first
+    aggregation — at 100 TB the values cross the wire once, pre-reduced
+    to O(delta) centroids per (key, shard)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    probs = list(probs)
+    stage1_schema = f"key string, {DIGEST_SCHEMA}"
+
+    def digest_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = build_digest(pdf[value_col].to_numpy(), delta)
+        return pd.DataFrame({
+            "key": [str(pdf["_key"].iloc[0])],
+            "means": [d.means], "weights": [d.weights],
+            "n": [d.n], "vmin": [d.vmin], "vmax": [d.vmax]})
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = merge_digests(
+            (Digest(list(m), list(w), n, lo, hi)
+             for m, w, n, lo, hi in zip(pdf["means"], pdf["weights"],
+                                        pdf["n"], pdf["vmin"], pdf["vmax"])),
+            delta)
+        return pd.DataFrame({
+            "key": [pdf["key"].iloc[0]],
+            "n": [d.n],
+            "quantiles": [[quantile(d, p) for p in probs]]})
+
+    shards = (
+        df.select(F.col(key_col).cast("string").alias("_key"),
+                  value_col,
+                  F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(n_shards)).alias("_shard"))
+        .groupBy("_key", "_shard")
+        .applyInPandas(digest_group, stage1_schema)
+    )
+    return (
+        shards.groupBy("key")
+        .applyInPandas(merge_group,
+                       "key string, n double, quantiles array<double>")
+    )

@@ -132,3 +132,29 @@ def test_sf1_replica_when_present(spark):
     exact = np.sort(np.array([r.n_chars for r in docs.collect()]))
     for p in PROBS:
         assert rank_err(exact, p, quantile(d, p)) <= BOUND, p
+
+
+def test_grouped_sketch_matches_exact_per_language(spark):
+    """Per-key sketches vs exact per-key sorted ranks on the X28 column
+    family (documents per-language char lengths) at sf0.01."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.operators.tdigest import grouped_sketch_quantiles
+    from dbt_demo_spark.sources.parquet import load_table
+    from tests.conftest import SF_GATE
+
+    docs = (load_table(spark, SF_GATE, "documents")
+            .select("lang", F.length("text").cast("double").alias("n_chars")))
+    got = {r.key: (r.n, r.quantiles)
+           for r in grouped_sketch_quantiles(
+               docs, "lang", "n_chars", PROBS, DELTA).collect()}
+    exact = {}
+    for r in docs.collect():
+        exact.setdefault(r.lang, []).append(r.n_chars)
+    assert set(got) == set(exact)
+    for lang, vals in exact.items():
+        s = np.sort(np.array(vals))
+        n, qs = got[lang]
+        assert n == len(s)
+        for p, est in zip(PROBS, qs):
+            assert rank_err(s, p, est) <= BOUND, (lang, p)
