@@ -81,7 +81,8 @@ class Runner:
 
     def run(self, sources: dict[str, DataFrame],
             select: list[str] | None = None,
-            threads: int = 1) -> dict[str, DataFrame]:
+            threads: int = 1,
+            cache_sources: bool = False) -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
@@ -96,13 +97,30 @@ class Runner:
         still overlaps I/O + planning, which is most of what small models
         pay).  Results are identical to the sequential order because the
         dependency gate, not submission order, decides when a model
-        runs (tested with a diamond DAG)."""
-        if threads <= 1:
-            relations: dict[str, DataFrame] = dict(sources)
-            for name in self.registry.topo_order(select):
-                relations[name] = self._build_model(name, relations)
-            return relations
-        return self._run_parallel(sources, select, threads)
+        runs (tested with a diamond DAG).
+
+        ``cache_sources`` is the shared-scan idea (workload.run_workload)
+        applied to a mart refresh: every SOURCE relation is persisted
+        (Spark's default MEMORY_AND_DISK) for the run's duration, so N
+        models fanning out from the same raw tables decode each source
+        once instead of once per model — and unpersisted afterwards, win
+        or lose, so the run leaves no cache dependence behind.  Worth
+        switching on when several independent marts read the same sources
+        (the refresh shape); a single-consumer DAG gains nothing."""
+        caches = []
+        if cache_sources:
+            for df in sources.values():
+                caches.append(df.persist())
+        try:
+            if threads <= 1:
+                relations: dict[str, DataFrame] = dict(sources)
+                for name in self.registry.topo_order(select):
+                    relations[name] = self._build_model(name, relations)
+                return relations
+            return self._run_parallel(sources, select, threads)
+        finally:
+            for df in caches:
+                df.unpersist()
 
     def _build_model(self, name: str,
                      relations: dict[str, DataFrame]) -> DataFrame:

@@ -127,3 +127,40 @@ def test_parallel_unresolved_refs_raise(spark, tmp_path):
 
     with pytest.raises(KeyError, match="missing_src"):
         Runner(spark, reg, warehouse_dir=str(tmp_path)).run({}, threads=2)
+
+
+def test_cache_sources_identity_and_release(spark, tmp_path):
+    """run(cache_sources=True): identical outputs, and the source cache is
+    released after the run (no lingering cache dependence — the same
+    contract as shared_scans)."""
+    from pyspark import StorageLevel
+
+    reg = ModelRegistry()
+
+    @reg.model("m1", deps=("src",), materialized="table")
+    def m1(refs):
+        return refs["src"].groupBy().agg(F.sum("k").alias("s"))
+
+    @reg.model("m2", deps=("src",), materialized="table")
+    def m2(refs):
+        return refs["src"].groupBy().agg(F.count(F.lit(1)).alias("c"))
+
+    src = spark.range(1000).select(F.col("id").alias("k"))
+    plain = Runner(spark, reg, warehouse_dir=str(tmp_path / "a")).run(
+        {"src": src})
+    cached = Runner(spark, reg, warehouse_dir=str(tmp_path / "b")).run(
+        {"src": src}, cache_sources=True, threads=2)
+    for m in ("m1", "m2"):
+        assert cached[m].collect() == plain[m].collect()
+    # cache released: storage level back to NONE
+    assert src.storageLevel == StorageLevel.NONE
+
+    # released on error too
+    @reg.model("boom2", deps=("src",))
+    def boom2(refs):
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        Runner(spark, reg, warehouse_dir=str(tmp_path / "c")).run(
+            {"src": src}, cache_sources=True)
+    assert src.storageLevel == StorageLevel.NONE
