@@ -132,11 +132,100 @@ def stage_plans(spark, sf_dir):
     }
 
 
+def bucketed_variants(spark, sf_dir, reps: int) -> dict:
+    """The OTHER endgame option, measured: q3/q21 rewritten over marts
+    bucketed on the order key (shuffle paid at build), result-checked
+    against the plain catalog rows.  Answers whether a layout rewrite
+    moves the tail at sf0.1."""
+    import hashlib
+    import tempfile
+
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+    from dbt_demo_spark.functions.numeric import scaled_long
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.sources.parquet import load_table
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="tail_orders_bk", deps=("orders",), materialized="table",
+        fn=lambda refs: refs["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+            "o_orderstatus"),
+        bucket_by=("o_orderkey",), n_buckets=8))
+    reg.register(ModelDef(
+        name="tail_lineitem_bk", deps=("lineitem",), materialized="table",
+        fn=lambda refs: refs["lineitem"].select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+            "l_discount"),
+        bucket_by=("l_orderkey",), n_buckets=8))
+    wh = tempfile.mkdtemp(prefix="tail_bk_")
+    runner = Runner(spark, reg, warehouse_dir=wh)
+    t0 = time.perf_counter()
+    rels = runner.run({
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem")})
+    build_sec = round(time.perf_counter() - t0, 3)
+    o, li = rels["tail_orders_bk"], rels["tail_lineitem_bk"]
+
+    # q21 over the bucketed layout: the three orderkey joins (inner, semi,
+    # anti) read co-located buckets; only the supplier join + agg shuffle
+    s = load_table(spark, sf_dir, "supplier")
+    late = li.filter(F.col("l_shipdate") > "1997-06-01").select(
+        "l_orderkey", "l_suppkey")
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    of = o.filter(F.col("o_orderstatus") == "F")
+    q21_bk = (
+        l1.join(of, F.col("l1.l_orderkey") == of.o_orderkey)
+        .join(l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")), "left_semi")
+        .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")), "left_anti")
+        .join(s, s.s_suppkey == F.col("l1.l_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait")))
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    rev = (scaled_long(F.col("l_extendedprice"))
+           * scaled_long(F.lit(1) - F.col("l_discount")))
+    ob = o.filter(F.col("o_orderdate") < "1997-01-01")
+    lb = li.filter(F.col("l_shipdate") > "1997-01-01")
+    q3_bk = (
+        cust.join(ob, cust.c_custkey == ob.o_custkey)
+        .join(lb, lb.l_orderkey == ob.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("order_key"),
+                 F.col("o_orderdate").cast("date").alias("order_date"),
+                 F.col("o_orderpriority").alias("order_priority"))
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select("order_key", "revenue", "order_date", "order_priority")
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10))
+
+    out = {"mart_build_sec": build_sec}
+    for name, bk in (("tpch_q21_waiting_suppliers", q21_bk),
+                     ("tpch_q3_shipping_priority", q3_bk)):
+        plain_df = CATALOG[name].fn(spark, sf_dir)
+        same = sorted(map(tuple, bk.collect())) == \
+            sorted(map(tuple, plain_df.collect()))
+        noop(bk)  # warm
+        out[name] = {
+            "bucketed_sec": best(lambda: noop(bk), reps),
+            "results_identical_to_plain": same,
+        }
+    runner.clean()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "TPCH_TAIL.json"))
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--bucketed", action="store_true",
+                    help="also measure q3/q21 over orderkey-bucketed marts")
     args = ap.parse_args()
     sf_dir = args.dir
 
@@ -203,6 +292,12 @@ def main() -> None:
             "verdict": verdict,
         }
         print(name, json.dumps(result["queries"][name], indent=1),
+              file=sys.stderr)
+
+    if args.bucketed:
+        result["bucketed_layout"] = bucketed_variants(spark, sf_dir,
+                                                      args.reps)
+        print("bucketed", json.dumps(result["bucketed_layout"], indent=1),
               file=sys.stderr)
 
     with open(args.out, "w") as f:
