@@ -84,13 +84,14 @@ def main() -> None:
     names = [name for name, spec in CATALOG.items() if spec.bench]
 
     # The catalog total is composition-sensitive: three text/list rows
-    # (below) dominate the DuckDB baseline's total because its list ops
-    # collapse there, flattering the cross-engine ratio.  The RELATIONAL
-    # subtotal — everything else — is the honest number for the
-    # relational/bulk tail and is emitted alongside the full total
-    # (VERDICT r6 item 2) so nobody has to recompute it from per-query rows.
-    NON_RELATIONAL = {"corpus_decontamination", "doc_fingerprint",
-                      "dedup_embedding_cosine"}
+    # dominate the DuckDB baseline's total because its list ops collapse
+    # there, flattering the cross-engine ratio.  The RELATIONAL subtotal —
+    # everything else — is the honest number for the relational/bulk tail
+    # and is emitted alongside the full total (VERDICT r6 item 2) so
+    # nobody has to recompute it from per-query rows.  ONE definition,
+    # shared with tools/scale_bench.py.
+    from dbt_demo_spark.queries.catalog import \
+        NON_RELATIONAL_QUERIES as NON_RELATIONAL
 
     # Opt-in SHARED-SCAN mode (VERDICT r6 item 3): serve the whole catalog
     # batch from cached column-pruned scans (workload.py) — each source

@@ -68,8 +68,14 @@ class Runner:
         # bucketed models register SESSION-CATALOG tables (bucket metadata
         # lives in the catalog, not the files); track them so clean()
         # drops the entries along with the warehouse files — otherwise a
-        # post-clean spark.table() would resolve to deleted paths
+        # post-clean spark.table() would resolve to deleted paths.  The
+        # model-name temp-view aliases over them are tracked for the same
+        # reason.  (Aliases are session-global by name: with two live
+        # runners sharing a model name, the later run's alias wins —
+        # name-based access is a convenience; the namespaced catalog
+        # table and the returned handle are the authoritative routes.)
         self._catalog_tables: set[str] = set()
+        self._alias_views: set[str] = set()
 
     def catalog_name(self, model_name: str) -> str:
         """The session-catalog table name a bucketed model materializes
@@ -209,8 +215,12 @@ class Runner:
             out = self.spark.table(cat_name)
             # temp-view ALIAS under the model name: name-based spark.sql
             # access keeps working, and a view is just a named logical plan
-            # over the catalog relation — bucket metadata rides through
+            # over the catalog relation — bucket metadata rides through.
+            # Tracked so clean() drops it along with the table — a
+            # surviving alias over a dropped table would dangle on the
+            # deleted path (r7 self-review finding).
             out.createOrReplaceTempView(name)
+            self._alias_views.add(name)
             return out
         if n_buckets:
             raise ValueError(
@@ -247,8 +257,12 @@ class Runner:
         """dbt clean analog (dbt_project.yml:13-15): drop the warehouse
         files AND the catalog entries of this runner's bucketed tables
         (the session catalog is global — leaving them would strand table
-        names pointing at deleted paths)."""
+        names pointing at deleted paths), AND the model-name temp-view
+        aliases over them (a surviving alias would dangle the same way)."""
         for name in self._catalog_tables:
             self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         self._catalog_tables.clear()
+        for name in self._alias_views:
+            self.spark.catalog.dropTempView(name)
+        self._alias_views.clear()
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)

@@ -64,6 +64,11 @@ class ShardSpec:
                 "every full chunk would be oversized")
         if self.n_shards <= 0:
             raise ValueError("n_shards must be positive")
+        # same bound the chunker enforces — validating here makes the
+        # census path (which never calls the chunker) fail loudly too,
+        # instead of dividing by a zero stride
+        if not 0 <= self.overlap < self.chunk_tokens:
+            raise ValueError("need 0 <= overlap < chunk_tokens")
 
 
 def shard_column(doc_id: Column, n_shards: int) -> Column:

@@ -220,9 +220,16 @@ def grouped_sketch_quantiles(df: DataFrame, key_col: str, value_col: str,
             "quantiles": [[quantile(d, p) for p in probs]]})
 
     shards = (
+        # content-hashed shard key (never monotonically_increasing_id: a
+        # position-dependent key changes under task retry/reordering, so
+        # re-executed tasks could regroup rows other reducers already
+        # consumed — and runs would not be reproducible).  Hashing the
+        # value spreads a hot key's stream; equal values collapsing into
+        # one shard is harmless for a digest (they compress to one
+        # centroid anyway).
         df.select(F.col(key_col).cast("string").alias("_key"),
                   value_col,
-                  F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.pmod(F.xxhash64(F.col(key_col), F.col(value_col)),
                          F.lit(n_shards)).alias("_shard"))
         .groupBy("_key", "_shard")
         .applyInPandas(digest_group, stage1_schema)

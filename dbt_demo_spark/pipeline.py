@@ -50,6 +50,7 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  min_matched: int = 1,
                  sink=None,
                  shard_spec=None, shards_dir: str | None = None,
+                 shard_literals: dict | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -74,7 +75,13 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     the sink position, BEFORE the fingerprint-index commit, so it inherits
     the same exactly-once replay story as any other sink: a crash before
     the commit replays into an identical accepted set and the overwrite
-    lands the identical shards.
+    lands the identical shards.  The layout is a FULL SNAPSHOT of this
+    call's accepted rows — a second call with the same ``shards_dir``
+    overwrites it (correct for replays, destructive for accumulation):
+    multi-batch shard ACCUMULATION needs a per-batch partition, either
+    via ``shard_literals`` (e.g. ``{"ingest_batch_id": n}``, switching
+    the write to a dynamic per-partition overwrite) or the streaming
+    twin (streaming/ingest.py), which does exactly that.
     """
     if (shard_spec is None) != (shards_dir is None):
         raise ValueError("shard_spec and shards_dir go together")
@@ -121,12 +128,23 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
 
     def inner_sink(kept: DataFrame) -> None:
         final = finalize(kept)
-        if shard_spec is not None:
-            from .operators.shards import write_training_shards
+        # two sinks over the same accepted set = two executions of the
+        # whole funnel plan; persist for the sink's duration so the
+        # dedup/filter pipeline is paid once (r7 self-review finding)
+        both = shard_spec is not None and sink is not None
+        if both:
+            final = final.persist()
+        try:
+            if shard_spec is not None:
+                from .operators.shards import write_training_shards
 
-            write_training_shards(final, shards_dir, shard_spec)
-        if sink is not None:
-            sink(final)
+                write_training_shards(final, shards_dir, shard_spec,
+                                      partition_literals=shard_literals)
+            if sink is not None:
+                sink(final)
+        finally:
+            if both:
+                final.unpersist()
 
     if shard_spec is None and sink is None:
         inner_sink = None

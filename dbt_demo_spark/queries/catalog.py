@@ -22,6 +22,16 @@ class QuerySpec:
 
 CATALOG: dict[str, QuerySpec] = {}
 
+# The catalog rows where the DuckDB baseline's text/list operations are
+# the outlier (together they dominate its catalog total); every
+# relational-subtotal artifact (bench.py sequential_relational_sec,
+# tools/scale_bench.py sequential_ratio_relational) excludes exactly this
+# set — ONE definition so the two can never drift apart again (they had,
+# r4-r6).
+NON_RELATIONAL_QUERIES = frozenset({
+    "corpus_decontamination", "doc_fingerprint", "dedup_embedding_cosine",
+})
+
 
 def query(name: str, *, oracle: str | None, tags: tuple[str, ...] = (),
           bench: bool = True) -> Callable[[SparkQuery], SparkQuery]:

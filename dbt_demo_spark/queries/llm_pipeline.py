@@ -161,35 +161,36 @@ _DEDUP_FEATURES: dict = {}
 _DEDUP_FEATURES_LOCK = __import__("threading").Lock()
 
 
+def _corpus_digest(sf_dir: str) -> str:
+    """Digest of the SOURCE FILES' identity (path + size + mtime), not
+    just the path: a regenerated corpus at the same location must
+    invalidate cached features, or a stale materialization would silently
+    serve wrong pairs.  Cheap (os.stat only), so it runs on EVERY lookup
+    — the in-memory memo is keyed by it too, covering in-session
+    regeneration (r7 self-review finding)."""
+    abs_dir = os.path.abspath(sf_dir)
+    src = os.path.join(abs_dir, "documents.parquet")
+    stamp = "|".join(
+        f"{f}:{os.path.getsize(os.path.join(src, f))}:"
+        f"{os.stat(os.path.join(src, f)).st_mtime_ns}"
+        for f in sorted(os.listdir(src))
+        if not f.startswith(("_", "."))) if os.path.isdir(src) else (
+        f"{os.path.getsize(src)}:{os.stat(src).st_mtime_ns}"
+        if os.path.exists(src) else "absent")
+    return hashlib.sha1(f"{abs_dir}|{stamp}".encode()).hexdigest()[:12]
+
+
 def _corpus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    digest = _corpus_digest(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, digest)
     # lock: the bench throughput phase runs catalog queries on a thread
     # pool; two cold-start dedup rows must not both build the table
     with _DEDUP_FEATURES_LOCK:
         feats = _DEDUP_FEATURES.get(key)
         if feats is None:
-            abs_dir = os.path.abspath(sf_dir)
-            # digest covers the SOURCE FILES' identity (path + size +
-            # mtime), not just the path: a regenerated corpus at the same
-            # location must invalidate the cached features, or a stale
-            # materialization would silently serve wrong pairs
-            src = os.path.join(abs_dir, "documents.parquet")
-            stamp = "|".join(
-                f"{f}:{os.path.getsize(os.path.join(src, f))}:"
-                f"{os.stat(os.path.join(src, f)).st_mtime_ns}"
-                for f in sorted(os.listdir(src))
-                if not f.startswith(("_", "."))) if os.path.isdir(src) else (
-                f"{os.path.getsize(src)}:{os.stat(src).st_mtime_ns}"
-                if os.path.exists(src) else "absent")
-            digest = hashlib.sha1(
-                f"{abs_dir}|{stamp}".encode()).hexdigest()[:12]
-            path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))),
-                ".mart_cache",
-                f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}"
-                f"-{digest}",
-                "dedup_features")
+            from ..sources.parquet import mart_cache_dir
+
+            path = mart_cache_dir(sf_dir, "dedup_features", digest=digest)
             if os.path.exists(os.path.join(path, "_SUCCESS")):
                 feats = dedup.load_features(spark, path)
             else:

@@ -361,13 +361,9 @@ def month_partitioned_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _MARTS.get(key)
     if df is None:
-        abs_dir = os.path.abspath(sf_dir)
-        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
-        tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            ".mart_cache", tag, "orders_monthly_mart")
+        from ..sources.parquet import mart_cache_dir
+
+        path = mart_cache_dir(sf_dir, "orders_monthly_mart")
         orders = load_table(spark, sf_dir, "orders")
         mart = (
             orders.groupBy(
@@ -444,12 +440,9 @@ def bucketed_order_marts(spark: SparkSession, sf_dir: str):
             fn=lambda refs: refs["lineitem"].select(
                 "l_orderkey", "l_quantity", "l_extendedprice"),
             bucket_by=("l_orderkey",), n_buckets=8))
-        wh = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            ".mart_cache",
-            f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}",
-            "bucketed")
+        from ..sources.parquet import mart_cache_dir
+
+        wh = mart_cache_dir(sf_dir, "bucketed")
         out = Runner(spark, reg, warehouse_dir=wh).run({
             "orders": load_table(spark, sf_dir, "orders"),
             "lineitem": load_table(spark, sf_dir, "lineitem"),

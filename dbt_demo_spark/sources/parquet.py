@@ -8,10 +8,27 @@ read narrow bytes (verify with `.explain`: ReadSchema / PushedFilters).
 
 from __future__ import annotations
 
+import hashlib
 import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def mart_cache_dir(sf_dir: str, *parts: str, digest: str | None = None) -> str:
+    """The repo-local build-once materialization root for a corpus dir:
+    ``<repo>/.mart_cache/<basename>-<digest>/<parts...>``.  Digest
+    defaults to a hash of the absolute path (same-basename dirs never
+    collide); callers with a content stamp (llm_pipeline._corpus_digest)
+    pass their own.  ONE definition — the pattern was copy-pasted three
+    times before (r7 self-review finding)."""
+    abs_dir = os.path.abspath(sf_dir)
+    if digest is None:
+        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
+    tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, ".mart_cache", tag, *parts)
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",

@@ -75,17 +75,25 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
         raise ValueError("shard_spec and shards_dir go together")
 
     def sink(clean: DataFrame) -> None:
-        (clean.withColumn("ingest_batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("ingest_batch_id")
-         .parquet(out_dir))
+        # with shards on, the accepted set feeds TWO writes — persist so
+        # the dedup funnel upstream is executed once, not per sink
         if shard_spec is not None:
-            from ..operators.shards import write_training_shards
+            clean = clean.persist()
+        try:
+            (clean.withColumn("ingest_batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("ingest_batch_id")
+             .parquet(out_dir))
+            if shard_spec is not None:
+                from ..operators.shards import write_training_shards
 
-            write_training_shards(
-                clean, shards_dir, shard_spec,
-                partition_literals={"ingest_batch_id": batch_id})
+                write_training_shards(
+                    clean, shards_dir, shard_spec,
+                    partition_literals={"ingest_batch_id": batch_id})
+        finally:
+            if shard_spec is not None:
+                clean.unpersist()
 
     clean_corpus(batch_df, index_dir, sink=sink, **clean_kwargs)
 

@@ -153,13 +153,14 @@ def main() -> None:
     seq_duck = round(sum(duck["queries"][n] for n in common), 3)
     # RELATIONAL-ONLY subtotal (VERDICT r6 item 2, superseding the r4
     # two-row exclusion): the workload ratio is dominated by three
-    # text/list rows where DuckDB collapses (corpus_decontamination,
-    # doc_fingerprint, dedup_embedding_cosine — together 72% of its sf0.1
+    # text/list rows where DuckDB collapses (together 72% of its sf0.1
     # total, 89% at sf1); excluding them gives the honest number for the
     # relational/bulk tail, the one the floor work has to move.  Both
-    # ratios and both engines' subtotals are first-class fields.
-    _excl = {"corpus_decontamination", "doc_fingerprint",
-             "dedup_embedding_cosine"}
+    # ratios and both engines' subtotals are first-class fields.  The
+    # exclusion set is defined ONCE, next to the catalog (shared with
+    # bench.py).
+    from dbt_demo_spark.queries.catalog import \
+        NON_RELATIONAL_QUERIES as _excl
     bulk = [n for n in common if n not in _excl]
     adj_spark = round(sum(spark["queries"][n] for n in bulk), 3)
     adj_duck = round(sum(duck["queries"][n] for n in bulk), 3)
