@@ -1,0 +1,260 @@
+"""Product quantization (PQ) — the compressed ANN tier under IVF-Flat.
+
+IVF-Flat (operators/ivf.py) prunes WHICH vectors a query scores; PQ
+compresses WHAT is stored per vector: the 64-dim float corpus row becomes
+``M`` small integer codes (one per subspace) plus one exact float norm —
+64 floats -> 8 bytes of codes + 8 bytes of norm at the shipped geometry
+(M=8 subspaces x K=16 codewords), a ~16x reduction in what the scoring
+join has to move.  At 100 TB the corpus embeddings are the dominant
+byte-weight of an ANN index; PQ is what makes the probed partitions small
+enough to stream through a scoring stage at all.  Reference analog: the
+compressed index tier next to the flat tier (same role FAISS's IVFPQ plays
+next to IVFFlat [public knowledge]).
+
+Semantics (all JVM-side expressions, no Python in the serving path):
+
+  * TRAIN: per-subspace Lloyd's k-means over a bounded corpus sample —
+    driver-side numpy on a few thousand rows, the same train-once
+    lifecycle as the IVF coarse quantizer (cost independent of corpus
+    size).  tools/freeze_pq.py freezes the shipped codebooks
+    (operators/pq_frozen.py) so the serving path is SQL-expressible and
+    oracle-checkable, exactly the ivf_frozen.py pattern.
+  * ENCODE (map-side, no shuffle): codes[m] = argmin_j
+    ||v[m*d : (m+1)*d] - C[m][j]||^2, ties to the lowest j.  The
+    codebooks ride into the plan as literals (broadcast by value); the
+    squared distance is the same zip_with/aggregate left fold the IVF
+    assignment uses, so both engines compute bit-identical distances.
+  * SCORE (asymmetric distance, ADC): the query stays exact; the corpus
+    side is reconstructed from its codes
+    (recon = concat_m C[m][codes[m]]) and scored
+    score = dot(q, recon) / (||q|| * ||c||) with the TRUE corpus norm
+    stored exactly at encode time — quantization error lands only in the
+    dot term, the standard IVF-PQ residual-free formulation.  One full
+    64-element fold per pair keeps the association order identical to
+    the DuckDB oracle's list_dot_product.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vectors import as_double, dot, norm
+
+M_SUBSPACES = 8
+K_CODEWORDS = 16
+SUB_DIM = 8  # DIM (64) / M_SUBSPACES
+
+
+# ---------------------------------------------------------------------------
+# Training (driver-side numpy over a bounded sample — a materialization
+# step, never the query path)
+# ---------------------------------------------------------------------------
+
+def train_codebooks(sample: np.ndarray, m: int = M_SUBSPACES,
+                    k: int = K_CODEWORDS, iters: int = 20,
+                    seed: int = 7) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means.  ``sample`` is (n, dim) float64; the
+    returned codebooks are [m][k][dim/m] plain floats (repr round-trips
+    doubles exactly, so freezing them preserves every bit).  Deterministic
+    for a fixed (sample, seed): init picks k distinct sample rows via a
+    seeded generator, empty clusters re-seed to the farthest point."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        sub = np.ascontiguousarray(sample[:, mi * d:(mi + 1) * d], dtype=np.float64)
+        cents = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances; argmin ties to the lowest j
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            moved = False
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    nc = sub[mask].mean(axis=0)
+                else:  # empty cluster: grab the point farthest from its centroid
+                    nc = sub[d2.min(axis=1).argmax()]
+                if not np.array_equal(nc, cents[j]):
+                    cents[j] = nc
+                    moved = True
+            if not moved:
+                break
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def train_codebooks_from_df(corpus: DataFrame, vec_col: str = "embedding",
+                            m: int = M_SUBSPACES, k: int = K_CODEWORDS,
+                            max_sample: int = 4096, seed: int = 7):
+    """Train on a bounded corpus sample: the `limit` caps the driver
+    transfer regardless of corpus size (k-means quality saturates far
+    below it), keeping training O(sample) at 100 TB."""
+    rows = (corpus.select(as_double(F.col(vec_col)).alias("v"))
+            .limit(max_sample).collect())
+    return train_codebooks(np.array([r.v for r in rows]), m=m, k=k, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Encode / reconstruct / score (pure column expressions)
+# ---------------------------------------------------------------------------
+
+def _codebook_literal(codebooks) -> F.Column:
+    """[m][k][d] nested array literal — rides the plan like the IVF
+    centroid table, broadcast by value to every task."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        for book in codebooks])
+
+
+def _sqdist(a: F.Column, b: F.Column) -> F.Column:
+    # same left fold as the IVF assignment (operators/ivf.py) — the
+    # primitive the cross-engine bit-identity rests on
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def encode_expr(vec: F.Column, codebooks) -> F.Column:
+    """array<int> of per-subspace codes: argmin over each codebook of the
+    squared distance from the vector's slice, ties to the lowest index.
+    Map-side only — no shuffle, no Python."""
+    cb = _codebook_literal(codebooks)
+    d = len(codebooks[0][0])
+
+    def code_for(mi: int) -> F.Column:
+        sub = F.slice(vec, mi * d + 1, d)
+        dists = F.transform(F.element_at(cb, mi + 1),
+                            lambda cw: _sqdist(sub, cw))
+        # array_position finds the FIRST bit-equal minimum -> lowest j
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.array(*[code_for(mi) for mi in range(len(codebooks))])
+
+
+def reconstruct_expr(codes: F.Column, codebooks) -> F.Column:
+    """Decode codes back to the concatenated codeword vector
+    (recon = C[0][codes[0]] || ... || C[M-1][codes[M-1]])."""
+    cb = _codebook_literal(codebooks)
+    return F.flatten(F.transform(
+        codes, lambda code, i: F.element_at(F.element_at(cb, i + 1), code + 1)))
+
+
+def encode(vectors: DataFrame, codebooks, id_col: str = "vec_id",
+           vec_col: str = "embedding", id_alias: str = "neighbor_id") -> DataFrame:
+    """(id, codes, cn) — the compressed corpus row: M small codes plus the
+    exact norm of the ORIGINAL vector (so quantization error never touches
+    the cosine denominator)."""
+    v = as_double(F.col(vec_col))
+    # explode-of-one makes the cast a real attribute (the _with_norm
+    # pattern, operators/similarity.py) so the norm fold and the M encode
+    # folds share one materialized array instead of re-casting per fold
+    return (vectors
+            .select(F.col(id_col).alias(id_alias),
+                    F.explode(F.array(v)).alias("v"))
+            .select(id_alias,
+                    encode_expr(F.col("v"), codebooks).alias("codes"),
+                    norm(F.col("v")).alias("cn")))
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PqIndex:
+    """<path>/corpus: (neighbor_id, codes, cn, cluster_id) parquet
+    partitioned by cluster_id — the IVF layout with PQ codes in place of
+    the raw vectors.  Codebooks + centroids ride in the handle (they are
+    a few KB; the frozen serving path pins them in code)."""
+    path: str
+    centroids: tuple[tuple[float, ...], ...]
+    codebooks: tuple[tuple[tuple[float, ...], ...], ...]
+
+    @property
+    def corpus_path(self) -> str:
+        return os.path.join(self.path, "corpus")
+
+
+def build_pq_index(corpus: DataFrame, path: str, centroids, codebooks,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> PqIndex:
+    """Assign every corpus vector to its nearest coarse centroid (the IVF
+    map-side argmin) and PQ-encode it, then persist partitioned by
+    cluster_id: probes prune partitions exactly as IVF-Flat's index does,
+    but each partition holds codes, not vectors."""
+    from .ivf import assign_clusters
+
+    assigned = assign_clusters(corpus, [list(c) for c in centroids],
+                               id_col, vec_col, "neighbor_id", nprobe=1)
+    compressed = assigned.select(
+        "neighbor_id", "cluster_id",
+        encode_expr(F.col("vec"), codebooks).alias("codes"),
+        F.col("nrm").alias("cn"))
+    (compressed.write.mode("overwrite").partitionBy("cluster_id")
+     .parquet(os.path.join(path, "corpus")))
+    return PqIndex(path,
+                   tuple(tuple(c) for c in centroids),
+                   tuple(tuple(tuple(cw) for cw in b) for b in codebooks))
+
+
+def pq_topk_indexed(queries: DataFrame, index: PqIndex, k: int = 5,
+                    nprobe: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ approximate cosine top-k against the persisted compressed
+    index: queries probe their nprobe nearest coarse clusters (map-side,
+    centroid literals), the probe join prunes corpus partitions (DPP),
+    and ADC scores each candidate — exact query against the reconstructed
+    codeword vector over the stored exact norm."""
+    from .ivf import assign_clusters
+
+    spark = queries.sparkSession
+    c = spark.read.parquet(index.corpus_path)
+    q = (assign_clusters(queries, [list(c_) for c_ in index.centroids],
+                         id_col, vec_col, "query_id", nprobe=nprobe)
+         .withColumnsRenamed({"vec": "qv", "nrm": "qn"}))
+    recon = reconstruct_expr(F.col("codes"), index.codebooks)
+    scored = (
+        q.join(c, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("qv"), recon)
+                 / (F.col("qn") * F.col("cn"))).alias("score"))
+        .distinct()  # a pair can collide through multiple probed clusters
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score"))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            codebooks=None, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Flat (un-probed) PQ top-k: every query ADC-scores the whole encoded
+    corpus — the compressed twin of brute_force_topk, and the recall
+    baseline the IVF-probed variant is judged against in tests."""
+    codebooks = codebooks or train_codebooks_from_df(corpus, vec_col)
+    from .similarity import _with_norm
+
+    q = _with_norm(queries, id_col, vec_col, "query_id", "qv", "qn")
+    c = encode(corpus, codebooks, id_col, vec_col, "neighbor_id")
+    recon = reconstruct_expr(F.col("codes"), codebooks)
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("qv"), recon)
+                 / (F.col("qn") * F.col("cn"))).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score"))

