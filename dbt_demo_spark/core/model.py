@@ -21,6 +21,21 @@ ModelFn = Callable[[dict[str, DataFrame]], DataFrame]
 
 
 @dataclass(frozen=True)
+class IncrementalContext:
+    """What an incremental model's fn may consult to bound its source
+    reads — dbt's ``is_incremental()`` + ``max(loaded_at) from {{ this }}``
+    pattern [public knowledge: dbt incremental models].  ``watermark`` is
+    the max of the model's ``watermark_col`` over the EXISTING materialized
+    table (None on the first build): the model filters its sources past it
+    so a refresh reads O(new data), not O(history).  Late rows at or below
+    the watermark are the model's call — subtract a lookback window from
+    the watermark in the filter (the dbt lookback idiom) and the
+    partition-overwrite write repairs those partitions in full."""
+    is_incremental: bool
+    watermark: object | None = None
+
+
+@dataclass(frozen=True)
 class ModelDef:
     name: str
     deps: tuple[str, ...]
@@ -29,6 +44,7 @@ class ModelDef:
     partition_by: tuple[str, ...] = ()   # table layout at scale (month keys)
     bucket_by: tuple[str, ...] = ()      # hash-bucket layout (join keys):
     n_buckets: int = 0                   # co-located joins, no exchange
+    watermark_col: str = ""              # incremental refresh high-water mark
     doc: str = ""
 
 
@@ -39,6 +55,10 @@ class ModelRegistry:
     def register(self, mdef: ModelDef) -> None:
         if mdef.name in self._models:
             raise ValueError(f"duplicate model: {mdef.name}")
+        if mdef.watermark_col and mdef.materialized != "incremental":
+            raise ValueError(
+                f"model {mdef.name}: watermark_col only applies to "
+                "incremental materialization")
         self._models[mdef.name] = mdef
 
     def __getitem__(self, name: str) -> ModelDef:
@@ -54,8 +74,15 @@ class ModelRegistry:
               materialized: str = "view",
               partition_by: tuple[str, ...] = (),
               bucket_by: tuple[str, ...] = (),
-              n_buckets: int = 0) -> Callable[[ModelFn], ModelFn]:
-        """Decorator: register a model function on this registry."""
+              n_buckets: int = 0,
+              watermark_col: str = "") -> Callable[[ModelFn], ModelFn]:
+        """Decorator: register a model function on this registry.
+
+        ``watermark_col`` (incremental models only) names an output column
+        whose max over the existing table is handed back to the model fn as
+        an IncrementalContext on refresh runs — the fn then bounds its
+        source reads to rows past the watermark.  The fn opts in by
+        accepting a second positional arg: ``fn(refs, ctx)``."""
 
         def deco(fn: ModelFn) -> ModelFn:
             self.register(ModelDef(name=name, deps=tuple(deps),
@@ -63,6 +90,7 @@ class ModelRegistry:
                                    partition_by=tuple(partition_by),
                                    bucket_by=tuple(bucket_by),
                                    n_buckets=n_buckets,
+                                   watermark_col=watermark_col,
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -83,6 +111,7 @@ class ModelRegistry:
                     "partition_by": list(m.partition_by),
                     "bucket_by": list(m.bucket_by),
                     "n_buckets": m.n_buckets,
+                    "watermark_col": m.watermark_col,
                     "description": m.doc,
                 } for m in self._models.values()
             },

@@ -135,7 +135,10 @@ class Runner:
         if missing:
             raise KeyError(f"model {name}: unresolved refs {missing}")
         refs = {d: relations[d] for d in mdef.deps}
-        df = mdef.fn(refs)
+        if mdef.materialized == "incremental" and mdef.watermark_col:
+            df = mdef.fn(refs, self._incremental_context(name, mdef))
+        else:
+            df = mdef.fn(refs)
         if mdef.materialized == "table":
             df = self._materialize_table(name, df, mdef.partition_by,
                                          mdef.bucket_by, mdef.n_buckets)
@@ -228,6 +231,32 @@ class Runner:
                 "bucket key columns or drop n_buckets")
         writer.parquet(path)
         return self._read_back(name, path)
+
+    def _incremental_context(self, name: str, mdef) -> "IncrementalContext":
+        """The dbt ``is_incremental()`` + ``max({{ this }}.col)`` pattern
+        [public knowledge: dbt incremental models]: on a refresh run, read
+        the high-water mark of ``watermark_col`` from the model's EXISTING
+        table and hand it to the model fn, which bounds its source scans to
+        rows past it — the refresh then reads O(new data) instead of
+        O(history), and the dynamic partition overwrite below rewrites only
+        the partitions those rows land in.  The watermark read itself is a
+        single MAX over the mart: parquet footer min/max statistics make it
+        a metadata-weight scan even on a 100 TB table."""
+        from pyspark.sql import functions as F
+
+        from .model import IncrementalContext
+
+        path = os.path.join(self.warehouse_dir, name)
+        if not os.path.isdir(path):
+            return IncrementalContext(is_incremental=False)
+        existing = self.spark.read.parquet(path)
+        if mdef.watermark_col not in existing.columns:
+            raise ValueError(
+                f"model {name}: watermark_col {mdef.watermark_col!r} not in "
+                f"existing table columns {existing.columns}")
+        prev = existing.agg(
+            F.max(mdef.watermark_col).alias("wm")).first().wm
+        return IncrementalContext(is_incremental=True, watermark=prev)
 
     def _materialize_incremental(self, name: str, df: DataFrame,
                                  partition_by: tuple[str, ...]) -> DataFrame:

@@ -231,3 +231,127 @@ def test_snapshot_check_strategy_closes_on_value_change(spark, tmp_path):
     assert rows[("L2", 0)].status == "active"
     assert rows[("L2", 1)].status == "paid_off"
     assert str(rows[("L2", 1)].dbt_valid_from) == "2023-03-15 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# Watermark-driven incremental refresh (dbt is_incremental() analog)
+# ---------------------------------------------------------------------------
+
+def test_watermark_refresh_bounds_source_and_matches_full_rebuild(spark, tmp_path):
+    """The dbt is_incremental() + max({{ this }}.col) pattern: the model fn
+    receives the existing table's high-water mark, bounds its SOURCE scan to
+    rows past it, and the refresh (a) leaves pre-watermark partitions
+    byte-untouched, (b) produces a table equal to a from-scratch build over
+    the full source — O(new) work, O(history) result."""
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+    seen = []  # one (is_incremental, watermark) per model invocation
+
+    @reg.model("daily_rollup", deps=("events_src",),
+               materialized="incremental", partition_by=("day",),
+               watermark_col="day")
+    def daily_rollup(refs, ctx):
+        seen.append((ctx.is_incremental, ctx.watermark))
+        src = refs["events_src"]
+        if ctx.is_incremental:
+            src = src.filter(F.col("day") > F.lit(ctx.watermark))
+        return src.groupBy("day").agg(F.sum("v").alias("total"),
+                                      F.count(F.lit(1)).alias("n"))
+
+    def events(days):
+        return spark.createDataFrame(
+            [(d, d * 10 + i) for d in days for i in range(3)], "day int, v long")
+
+    wh = str(tmp_path / "wh_wm")
+    runner = Runner(spark, reg, wh)
+    runner.run({"events_src": events([1, 2, 3])})
+    assert seen == [(False, None)]
+
+    path = os.path.join(wh, "daily_rollup")
+    before = {d: sorted(os.listdir(os.path.join(path, d)))
+              for d in os.listdir(path) if d.startswith("day=")}
+    mtimes = {d: max(os.path.getmtime(os.path.join(path, d, f))
+                     for f in fs if f.endswith(".parquet"))
+              for d, fs in before.items()}
+    assert set(before) == {"day=1", "day=2", "day=3"}
+
+    # refresh fed the FULL source (history + one new day): the watermark,
+    # not the caller, is what bounds the work
+    out = Runner(spark, reg, wh).run(
+        {"events_src": events([1, 2, 3, 4])})["daily_rollup"]
+    assert seen[1] == (True, 3)
+
+    after_dirs = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert after_dirs == {"day=1", "day=2", "day=3", "day=4"}
+    for d in ("day=1", "day=2", "day=3"):
+        got = max(os.path.getmtime(os.path.join(path, d, f))
+                  for f in os.listdir(os.path.join(path, d))
+                  if f.endswith(".parquet"))
+        assert got == mtimes[d], f"{d} was rewritten on a watermark refresh"
+
+    # equality with a from-scratch build over the full source
+    full = Runner(spark, reg, str(tmp_path / "wh_full")).run(
+        {"events_src": events([1, 2, 3, 4])})["daily_rollup"]
+    assert ({(r.day, r.total, r.n) for r in out.collect()}
+            == {(r.day, r.total, r.n) for r in full.collect()})
+    # the fresh build saw no watermark (its warehouse was empty)
+    assert seen[2] == (False, None)
+
+
+def test_watermark_refresh_lookback_repairs_late_rows(spark, tmp_path):
+    """Late-arriving rows at or below the watermark are repaired by the
+    model's own lookback window (the dbt lookback idiom): filtering
+    day > watermark - 1 recomputes the last closed partition in full, and
+    dynamic partition overwrite replaces exactly that partition."""
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("rollup_lb", deps=("src",), materialized="incremental",
+               partition_by=("day",), watermark_col="day")
+    def rollup_lb(refs, ctx):
+        src = refs["src"]
+        if ctx.is_incremental:
+            src = src.filter(F.col("day") > F.lit(ctx.watermark) - 1)
+        return src.groupBy("day").agg(F.sum("v").alias("total"))
+
+    wh = str(tmp_path / "wh_lb")
+    rows1 = [(1, 10), (2, 20)]
+    Runner(spark, reg, wh).run(
+        {"src": spark.createDataFrame(rows1, "day int, v long")})
+    # a late row lands in day 2 (== watermark) plus a new day 3
+    rows2 = rows1 + [(2, 5), (3, 30)]
+    out = Runner(spark, reg, wh).run(
+        {"src": spark.createDataFrame(rows2, "day int, v long")})["rollup_lb"]
+    got = {r.day: r.total for r in out.collect()}
+    assert got == {1: 10, 2: 25, 3: 30}
+
+
+def test_watermark_col_validation():
+    from dbt_demo_spark.core.model import ModelRegistry
+    import pytest
+
+    reg = ModelRegistry()
+    with pytest.raises(ValueError, match="watermark_col"):
+        @reg.model("bad", materialized="table", watermark_col="day")
+        def bad(refs):
+            return None
+
+
+def test_watermark_col_missing_from_output_raises(spark, tmp_path):
+    from dbt_demo_spark.core.model import ModelRegistry
+    import pytest
+
+    reg = ModelRegistry()
+
+    @reg.model("m", deps=("src",), materialized="incremental",
+               partition_by=("day",), watermark_col="nope")
+    def m(refs, ctx):
+        return refs["src"].groupBy("day").agg(F.sum("v").alias("total"))
+
+    wh = str(tmp_path / "wh_bad")
+    src = spark.createDataFrame([(1, 10)], "day int, v long")
+    Runner(spark, reg, wh).run({"src": src})  # first build: no table yet, ok
+    with pytest.raises(ValueError, match="nope"):
+        Runner(spark, reg, wh).run({"src": src})
