@@ -85,6 +85,42 @@ def sql_shingle_hashes(th: str) -> str:
             f" for i in generate_series(1, len({th}) - 2)]")
 
 
+# BPE-ish subword cost model: a trainer's packing budget is denominated in
+# TOKENIZER tokens, not whitespace words, and real BPE vocabularies average
+# ~4 characters per subword on English text [public knowledge: byte-pair
+# encoding, Sennrich et al. 2016; the "1 token ~ 4 chars" rule of thumb].
+# The estimator is per-word ceil(len/4) clamped to >= 1 — deterministic
+# integer arithmetic, identical in both engines, and an upper-ish bound a
+# context-window packer can budget against without shipping a tokenizer.
+SUBWORD_CHARS = 4
+
+
+def subword_costs(toks: Column) -> Column:
+    """array<int> of per-word estimated subword counts: ceil(len/4), min 1."""
+    return F.transform(
+        toks, lambda t: F.greatest(
+            F.lit(1),
+            F.floor((F.length(t) + (SUBWORD_CHARS - 1)) / SUBWORD_CHARS)
+            .cast("int")))
+
+
+def subword_cost(text: Column) -> Column:
+    """Estimated subword count of a whole text (sum of per-word costs)."""
+    return F.aggregate(subword_costs(tokens(text)),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def sql_subword_costs(toks: str) -> str:
+    return (f"list_transform({toks}, t -> greatest(1, "
+            f"CAST(floor((length(t) + {SUBWORD_CHARS - 1}) / {SUBWORD_CHARS}) "
+            f"AS INT)))")
+
+
+def sql_subword_cost(expr: str = "text") -> str:
+    return (f"CAST(list_sum({sql_subword_costs(sql_tokens(expr))}) "
+            f"AS BIGINT)")
+
+
 def stopword_count(toks: Column, stopwords: list[str]) -> Column:
     lits = [F.lit(s) for s in stopwords]
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))

@@ -40,7 +40,8 @@ def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
                 id_col: str = "doc_id",
                 group_cols: tuple[str, ...] = (),
                 carry_cols: tuple[str, ...] = (),
-                shard_col: Column | None = None) -> DataFrame:
+                shard_col: Column | None = None,
+                cost_col: str = "n_tokens") -> DataFrame:
     """(shard, bin_id, doc_id, chunk_id, n_tokens, pos): every input chunk
     assigned to exactly one bin; sum(n_tokens) per bin <= budget unless the
     bin holds a single oversized chunk.  Deterministic for fixed
@@ -58,7 +59,12 @@ def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
     paying a second join shuffle to reattach it.
     ``shard_col``: override the shard-assignment expression (default
     ``pmod(xxhash64(id), n_shards)``; a portable-hash caller passes its own
-    so the assignment is reproducible outside Spark)."""
+    so the assignment is reproducible outside Spark).
+    ``cost_col``: the column the budget is denominated in (default
+    ``n_tokens``, the whitespace count).  A tokenizer-aware caller packs by
+    an estimated-subword column instead (functions/text.subword_cost) —
+    the budget a trainer cares about is BPE tokens, not words — while
+    ``n_tokens`` still rides through for provenance."""
     if budget <= 0:
         raise ValueError("budget must be positive")
 
@@ -71,13 +77,13 @@ def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
         # determinism; linear scan over open bins (shards are sized so
         # bins-per-shard stays small; a heap drops this to log n if not)
         pdf = pdf.sort_values(
-            ["n_tokens", "doc_id", "chunk_id"],
+            [cost_col, "doc_id", "chunk_id"],
             ascending=[False, True, True], kind="mergesort")
         bins: list[int] = []  # remaining room per bin
         fill: list[int] = []  # chunks placed per bin (the next pos)
         assign = []
         pos = []
-        for tok in pdf["n_tokens"]:
+        for tok in pdf[cost_col]:
             placed = -1
             for b, room in enumerate(bins):
                 if room >= tok:
@@ -92,22 +98,23 @@ def pack_chunks(chunks: DataFrame, budget: int, n_shards: int = 64,
             pos.append(fill[placed])
             fill[placed] += 1
         out = pdf[["shard", "doc_id", "chunk_id", "n_tokens",
-                   *extra, *carry]].copy()
+                   *cost, *extra, *carry]].copy()
         out["bin_id"] = assign
         out["pos"] = pos
         return out[["shard", "bin_id", "doc_id", "chunk_id", "n_tokens",
-                    "pos", *extra, *carry]]
+                    "pos", *cost, *extra, *carry]]
 
     carry = list(carry_cols)
+    cost = [] if cost_col == "n_tokens" else [cost_col]
     if shard_col is None:
         shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     sharded = chunks.withColumn("shard", shard_col.cast("int"))
     fields = {f.name: f.dataType.simpleString() for f in chunks.schema.fields}
     schema = PACKED_SCHEMA + "".join(
-        f", {c} {fields[c]}" for c in extra + carry)
+        f", {c} {fields[c]}" for c in cost + extra + carry)
     return (
         sharded.select("shard", "doc_id", "chunk_id", "n_tokens",
-                       *extra, *carry)
+                       *cost, *extra, *carry)
         .groupBy("shard", *extra)
         .applyInPandas(pack_shard, schema)
     )

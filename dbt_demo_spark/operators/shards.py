@@ -33,7 +33,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.text import HASH_P, tokens
+from ..functions.text import HASH_P, subword_cost, subword_costs, tokens
 from .chunk import chunk_documents
 from .packing import pack_chunks
 
@@ -51,14 +51,28 @@ class ShardSpec:
 
     chunk_tokens / overlap: the chunker's window (operators/chunk.py);
     budget: max tokens per packed sequence (the model context length);
-    n_shards: packing-parallelism + file fan-out per split."""
+    n_shards: packing-parallelism + file fan-out per split;
+    cost_model: what the budget is denominated in — ``"whitespace"``
+    (word count, the chunker's own unit) or ``"subword"`` (the BPE-ish
+    per-word ceil(len/4) estimate, functions/text.subword_cost — the unit
+    a trainer's context window is actually measured in).  Under
+    ``"subword"`` every packed row carries ``n_cost`` next to
+    ``n_tokens`` and bins respect the budget in cost units; a chunk whose
+    estimated cost alone exceeds the budget gets a bin of its own (the
+    packer's documented oversize rule — words-to-subwords expansion is
+    data-dependent, so no chunk_tokens bound can preclude it)."""
     chunk_tokens: int
     budget: int
     overlap: int = 0
     n_shards: int = 16
+    cost_model: str = "whitespace"
 
     def __post_init__(self):
-        if self.budget < self.chunk_tokens:
+        if self.cost_model not in ("whitespace", "subword"):
+            raise ValueError(
+                f"unknown cost_model {self.cost_model!r}: "
+                "expected 'whitespace' or 'subword'")
+        if self.cost_model == "whitespace" and self.budget < self.chunk_tokens:
             raise ValueError(
                 f"budget {self.budget} < chunk_tokens {self.chunk_tokens}: "
                 "every full chunk would be oversized")
@@ -94,6 +108,13 @@ def build_training_shards(docs: DataFrame, spec: ShardSpec,
     chunks = chunk_documents(docs, spec.chunk_tokens, spec.overlap,
                              text_col=text_col, id_col=id_col,
                              carry_cols=(split_col,))
+    cost_col = "n_tokens"
+    if spec.cost_model == "subword":
+        # budget in estimated BPE tokens: the cost rides the same row, so
+        # tokenizer-awareness costs one row-local HOF fold, zero shuffles
+        cost_col = "n_cost"
+        chunks = chunks.withColumn(
+            "n_cost", subword_cost(F.col("chunk_text")).cast("int"))
     # the chunk text rides the packing shuffle as a carry column: the
     # layout needs text grouped by bin anyway, so this is the one shuffle
     # the corpus bytes must cross — a join-back alternative would
@@ -102,14 +123,18 @@ def build_training_shards(docs: DataFrame, spec: ShardSpec,
                          group_cols=(split_col,),
                          carry_cols=("chunk_text",),
                          shard_col=shard_column(F.col("doc_id"),
-                                                spec.n_shards))
+                                                spec.n_shards),
+                         cost_col=cost_col)
     # the roll-up groups on a superset of the packing keys, riding the
     # packing shuffle's clustering — no extra exchange
+    cost_aggs = ([F.sum("n_cost").alias("n_cost")]
+                 if spec.cost_model == "subword" else [])
     seq = (
         packed.groupBy(split_col, "shard", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_tokens").alias("n_tokens"),
+            *cost_aggs,
             # placement-ordered roll-ups: sort_array on (pos, payload)
             # structs, then project — aggregation order is never relied on
             F.transform(
@@ -185,21 +210,46 @@ def shard_census(docs: DataFrame, spec: ShardSpec,
     if split_col is None:
         split_col = split_column(F.col(id_col))
     stride = spec.chunk_tokens - spec.overlap
-    n = F.size(tokens(F.col(text_col)))
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),
         F.lit(1) + F.floor((n - F.lit(spec.chunk_tokens) + F.lit(stride)
                             - F.lit(1)) / F.lit(stride)).cast("int"))
+    cost_sel, cost_aggs = [], []
+    if spec.cost_model == "subword":
+        # packed subword cost, still without exploding chunks: every word's
+        # cost once, plus the costs of the words each overlap region
+        # REPEATS — region i (1-based chunk index) is exactly the word
+        # positions [i*stride+1, i*stride+overlap], and the chunker
+        # guarantees every tail outlasts the overlap, so the slices never
+        # run off the document
+        zero = F.lit(0).cast("long")
+        costs = subword_costs(toks)
+        cost_all = subword_cost(F.col(text_col))
+        if spec.overlap:
+            repeated = F.when(n_chunks > 1, F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks - 1),
+                    lambda i: F.aggregate(
+                        F.slice(costs, i * stride + 1, spec.overlap),
+                        zero, lambda acc, v: acc + v)),
+                zero, lambda acc, v: acc + v)).otherwise(zero)
+        else:
+            repeated = zero
+        cost_sel = [(cost_all + repeated).alias("_c")]
+        cost_aggs = [F.sum("_c").cast("long").alias("n_cost")]
     return (
         docs.select(
             split_col.alias("split"),
             shard_column(F.col(id_col), spec.n_shards).cast("long")
             .alias("shard"),
-            n.alias("_n"), n_chunks.alias("_nc"))
+            n.alias("_n"), n_chunks.alias("_nc"), *cost_sel)
         .groupBy("split", "shard")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("_nc").alias("n_chunks"),
              (F.sum("_n")
               + (F.sum("_nc") - F.count(F.lit(1))) * F.lit(spec.overlap))
-             .cast("long").alias("n_tokens"))
+             .cast("long").alias("n_tokens"),
+             *cost_aggs)
     )

@@ -180,3 +180,89 @@ def test_clean_corpus_shard_spec_needs_dir(spark, tmp_path):
     with pytest.raises(ValueError, match="go together"):
         clean_corpus(docs, str(tmp_path / "i"),
                      shard_spec=ShardSpec(chunk_tokens=4, budget=8))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-aware (subword) packing cost model
+# ---------------------------------------------------------------------------
+
+def test_subword_cost_matches_duckdb_twin(spark):
+    """The BPE-ish cost estimate (per-word ceil(len/4), min 1) is the same
+    integer in both engines — the portability the census receipt rests on."""
+    import duckdb
+
+    from dbt_demo_spark.functions.text import sql_subword_cost, subword_cost
+
+    got = {r.doc_id: r.c for r in
+           spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+           .select("doc_id", subword_cost(F.col("text")).alias("c")).collect()}
+    want = dict(duckdb.sql(
+        f"SELECT doc_id, {sql_subword_cost('text')} AS c "
+        f"FROM read_parquet('{SF_SMOKE}/documents.parquet')").fetchall())
+    assert got == want
+    # sanity: more expensive than zero, never cheaper than the word count/4
+    assert all(v >= 1 for v in got.values())
+
+
+def test_build_training_shards_subword_budget(spark, docs):
+    """cost_model='subword': bins respect the budget in COST units (unless
+    a single chunk alone exceeds it), n_cost is exactly the sum of the
+    bin's per-chunk subword costs, and the whitespace provenance column
+    still rides through."""
+    from dbt_demo_spark.functions.text import subword_cost
+
+    spec = ShardSpec(chunk_tokens=32, budget=220, overlap=4, n_shards=4,
+                     cost_model="subword")
+    seq = build_training_shards(docs, spec).cache()
+    try:
+        rows = seq.collect()
+        assert rows
+        for r in rows:
+            assert r.n_cost <= spec.budget or r.n_chunks == 1
+            assert r.n_tokens >= r.n_chunks  # provenance column intact
+        # n_cost equals the recomputed per-chunk costs of the bin's texts
+        chunks = chunk_documents(docs, spec.chunk_tokens, spec.overlap,
+                                 carry_cols=("split",))
+        per_chunk = {(r.doc_id, r.chunk_id): r.c for r in chunks.select(
+            "doc_id", "chunk_id",
+            subword_cost(F.col("chunk_text")).alias("c")).collect()}
+        got_total = sum(r.n_cost for r in rows)
+        assert got_total == sum(per_chunk.values())
+    finally:
+        seq.unpersist()
+
+
+def test_shard_census_subword_matches_realized_layout(spark, docs):
+    """The census's closed-form packed cost (all word costs + each overlap
+    region's repeated word costs, no chunk explosion) equals the realized
+    build's per-(split, shard) n_cost sum — same receipt contract as the
+    whitespace token count."""
+    spec = ShardSpec(chunk_tokens=32, budget=220, overlap=4, n_shards=4,
+                     cost_model="subword")
+    census = {(r.split, r.shard): (r.n_docs, r.n_chunks, r.n_tokens, r.n_cost)
+              for r in shard_census(docs, spec,
+                                    split_col=F.col("split")).collect()}
+    seq = build_training_shards(docs, spec)
+    realized = {(r.split, r.shard): (r.n_chunks, r.n_tokens, r.n_cost)
+                for r in seq.groupBy("split", "shard")
+                .agg(F.sum("n_chunks").alias("n_chunks"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.sum("n_cost").alias("n_cost")).collect()}
+    assert set(census) == set(realized)
+    for k, (nd, nc, nt, cost) in census.items():
+        assert (nc, nt, cost) == realized[k], k
+
+
+def test_shard_census_subword_zero_overlap(spark, docs):
+    """With no overlap the packed cost is just the document cost — the
+    closed form's repeated term must vanish."""
+    from dbt_demo_spark.functions.text import subword_cost
+
+    spec = ShardSpec(chunk_tokens=32, budget=220, overlap=0, n_shards=4,
+                     cost_model="subword")
+    census_total = sum(r.n_cost for r in
+                       shard_census(docs, spec,
+                                    split_col=F.col("split")).collect())
+    doc_total = docs.select(
+        F.sum(subword_cost(F.col("text"))).alias("t")).first().t
+    assert census_total == doc_total
