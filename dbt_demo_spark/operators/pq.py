@@ -103,6 +103,41 @@ def train_codebooks_from_df(corpus: DataFrame, vec_col: str = "embedding",
     return train_codebooks(np.array([r.v for r in rows]), m=m, k=k, seed=seed)
 
 
+def _centroid_literal(centroids) -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
+
+
+def _residual_expr(vec: F.Column, cluster_id: F.Column, centroids) -> F.Column:
+    """v - centroid[cluster] — what residual PQ quantizes.  Residuals have
+    far smaller norms than raw vectors (the coarse quantizer already
+    explains the cluster-scale structure), so the same codebook budget
+    spends its resolution on a tighter ball — the classic IVFADC layout
+    [public knowledge: Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", 2011]."""
+    cent = F.element_at(_centroid_literal(centroids), cluster_id + 1)
+    return F.zip_with(vec, cent, lambda x, y: x - y)
+
+
+def train_residual_codebooks(corpus: DataFrame, centroids,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             m: int = M_SUBSPACES, k: int = K_CODEWORDS,
+                             max_sample: int = 4096, seed: int = 7):
+    """Codebooks for the residual tier: assign each sampled vector to its
+    coarse centroid (map-side), subtract it JVM-side, train per-subspace
+    k-means on the residuals.  Same bounded-sample discipline as the
+    plain trainer."""
+    from .ivf import assign_clusters
+
+    assigned = assign_clusters(corpus, [list(c) for c in centroids],
+                               id_col, vec_col, "rid", nprobe=1)
+    rows = (assigned.select(
+        _residual_expr(F.col("vec"), F.col("cluster_id"), centroids)
+        .alias("r")).limit(max_sample).collect())
+    return train_codebooks(np.array([r.r for r in rows]), m=m, k=k, seed=seed)
+
+
 # ---------------------------------------------------------------------------
 # Encode / reconstruct / score (pure column expressions)
 # ---------------------------------------------------------------------------
@@ -173,10 +208,13 @@ class PqIndex:
     """<path>/corpus: (neighbor_id, codes, cn, cluster_id) parquet
     partitioned by cluster_id — the IVF layout with PQ codes in place of
     the raw vectors.  Codebooks + centroids ride in the handle (they are
-    a few KB; the frozen serving path pins them in code)."""
+    a few KB; the frozen serving path pins them in code).  ``residual``
+    marks codebooks trained on (v - centroid) — reconstruction then adds
+    the coarse centroid back (IVFADC)."""
     path: str
     centroids: tuple[tuple[float, ...], ...]
     codebooks: tuple[tuple[tuple[float, ...], ...], ...]
+    residual: bool = False
 
     @property
     def corpus_path(self) -> str:
@@ -184,24 +222,31 @@ class PqIndex:
 
 
 def build_pq_index(corpus: DataFrame, path: str, centroids, codebooks,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> PqIndex:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   residual: bool = False) -> PqIndex:
     """Assign every corpus vector to its nearest coarse centroid (the IVF
     map-side argmin) and PQ-encode it, then persist partitioned by
     cluster_id: probes prune partitions exactly as IVF-Flat's index does,
-    but each partition holds codes, not vectors."""
+    but each partition holds codes, not vectors.  ``residual=True``
+    encodes (v - centroid[cluster]) instead of v — pass codebooks trained
+    by train_residual_codebooks; the stored schema is identical, only the
+    reconstruction (and therefore the handle flag) differs."""
     from .ivf import assign_clusters
 
     assigned = assign_clusters(corpus, [list(c) for c in centroids],
                                id_col, vec_col, "neighbor_id", nprobe=1)
+    target = (_residual_expr(F.col("vec"), F.col("cluster_id"), centroids)
+              if residual else F.col("vec"))
     compressed = assigned.select(
         "neighbor_id", "cluster_id",
-        encode_expr(F.col("vec"), codebooks).alias("codes"),
+        encode_expr(target, codebooks).alias("codes"),
         F.col("nrm").alias("cn"))
     (compressed.write.mode("overwrite").partitionBy("cluster_id")
      .parquet(os.path.join(path, "corpus")))
     return PqIndex(path,
                    tuple(tuple(c) for c in centroids),
-                   tuple(tuple(tuple(cw) for cw in b) for b in codebooks))
+                   tuple(tuple(tuple(cw) for cw in b) for b in codebooks),
+                   residual=residual)
 
 
 def pq_topk_indexed(queries: DataFrame, index: PqIndex, k: int = 5,
@@ -220,6 +265,12 @@ def pq_topk_indexed(queries: DataFrame, index: PqIndex, k: int = 5,
                          id_col, vec_col, "query_id", nprobe=nprobe)
          .withColumnsRenamed({"vec": "qv", "nrm": "qn"}))
     recon = reconstruct_expr(F.col("codes"), index.codebooks)
+    if index.residual:
+        # IVFADC: codes quantize (v - centroid), so reconstruction adds
+        # the coarse centroid back before the one full-width dot
+        cent = F.element_at(_centroid_literal(index.centroids),
+                            F.col("cluster_id") + 1)
+        recon = F.zip_with(cent, recon, lambda x, y: x + y)
     scored = (
         q.join(c, "cluster_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

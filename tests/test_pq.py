@@ -196,3 +196,42 @@ def test_pq_index_stores_codes_not_vectors_and_prunes(spark, tmp_path):
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, "probe join must drive partition pruning"
     assert "PartitionFilters" in plan
+
+
+def test_residual_pq_improves_adc_accuracy(spark, tmp_path):
+    """IVFADC (residual=True): quantizing (v - centroid) spends the same
+    codebook budget on a much smaller ball, so ADC scores must track exact
+    cosine strictly better than plain-vector PQ — measured as mean |approx
+    - exact| over every candidate pair with all clusters probed (pruning
+    disabled, so the comparison isolates the quantizer)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id % 100 = 0")
+    exact = {(r.query_id, r.neighbor_id): r.score
+             for r in similarity.brute_force_topk(q, emb, k=10 ** 6).collect()}
+    nprobe = len(FROZEN_CENTROIDS)
+
+    plain_idx = pq.build_pq_index(emb, str(tmp_path / "plain"),
+                                  centroids=FROZEN_CENTROIDS,
+                                  codebooks=FROZEN_CODEBOOKS)
+    res_books = pq.train_residual_codebooks(emb, FROZEN_CENTROIDS)
+    res_idx = pq.build_pq_index(emb, str(tmp_path / "res"),
+                                centroids=FROZEN_CENTROIDS,
+                                codebooks=res_books, residual=True)
+    assert res_idx.residual and not plain_idx.residual
+
+    def mean_err(idx):
+        rows = pq.pq_topk_indexed(q, idx, k=10 ** 6, nprobe=nprobe).collect()
+        errs = [abs(r.score - exact[(r.query_id, r.neighbor_id)])
+                for r in rows]
+        assert len(errs) == len(exact)
+        return sum(errs) / len(errs)
+
+    e_plain, e_res = mean_err(plain_idx), mean_err(res_idx)
+    # strict improvement (everything is seeded/deterministic, so this is
+    # stable).  The margin is THIN here by construction: on near-uniform
+    # data the coarse centroids explain almost none of the variance, so
+    # the residual ball is barely smaller than the raw one (measured
+    # ~0.075 vs ~0.078 mean score error) — on clustered real embeddings
+    # the coarse quantizer absorbs the cluster-scale component and the
+    # gap is what makes IVFADC the standard layout.
+    assert e_res < e_plain, (e_res, e_plain)
