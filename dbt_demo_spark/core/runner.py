@@ -39,9 +39,13 @@ the incremental mode the reference's table-rebuild policy scales into:
 from __future__ import annotations
 
 import hashlib
+import inspect
+import json
 import os
 import shutil
 import tempfile
+import threading
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,6 +80,36 @@ class Runner:
         # table and the returned handle are the authoritative routes.)
         self._catalog_tables: set[str] = set()
         self._alias_views: set[str] = set()
+        # refresh="changed" machinery: fingerprints of the last successful
+        # build per model, persisted in the warehouse so a NEW Runner over
+        # the same warehouse keeps skipping; memo + lock are per-run
+        self._refresh_changed = False
+        self._fp_memo: dict[str, str | None] = {}
+        self._fp_lock = threading.Lock()
+        self.last_refresh_report: dict = {"built": [], "skipped": []}
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.warehouse_dir, "_build_state.json")
+
+    def _load_state(self) -> dict:
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_state(self, name: str, fingerprint: str) -> None:
+        # read-modify-write under the lock (parallel runs build disjoint
+        # models, but they share this file); atomic rename so a crashed
+        # write can never half-corrupt the state into false skips
+        with self._fp_lock:
+            state = self._load_state()
+            state[name] = fingerprint
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._state_path)
 
     def catalog_name(self, model_name: str) -> str:
         """The session-catalog table name a bucketed model materializes
@@ -88,7 +122,8 @@ class Runner:
     def run(self, sources: dict[str, DataFrame],
             select: list[str] | None = None,
             threads: int = 1,
-            cache_sources: bool = False) -> dict[str, DataFrame]:
+            cache_sources: bool = False,
+            refresh: str = "full") -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
@@ -112,7 +147,25 @@ class Runner:
         once instead of once per model — and unpersisted afterwards, win
         or lose, so the run leaves no cache dependence behind.  Worth
         switching on when several independent marts read the same sources
-        (the refresh shape); a single-consumer DAG gains nothing."""
+        (the refresh shape); a single-consumer DAG gains nothing.
+
+        ``refresh="changed"`` skips rebuilding a materialized model whose
+        whole upstream state is IDENTICAL to its last build — the
+        source-partition-watermark refresh (dbt's state:modified deferral
+        [public knowledge] applied at the file layer): a model's
+        fingerprint chains its fn's source code, its materialization
+        params, every upstream model's fingerprint, and the (path, size,
+        mtime) of every FILE its source relations scan.  Unchanged ->
+        read the existing table back (zero Spark jobs); any unknowable
+        input (non-file source, unreadable fn source, bucketed catalog
+        table) -> rebuilt, never guessed.  ``last_refresh_report`` lists
+        what was built vs skipped."""
+        if refresh not in ("full", "changed"):
+            raise ValueError(f"refresh must be 'full' or 'changed', "
+                             f"got {refresh!r}")
+        self._refresh_changed = refresh == "changed"
+        self._fp_memo: dict[str, str | None] = {}
+        self.last_refresh_report = {"built": [], "skipped": []}
         caches = []
         if cache_sources:
             for df in sources.values():
@@ -128,12 +181,89 @@ class Runner:
             for df in caches:
                 df.unpersist()
 
+    def _fingerprint(self, name: str,
+                     relations: dict[str, DataFrame]) -> str | None:
+        """Build-state fingerprint of ``name``'s whole upstream cone: the
+        model fn's source text, its materialization params, every upstream
+        MODEL's fingerprint (recursively), and the (path, size, mtime_ns)
+        of every file each SOURCE relation scans (``df.inputFiles()`` —
+        the public per-plan file census; the local-FS stat here is the
+        HDFS/S3 FileStatus call at cluster scale).  None = unknowable
+        (non-file source, remote URI, unreadable fn source) and poisons
+        the whole cone: those models always rebuild, never guess."""
+        with self._fp_lock:
+            if name in self._fp_memo:
+                return self._fp_memo[name]
+        mdef = self.registry[name]
+        parts = [name, mdef.materialized, ",".join(mdef.partition_by),
+                 ",".join(mdef.bucket_by), str(mdef.n_buckets),
+                 mdef.watermark_col]
+        try:
+            parts.append(inspect.getsource(mdef.fn))
+        except (OSError, TypeError):
+            parts = None
+        if parts is not None:
+            for d in sorted(mdef.deps):
+                if d in self.registry:
+                    sub = self._fingerprint(d, relations)
+                    if sub is None:
+                        parts = None
+                        break
+                    parts.append(f"{d}:{sub}")
+                    continue
+                files = sorted(relations[d].inputFiles())
+                if not files:
+                    parts = None  # in-memory / non-file source
+                    break
+                for uri in files:
+                    u = urlparse(uri)
+                    if u.scheme not in ("", "file"):
+                        parts = None  # remote FS: no stat client here
+                        break
+                    try:
+                        st = os.stat(u.path)
+                    except OSError:
+                        parts = None
+                        break
+                    parts.append(f"{d}|{uri}|{st.st_size}|{st.st_mtime_ns}")
+                if parts is None:
+                    break
+        fp = (None if parts is None
+              else hashlib.sha1("\n".join(parts).encode()).hexdigest())
+        with self._fp_lock:
+            self._fp_memo[name] = fp
+        return fp
+
+    def _try_skip(self, name: str, mdef,
+                  relations: dict[str, DataFrame]) -> DataFrame | None:
+        """refresh="changed": reuse the existing materialization when the
+        upstream fingerprint matches the recorded one.  Only plain
+        path-backed layouts (table without buckets, incremental) are
+        skippable — a bucketed model's bucket metadata lives in the
+        session catalog, which a fresh session does not carry, so it
+        rebuilds rather than silently losing its zero-exchange property."""
+        if (not self._refresh_changed
+                or mdef.materialized not in ("table", "incremental")
+                or mdef.bucket_by):
+            return None
+        path = os.path.join(self.warehouse_dir, name)
+        if not os.path.isdir(path):
+            return None
+        fp = self._fingerprint(name, relations)
+        if fp is None or self._load_state().get(name) != fp:
+            return None
+        return self._read_back(name, path)
+
     def _build_model(self, name: str,
                      relations: dict[str, DataFrame]) -> DataFrame:
         mdef = self.registry[name]
         missing = [d for d in mdef.deps if d not in relations]
         if missing:
             raise KeyError(f"model {name}: unresolved refs {missing}")
+        skipped = self._try_skip(name, mdef, relations)
+        if skipped is not None:
+            self.last_refresh_report["skipped"].append(name)
+            return skipped
         refs = {d: relations[d] for d in mdef.deps}
         if mdef.materialized == "incremental" and mdef.watermark_col:
             df = mdef.fn(refs, self._incremental_context(name, mdef))
@@ -148,6 +278,14 @@ class Runner:
             pass  # inlined into consumers; no view, no storage
         else:
             df.createOrReplaceTempView(name)
+        self.last_refresh_report["built"].append(name)
+        if mdef.materialized in ("table", "incremental") and not mdef.bucket_by:
+            # record the build state on EVERY successful materialization
+            # (not just refresh="changed" runs) so the first changed-mode
+            # run over a warehouse built normally can already skip
+            fp = self._fingerprint(name, relations)
+            if fp is not None:
+                self._save_state(name, fp)
         return df
 
     def _run_parallel(self, sources: dict[str, DataFrame],
