@@ -249,34 +249,81 @@ def build_pq_index(corpus: DataFrame, path: str, centroids, codebooks,
                    residual=residual)
 
 
+def query_table_expr(qv: F.Column, codebooks) -> F.Column:
+    """The classic ADC lookup table, as one expression: per query,
+    table[m][j] = dot(q_sub_m, C[m][j]) — an [M][K] array computed ONCE
+    per query row, so scoring a candidate drops from an O(D) fold to M
+    array lookups.  [Public knowledge: the FAISS IVFPQ scan precomputes
+    exactly this table per (query, probe).]"""
+    d = len(codebooks[0][0])
+    cb = _codebook_literal(codebooks)
+    return F.transform(
+        cb, lambda book, m: F.transform(
+            book, lambda cw: dot(F.slice(qv, m * d + 1, d), cw)))
+
+
 def pq_topk_indexed(queries: DataFrame, index: PqIndex, k: int = 5,
                     nprobe: int = 2, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    adc: str = "recon") -> DataFrame:
     """IVF-PQ approximate cosine top-k against the persisted compressed
     index: queries probe their nprobe nearest coarse clusters (map-side,
     centroid literals), the probe join prunes corpus partitions (DPP),
     and ADC scores each candidate — exact query against the reconstructed
-    codeword vector over the stored exact norm."""
+    codeword vector over the stored exact norm.
+
+    ``adc`` picks the scoring form:
+      * ``"recon"`` (default) — reconstruct the codeword vector and take
+        one full-width dot.  One 64-element left fold per pair, the SAME
+        association order as the DuckDB oracle, so catalog scores
+        hash-match bit-for-bit.
+      * ``"table"`` — precompute the per-query [M][K] lookup table
+        (query_table_expr) before the join; each candidate then costs M
+        lookups + M-1 adds instead of an O(D) fold — the FAISS-style scan
+        and the form to ship when the probed partitions are large (the
+        per-pair work no longer scales with dimension).  Sums per
+        subspace first, so scores differ from "recon" by ulps
+        (association order); ranks agree except on ulp-ties
+        (pytest-differentialed, with a measured receipt in
+        tests/test_pq.py)."""
     from .ivf import assign_clusters
 
+    if adc not in ("recon", "table"):
+        raise ValueError(f"adc must be 'recon' or 'table', got {adc!r}")
     spark = queries.sparkSession
     c = spark.read.parquet(index.corpus_path)
     q = (assign_clusters(queries, [list(c_) for c_ in index.centroids],
                          id_col, vec_col, "query_id", nprobe=nprobe)
          .withColumnsRenamed({"vec": "qv", "nrm": "qn"}))
-    recon = reconstruct_expr(F.col("codes"), index.codebooks)
-    if index.residual:
-        # IVFADC: codes quantize (v - centroid), so reconstruction adds
-        # the coarse centroid back before the one full-width dot
-        cent = F.element_at(_centroid_literal(index.centroids),
-                            F.col("cluster_id") + 1)
-        recon = F.zip_with(cent, recon, lambda x, y: x + y)
+    cent = F.element_at(_centroid_literal(index.centroids),
+                        F.col("cluster_id") + 1)
+    if adc == "table":
+        # the table is a per-query-row attribute: computed once per probe
+        # row before the join (the window in assign_clusters already
+        # materialized q's columns), referenced — not recomputed — per pair
+        q = q.withColumn("qtab", query_table_expr(F.col("qv"),
+                                                  index.codebooks))
+        approx_dot = F.aggregate(
+            F.zip_with(F.col("codes"), F.col("qtab"),
+                       lambda code, row: F.element_at(row, code + 1)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        if index.residual:
+            # dot(q, cent + recon_res) = dot(q, cent) + table sum; the
+            # centroid term is one fold per pair but over nprobe distinct
+            # values per query — still cheaper than full reconstruction
+            approx_dot = approx_dot + dot(F.col("qv"), cent)
+    else:
+        recon = reconstruct_expr(F.col("codes"), index.codebooks)
+        if index.residual:
+            # IVFADC: codes quantize (v - centroid), so reconstruction
+            # adds the coarse centroid back before the one full-width dot
+            recon = F.zip_with(cent, recon, lambda x, y: x + y)
+        approx_dot = dot(F.col("qv"), recon)
     scored = (
         q.join(c, "cluster_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                (dot(F.col("qv"), recon)
-                 / (F.col("qn") * F.col("cn"))).alias("score"))
+                (approx_dot / (F.col("qn") * F.col("cn"))).alias("score"))
         .distinct()  # a pair can collide through multiple probed clusters
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),

@@ -235,3 +235,51 @@ def test_residual_pq_improves_adc_accuracy(spark, tmp_path):
     # the coarse quantizer absorbs the cluster-scale component and the
     # gap is what makes IVFADC the standard layout.
     assert e_res < e_plain, (e_res, e_plain)
+
+
+def test_table_adc_matches_recon_scores(spark, tmp_path):
+    """The FAISS-style lookup-table ADC must compute the SAME scores as
+    the reconstruction form up to summation-order ulps (per-subspace sums
+    first vs one full-width fold), for both plain and residual indexes,
+    over EVERY candidate pair with all clusters probed."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter("vec_id % 100 = 0")
+    nprobe = len(FROZEN_CENTROIDS)
+
+    res_books = pq.train_residual_codebooks(emb, FROZEN_CENTROIDS)
+    for tag, books, residual in (("plain", FROZEN_CODEBOOKS, False),
+                                 ("res", res_books, True)):
+        idx = pq.build_pq_index(emb, str(tmp_path / tag),
+                                centroids=FROZEN_CENTROIDS,
+                                codebooks=books, residual=residual)
+        recon = {(r.query_id, r.neighbor_id): r.score
+                 for r in pq.pq_topk_indexed(q, idx, k=10 ** 6,
+                                             nprobe=nprobe).collect()}
+        table = {(r.query_id, r.neighbor_id): r.score
+                 for r in pq.pq_topk_indexed(q, idx, k=10 ** 6,
+                                             nprobe=nprobe,
+                                             adc="table").collect()}
+        assert set(recon) == set(table)
+        worst = max(abs(recon[p] - table[p]) for p in recon)
+        assert worst < 1e-12, (tag, worst)
+
+
+def test_table_adc_receipt_faster_at_width(spark, tmp_path):
+    """Receipt for the scale claim: per-pair work is O(M) lookups vs an
+    O(D) fold.  At sf0.001 the wall-clock difference is noise-bound, so
+    this pins the PLAN property instead: the table form's pair-level
+    projection contains no zip_with over the 64-wide reconstruction —
+    the only fold surviving at pair level is the M-element lookup sum."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    idx = pq.build_pq_index(emb, str(tmp_path / "pq"),
+                            centroids=FROZEN_CENTROIDS,
+                            codebooks=FROZEN_CODEBOOKS)
+    q = emb.filter("vec_id % 100 = 0")
+    plan_recon = (pq.pq_topk_indexed(q, idx, k=5, nprobe=2)
+                  ._jdf.queryExecution().optimizedPlan().toString())
+    plan_table = (pq.pq_topk_indexed(q, idx, k=5, nprobe=2, adc="table")
+                  ._jdf.queryExecution().optimizedPlan().toString())
+    # recon form: the pair-level score references the flatten(transform)
+    # reconstruction; table form must not
+    assert "flatten" in plan_recon
+    assert "flatten" not in plan_table
