@@ -45,7 +45,7 @@ import os
 import shutil
 import tempfile
 import threading
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -99,17 +99,26 @@ class Runner:
         except (OSError, ValueError):
             return {}
 
-    def _save_state(self, name: str, fingerprint: str) -> None:
-        # read-modify-write under the lock (parallel runs build disjoint
-        # models, but they share this file); atomic rename so a crashed
-        # write can never half-corrupt the state into false skips
+    def _save_state(self, name: str, fingerprint: str | None) -> None:
+        """Record (or, with None, drop) a model's build fingerprint.
+        Read-modify-write under the lock (parallel runs build disjoint
+        models, but they share this file); atomic rename so a crashed
+        write can never half-corrupt the JSON into false skips."""
         with self._fp_lock:
             state = self._load_state()
-            state[name] = fingerprint
+            if fingerprint is None:
+                if name not in state:
+                    return
+                del state[name]
+            else:
+                state[name] = fingerprint
             tmp = self._state_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(state, f)
             os.replace(tmp, self._state_path)
+
+    def _drop_state(self, name: str) -> None:
+        self._save_state(name, None)
 
     def catalog_name(self, model_name: str) -> str:
         """The session-catalog table name a bucketed model materializes
@@ -185,12 +194,16 @@ class Runner:
                      relations: dict[str, DataFrame]) -> str | None:
         """Build-state fingerprint of ``name``'s whole upstream cone: the
         model fn's source text, its materialization params, every upstream
-        MODEL's fingerprint (recursively), and the (path, size, mtime_ns)
-        of every file each SOURCE relation scans (``df.inputFiles()`` —
-        the public per-plan file census; the local-FS stat here is the
-        HDFS/S3 FileStatus call at cluster scale).  None = unknowable
-        (non-file source, remote URI, unreadable fn source) and poisons
-        the whole cone: those models always rebuild, never guess."""
+        MODEL's fingerprint (recursively), and — per SOURCE relation —
+        both the (path, size, mtime_ns) of every file it scans
+        (``df.inputFiles()``; the local-FS stat here is the HDFS/S3
+        FileStatus call at cluster scale) AND its CANONICALIZED logical
+        plan (expression ids normalized, so it is stable across sessions):
+        a caller that re-filters / re-projects / schema-overrides the same
+        files is a CHANGED source even though the files match.  None =
+        unknowable (non-file source, remote URI, unreadable fn source) and
+        poisons the whole cone: those models always rebuild, never
+        guess."""
         with self._fp_lock:
             if name in self._fp_memo:
                 return self._fp_memo[name]
@@ -211,17 +224,20 @@ class Runner:
                         break
                     parts.append(f"{d}:{sub}")
                     continue
-                files = sorted(relations[d].inputFiles())
+                src = relations[d]
+                files = sorted(src.inputFiles())
                 if not files:
                     parts = None  # in-memory / non-file source
                     break
+                parts.append(f"{d}~" + src._jdf.queryExecution().analyzed()
+                             .canonicalized().toString())
                 for uri in files:
                     u = urlparse(uri)
                     if u.scheme not in ("", "file"):
                         parts = None  # remote FS: no stat client here
                         break
                     try:
-                        st = os.stat(u.path)
+                        st = os.stat(unquote(u.path))
                     except OSError:
                         parts = None
                         break
@@ -265,6 +281,14 @@ class Runner:
             self.last_refresh_report["skipped"].append(name)
             return skipped
         refs = {d: relations[d] for d in mdef.deps}
+        state_tracked = (mdef.materialized in ("table", "incremental")
+                         and not mdef.bucket_by)
+        if state_tracked:
+            # clear the recorded state BEFORE touching the table: a crash
+            # between the parquet write and the post-build save would
+            # otherwise leave the OLD fingerprint paired with NEW table
+            # bytes — a later run under the old definition would false-skip
+            self._drop_state(name)
         if mdef.materialized == "incremental" and mdef.watermark_col:
             df = mdef.fn(refs, self._incremental_context(name, mdef))
         else:
@@ -279,7 +303,7 @@ class Runner:
         else:
             df.createOrReplaceTempView(name)
         self.last_refresh_report["built"].append(name)
-        if mdef.materialized in ("table", "incremental") and not mdef.bucket_by:
+        if state_tracked:
             # record the build state on EVERY successful materialization
             # (not just refresh="changed" runs) so the first changed-mode
             # run over a warehouse built normally can already skip
@@ -394,6 +418,12 @@ class Runner:
                 f"existing table columns {existing.columns}")
         prev = existing.agg(
             F.max(mdef.watermark_col).alias("wm")).first().wm
+        if prev is None:
+            # an existing table whose watermark column is all-NULL gives no
+            # usable high-water mark; the documented `col > watermark`
+            # filter would compare against NULL and silently drop every
+            # source row forever — treat it as a first build instead
+            return IncrementalContext(is_incremental=False)
         return IncrementalContext(is_incremental=True, watermark=prev)
 
     def _materialize_incremental(self, name: str, df: DataFrame,

@@ -161,7 +161,10 @@ def ivf_topk_indexed(queries: DataFrame, index: IvfIndex, k: int = 5,
         .select("query_id", "neighbor_id",
                 (dot(F.col("qv"), F.col("cv"))
                  / (F.col("qn") * F.col("cn"))).alias("score"))
-        .distinct()  # a pair can collide through multiple probed clusters
+        # no dedup needed: each corpus row lives in exactly ONE cluster
+        # (nprobe=1 assignment), so a (query, neighbor) pair can match the
+        # probe join at most once — a distinct here would be a full extra
+        # shuffle over the scored pairs for nothing (r8 self-review)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))
@@ -190,7 +193,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id",
                 (dot(F.col("qv"), F.col("cv"))
                  / (F.col("qn") * F.col("cn"))).alias("score"))
-        .distinct()  # a pair can collide through multiple probed clusters
+        # no dedup needed: each corpus row lives in exactly ONE cluster
+        # (nprobe=1 assignment), so a (query, neighbor) pair can match the
+        # probe join at most once — a distinct here would be a full extra
+        # shuffle over the scored pairs for nothing (r8 self-review)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -324,7 +324,10 @@ def pq_topk_indexed(queries: DataFrame, index: PqIndex, k: int = 5,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 (approx_dot / (F.col("qn") * F.col("cn"))).alias("score"))
-        .distinct()  # a pair can collide through multiple probed clusters
+        # no dedup needed: each corpus row lives in exactly ONE cluster
+        # (nprobe=1 assignment), so a (query, neighbor) pair can match the
+        # probe join at most once — a distinct here would be a full extra
+        # shuffle over the scored pairs for nothing (r8 self-review)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))

@@ -226,7 +226,10 @@ def shard_census(docs: DataFrame, spec: ShardSpec,
         # run off the document
         zero = F.lit(0).cast("long")
         costs = subword_costs(toks)
-        cost_all = subword_cost(F.col(text_col))
+        # fold the costs array already built above — subword_cost(text)
+        # would re-tokenize the full text (HOF subtrees are not reliably
+        # CSE'd by Catalyst), doubling the census's per-row work
+        cost_all = F.aggregate(costs, zero, lambda acc, v: acc + v)
         if spec.overlap:
             repeated = F.when(n_chunks > 1, F.aggregate(
                 F.transform(

@@ -377,36 +377,44 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01), so the catalog query uses a low threshold to exercise the
 # operator on real rows; true dup recovery at ~1.0 is pytest-verified with
 # planted duplicates (test_operators.py)
-_IVF_INDEXES: dict = {}
-
-
-def _ivf_index(spark: SparkSession, sf_dir: str):
-    """Build-once-per-session persisted IVF index for sf_dir's embeddings —
-    the index is a materialization (assign the corpus to the FROZEN
-    offline-trained quantizer, write it partitioned by cluster_id), not
-    per-query work.  The quantizer itself is trained offline by
-    tools/freeze_ivf.py (seeded k-means) — the train-once / serve-many
-    index lifecycle; the TRAINING path stays pytest-covered via
-    operators/ivf.train_quantizer."""
-    from ..operators import ivf
-    from ..operators.ivf_frozen import FROZEN_CENTROIDS
-
+def _session_index(cache: dict, subdir: str, spark: SparkSession,
+                   sf_dir: str, build_fn):
+    """Build-once-per-(session, sf_dir) persisted-index memo shared by the
+    IVF and PQ catalog rows: the index is a materialization, not per-query
+    work.  The on-disk tag hashes the ABSOLUTE dir (basename kept for
+    readability): two sf_dirs sharing a basename must not share an on-disk
+    index path, or the second build silently overwrites the corpus the
+    first handle still reads."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _IVF_INDEXES.get(key)
+    idx = cache.get(key)
     if idx is None:
-        # tag by a hash of the ABSOLUTE dir (basename kept for readability):
-        # two sf_dirs sharing a basename must not share an on-disk index
-        # path, or the second build silently overwrites the corpus the
-        # first handle still reads.
         abs_dir = os.path.abspath(sf_dir)
         digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
         tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".ivf_index", tag)
-        idx = ivf.build_index(load_table(spark, sf_dir, "embeddings"), path,
-                              centroids=FROZEN_CENTROIDS)
-        _IVF_INDEXES[key] = idx
+            os.path.dirname(os.path.abspath(__file__)))), subdir, tag)
+        idx = build_fn(path)
+        cache[key] = idx
     return idx
+
+
+_IVF_INDEXES: dict = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Persisted IVF-Flat index for sf_dir's embeddings: assign the corpus
+    to the FROZEN offline-trained quantizer (tools/freeze_ivf.py — the
+    train-once / serve-many lifecycle; the TRAINING path stays
+    pytest-covered via operators/ivf.train_quantizer), write it
+    partitioned by cluster_id."""
+    from ..operators import ivf
+    from ..operators.ivf_frozen import FROZEN_CENTROIDS
+
+    return _session_index(
+        _IVF_INDEXES, ".ivf_index", spark, sf_dir,
+        lambda path: ivf.build_index(
+            load_table(spark, sf_dir, "embeddings"), path,
+            centroids=FROZEN_CENTROIDS))
 
 
 def _ivf_oracle() -> str:
@@ -445,7 +453,9 @@ def _ivf_oracle() -> str:
     probes AS (SELECT vec_id AS query_id, cluster_id FROM assign
                WHERE rk <= 2 AND vec_id % 50 = 0),
     scored AS (
-        SELECT DISTINCT p.query_id, c.neighbor_id,
+        -- no DISTINCT: corpus rows live in exactly one cluster, so the
+        -- probe join yields each pair at most once (mirrors the Spark side)
+        SELECT p.query_id, c.neighbor_id,
                {sql_cosine('q.v', 'n.v')} AS score
         FROM probes p
         JOIN corpus c USING (cluster_id)
@@ -493,29 +503,20 @@ _PQ_INDEXES: dict = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
-    """Build-once-per-session persisted IVF-PQ index: the corpus assigned
-    to the FROZEN coarse centroids and PQ-ENCODED against the FROZEN
-    codebooks (operators/pq_frozen.py, trained offline by
-    tools/freeze_pq.py), written partitioned by cluster_id — the
-    compressed tier of the same train-once / serve-many lifecycle as
-    _ivf_index."""
+    """Persisted IVF-PQ index: the corpus assigned to the FROZEN coarse
+    centroids and PQ-ENCODED against the FROZEN codebooks
+    (operators/pq_frozen.py, trained offline by tools/freeze_pq.py),
+    written partitioned by cluster_id — the compressed tier of the same
+    train-once / serve-many lifecycle as _ivf_index."""
     from ..operators import pq
     from ..operators.ivf_frozen import FROZEN_CENTROIDS
     from ..operators.pq_frozen import FROZEN_CODEBOOKS
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _PQ_INDEXES.get(key)
-    if idx is None:
-        abs_dir = os.path.abspath(sf_dir)
-        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
-        tag = f"{os.path.basename(os.path.normpath(abs_dir)) or 'default'}-{digest}"
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".pq_index", tag)
-        idx = pq.build_pq_index(load_table(spark, sf_dir, "embeddings"), path,
-                                centroids=FROZEN_CENTROIDS,
-                                codebooks=FROZEN_CODEBOOKS)
-        _PQ_INDEXES[key] = idx
-    return idx
+    return _session_index(
+        _PQ_INDEXES, ".pq_index", spark, sf_dir,
+        lambda path: pq.build_pq_index(
+            load_table(spark, sf_dir, "embeddings"), path,
+            centroids=FROZEN_CENTROIDS, codebooks=FROZEN_CODEBOOKS))
 
 
 def _pq_oracle() -> str:
@@ -589,7 +590,9 @@ def _pq_oracle() -> str:
         WHERE e.rk = 1 GROUP BY e.vec_id
     ),
     scored AS (
-        SELECT DISTINCT p.query_id, c.neighbor_id,
+        -- no DISTINCT: corpus rows live in exactly one cluster, so the
+        -- probe join yields each pair at most once (mirrors the Spark side)
+        SELECT p.query_id, c.neighbor_id,
                list_dot_product(q.v, r.rv)
                  / ({sql_norm('q.v')} * {sql_norm('n.v')}) AS score
         FROM probes p

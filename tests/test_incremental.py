@@ -355,3 +355,32 @@ def test_watermark_col_missing_from_output_raises(spark, tmp_path):
     Runner(spark, reg, wh).run({"src": src})  # first build: no table yet, ok
     with pytest.raises(ValueError, match="nope"):
         Runner(spark, reg, wh).run({"src": src})
+
+
+def test_watermark_all_null_falls_back_to_full_build(spark, tmp_path):
+    """An existing table whose watermark column is all NULL yields no
+    usable high-water mark; the context must report is_incremental=False
+    (r8 self-review: the documented `col > watermark` filter against a
+    None watermark silently drops every source row forever)."""
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+    seen = []
+
+    @reg.model("m", deps=("src",), materialized="incremental",
+               partition_by=("day",), watermark_col="wm")
+    def m(refs, ctx):
+        seen.append((ctx.is_incremental, ctx.watermark))
+        src = refs["src"]
+        if ctx.is_incremental:
+            src = src.filter(F.col("day") > F.lit(ctx.watermark))
+        return src.groupBy("day").agg(
+            F.max(F.when(F.col("v") > 100, F.col("day"))).alias("wm"),
+            F.sum("v").alias("total"))
+
+    wh = str(tmp_path / "wh")
+    src = spark.createDataFrame([(1, 10), (2, 20)], "day int, v long")
+    Runner(spark, reg, wh).run({"src": src})      # wm all NULL (v <= 100)
+    out = Runner(spark, reg, wh).run({"src": src})["m"]
+    assert seen == [(False, None), (False, None)]
+    assert {(r.day, r.total) for r in out.collect()} == {(1, 10), (2, 20)}

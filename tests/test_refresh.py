@@ -159,3 +159,52 @@ def test_changed_refresh_parallel_matches_sequential(spark, tmp_path):
     rel = r.run(srcs(), refresh="changed", threads=4)
     assert set(r.last_refresh_report["skipped"]) == {"mart_a", "mart_b"}
     assert {x.day for x in rel["mart_a"].collect()} == {1, 2}
+
+
+def test_changed_refresh_rebuilds_on_source_plan_change(spark, tmp_path):
+    """The fingerprint includes each source's CANONICALIZED plan, not just
+    its files: re-filtering the same files is a changed source (r8
+    self-review — file stats alone would stale-skip and serve wrong
+    data)."""
+    src = str(tmp_path / "src")
+    _write_src(spark, src, [1, 2])
+    wh = str(tmp_path / "wh")
+    reg = ModelRegistry()
+
+    @reg.model("m", deps=("src",), materialized="table")
+    def m(refs):
+        return refs["src"].groupBy("day").agg(F.sum("v").alias("total"))
+
+    r1 = Runner(spark, reg, wh)
+    r1.run({"src": spark.read.parquet(src).filter("v > 0")},
+           refresh="changed")
+    r2 = Runner(spark, reg, wh)
+    rel = r2.run({"src": spark.read.parquet(src).filter("v > 11")},
+                 refresh="changed")
+    assert r2.last_refresh_report["built"] == ["m"]
+    assert {r.day for r in rel["m"].collect()} == {1, 2}
+    # identical plan text skips again
+    r3 = Runner(spark, reg, wh)
+    r3.run({"src": spark.read.parquet(src).filter("v > 11")},
+           refresh="changed")
+    assert r3.last_refresh_report["skipped"] == ["m"]
+
+
+def test_changed_refresh_handles_percent_encoded_paths(spark, tmp_path):
+    """inputFiles() returns percent-encoded URIs; a space in the source
+    directory must not kill skipping (r8 self-review: os.stat on the raw
+    encoded path failed and silently disabled the feature)."""
+    src = str(tmp_path / "my dir" / "src")
+    _write_src(spark, src, [1])
+    wh = str(tmp_path / "wh")
+    reg = ModelRegistry()
+
+    @reg.model("m", deps=("src",), materialized="table")
+    def m(refs):
+        return refs["src"].groupBy("day").agg(F.sum("v").alias("total"))
+
+    Runner(spark, reg, wh).run({"src": spark.read.parquet(src)},
+                               refresh="changed")
+    r = Runner(spark, reg, wh)
+    r.run({"src": spark.read.parquet(src)}, refresh="changed")
+    assert r.last_refresh_report["skipped"] == ["m"]
