@@ -51,6 +51,9 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  sink=None,
                  shard_spec=None, shards_dir: str | None = None,
                  shard_literals: dict | None = None,
+                 lm_table: list | None = None,
+                 max_bits_per_char: float | None = None,
+                 min_bits_per_char: float | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -85,6 +88,14 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     """
     if (shard_spec is None) != (shards_dir is None):
         raise ValueError("shard_spec and shards_dir go together")
+    if lm_table is not None and (max_bits_per_char is None
+                                 and min_bits_per_char is None):
+        raise ValueError("lm_table needs max_bits_per_char and/or "
+                         "min_bits_per_char — a model with no band keeps "
+                         "everything")
+    if lm_table is None and (max_bits_per_char is not None
+                             or min_bits_per_char is not None):
+        raise ValueError("bits_per_char bounds need lm_table")
     obs: dict[str, Observation] = {}
 
     def tap(df: DataFrame, name: str) -> DataFrame:
@@ -103,6 +114,21 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     # row-local hygiene: repetition cut, then in-place PII redaction
     df = tap(repetition_filter(df, max_dup_trigram_frac,
                                min_uniq_token_frac), "after_repetition")
+
+    # perplexity-proxy band (CCNet-style, operators/lm.py): row-local like
+    # the repetition cut, so it runs BEFORE anything that broadcasts or
+    # shuffles; scoring sees the RAW text (redaction happens later).  Docs
+    # too short to score (NULL bits/char) are dropped — no bigram evidence.
+    if lm_table is not None:
+        from .operators.lm import bits_per_char
+
+        band = bits_per_char(F.col("text"), lm_table)
+        cond = band.isNotNull()
+        if min_bits_per_char is not None:
+            cond = cond & (band >= min_bits_per_char)
+        if max_bits_per_char is not None:
+            cond = cond & (band <= max_bits_per_char)
+        df = tap(df.filter(cond), "after_lm_quality")
     # eval-set decontamination BEFORE PII redaction: a leaked eval span
     # containing an email/IP must be matched against the eval set's RAW
     # n-grams — redacting first rewrites the corpus side of exactly those
