@@ -45,6 +45,8 @@ class ModelDef:
     bucket_by: tuple[str, ...] = ()      # hash-bucket layout (join keys):
     n_buckets: int = 0                   # co-located joins, no exchange
     watermark_col: str = ""              # incremental refresh high-water mark
+    incremental_strategy: str = "insert_overwrite"  # or "merge" (upsert)
+    unique_key: tuple[str, ...] = ()     # merge strategy's row identity
     doc: str = ""
 
 
@@ -59,6 +61,23 @@ class ModelRegistry:
             raise ValueError(
                 f"model {mdef.name}: watermark_col only applies to "
                 "incremental materialization")
+        if mdef.incremental_strategy not in ("insert_overwrite", "merge"):
+            raise ValueError(
+                f"model {mdef.name}: unknown incremental_strategy "
+                f"{mdef.incremental_strategy!r}")
+        if mdef.incremental_strategy == "merge":
+            if mdef.materialized != "incremental":
+                raise ValueError(
+                    f"model {mdef.name}: the merge strategy only applies "
+                    "to incremental materialization")
+            if not mdef.unique_key:
+                raise ValueError(
+                    f"model {mdef.name}: merge strategy requires "
+                    "unique_key")
+        elif mdef.unique_key:
+            raise ValueError(
+                f"model {mdef.name}: unique_key only applies to the "
+                "merge strategy")
         self._models[mdef.name] = mdef
 
     def __getitem__(self, name: str) -> ModelDef:
@@ -75,7 +94,9 @@ class ModelRegistry:
               partition_by: tuple[str, ...] = (),
               bucket_by: tuple[str, ...] = (),
               n_buckets: int = 0,
-              watermark_col: str = "") -> Callable[[ModelFn], ModelFn]:
+              watermark_col: str = "",
+              incremental_strategy: str = "insert_overwrite",
+              unique_key: tuple[str, ...] = ()) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
@@ -91,6 +112,8 @@ class ModelRegistry:
                                    bucket_by=tuple(bucket_by),
                                    n_buckets=n_buckets,
                                    watermark_col=watermark_col,
+                                   incremental_strategy=incremental_strategy,
+                                   unique_key=tuple(unique_key),
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -112,6 +135,8 @@ class ModelRegistry:
                     "bucket_by": list(m.bucket_by),
                     "n_buckets": m.n_buckets,
                     "watermark_col": m.watermark_col,
+                    "incremental_strategy": m.incremental_strategy,
+                    "unique_key": list(m.unique_key),
                     "description": m.doc,
                 } for m in self._models.values()
             },

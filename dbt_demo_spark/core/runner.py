@@ -297,7 +297,12 @@ class Runner:
             df = self._materialize_table(name, df, mdef.partition_by,
                                          mdef.bucket_by, mdef.n_buckets)
         elif mdef.materialized == "incremental":
-            df = self._materialize_incremental(name, df, mdef.partition_by)
+            if mdef.incremental_strategy == "merge":
+                df = self._materialize_merge(name, df, mdef.partition_by,
+                                             mdef.unique_key)
+            else:
+                df = self._materialize_incremental(name, df,
+                                                   mdef.partition_by)
         elif mdef.materialized == "ephemeral":
             pass  # inlined into consumers; no view, no storage
         else:
@@ -443,6 +448,79 @@ class Runner:
             .partitionBy(*partition_by)
             .parquet(path)
         )
+        return self._read_back(name, path)
+
+    def _materialize_merge(self, name: str, df: DataFrame,
+                           partition_by: tuple[str, ...],
+                           unique_key: tuple[str, ...]) -> DataFrame:
+        """dbt's ``merge`` incremental strategy [public knowledge] on plain
+        parquet: UPSERT by ``unique_key`` — rows in ``df`` replace
+        same-key rows in the existing table, everything else survives.
+
+        Parquet has no MERGE, so the upsert is emulated with a
+        stage-and-swap commit: the merged content is computed by reading
+        the EXISTING table (never the path being written), written to a
+        ``<path>__stage`` directory, and then moved into place — with
+        ``partition_by``, only the partitions present in ``df`` are
+        staged and swapped (the existing side is pre-filtered with a
+        broadcast semi join on the affected partition values, so the
+        merge reads O(affected), not O(table)).  The swap is file moves,
+        not a transaction: a crash mid-swap can leave a partition old
+        and another new, the same non-atomicity class as dynamic
+        partition overwrite on plain parquet — a table format
+        (Delta/Iceberg MERGE INTO) is the at-scale answer; this is the
+        faithful plain-parquet emulation of the same semantics."""
+        keys = list(unique_key)
+        path = os.path.join(self.warehouse_dir, name)
+        writer_cols = list(partition_by)
+        if not os.path.isdir(path):
+            w = df.write.mode("overwrite")
+            if writer_cols:
+                w = w.partitionBy(*writer_cols)
+            w.parquet(path)
+            return self._read_back(name, path)
+
+        from pyspark.sql import functions as F
+
+        existing = self.spark.read.parquet(path)
+        if partition_by:
+            affected = df.select(*partition_by).distinct()
+            old_side = existing.join(F.broadcast(affected),
+                                     list(partition_by), "left_semi")
+        else:
+            old_side = existing
+        keep_old = old_side.join(df.select(*keys).distinct(),
+                                 keys, "left_anti")
+        merged = keep_old.unionByName(df.select(*existing.columns))
+
+        stage = path + "__stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        w = merged.write.mode("overwrite")
+        if writer_cols:
+            w = w.partitionBy(*writer_cols)
+        w.parquet(stage)
+
+        if writer_cols:
+            # replace exactly the staged partition directories (walk to
+            # the leaf dirs that hold part-files; layout mirrors target)
+            for root, _dirs, files in os.walk(stage):
+                if not any(f.startswith("part-") for f in files):
+                    continue
+                rel = os.path.relpath(root, stage)
+                target = os.path.join(path, rel)
+                shutil.rmtree(target, ignore_errors=True)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                os.replace(root, target)
+        else:
+            # unpartitioned: swap the whole table's data files
+            for f in os.listdir(path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(path, f))
+            for f in os.listdir(stage):
+                if f.startswith("part-"):
+                    os.replace(os.path.join(stage, f),
+                               os.path.join(path, f))
+        shutil.rmtree(stage, ignore_errors=True)
         return self._read_back(name, path)
 
     def _read_back(self, name: str, path: str) -> DataFrame:
