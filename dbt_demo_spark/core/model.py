@@ -47,6 +47,7 @@ class ModelDef:
     watermark_col: str = ""              # incremental refresh high-water mark
     incremental_strategy: str = "insert_overwrite"  # or "merge" (upsert)
     unique_key: tuple[str, ...] = ()     # merge strategy's row identity
+    on_schema_change: str = "ignore"     # | "fail" | "append_new_columns"
     doc: str = ""
 
 
@@ -78,6 +79,16 @@ class ModelRegistry:
             raise ValueError(
                 f"model {mdef.name}: unique_key only applies to the "
                 "merge strategy")
+        if mdef.on_schema_change not in ("ignore", "fail",
+                                         "append_new_columns"):
+            raise ValueError(
+                f"model {mdef.name}: unknown on_schema_change "
+                f"{mdef.on_schema_change!r}")
+        if (mdef.on_schema_change != "ignore"
+                and mdef.materialized != "incremental"):
+            raise ValueError(
+                f"model {mdef.name}: on_schema_change only applies to "
+                "incremental materialization")
         self._models[mdef.name] = mdef
 
     def __getitem__(self, name: str) -> ModelDef:
@@ -96,7 +107,8 @@ class ModelRegistry:
               n_buckets: int = 0,
               watermark_col: str = "",
               incremental_strategy: str = "insert_overwrite",
-              unique_key: tuple[str, ...] = ()) -> Callable[[ModelFn], ModelFn]:
+              unique_key: tuple[str, ...] = (),
+              on_schema_change: str = "ignore") -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
@@ -114,6 +126,7 @@ class ModelRegistry:
                                    watermark_col=watermark_col,
                                    incremental_strategy=incremental_strategy,
                                    unique_key=tuple(unique_key),
+                                   on_schema_change=on_schema_change,
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -137,6 +150,7 @@ class ModelRegistry:
                     "watermark_col": m.watermark_col,
                     "incremental_strategy": m.incremental_strategy,
                     "unique_key": list(m.unique_key),
+                    "on_schema_change": m.on_schema_change,
                     "description": m.doc,
                 } for m in self._models.values()
             },

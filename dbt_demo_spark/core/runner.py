@@ -299,10 +299,12 @@ class Runner:
         elif mdef.materialized == "incremental":
             if mdef.incremental_strategy == "merge":
                 df = self._materialize_merge(name, df, mdef.partition_by,
-                                             mdef.unique_key)
+                                             mdef.unique_key,
+                                             mdef.on_schema_change)
             else:
                 df = self._materialize_incremental(name, df,
-                                                   mdef.partition_by)
+                                                   mdef.partition_by,
+                                                   mdef.on_schema_change)
         elif mdef.materialized == "ephemeral":
             pass  # inlined into consumers; no view, no storage
         else:
@@ -431,14 +433,46 @@ class Runner:
             return IncrementalContext(is_incremental=False)
         return IncrementalContext(is_incremental=True, watermark=prev)
 
+    def _check_schema_change(self, name: str, df: DataFrame, path: str,
+                             policy: str) -> bool:
+        """dbt's ``on_schema_change`` [public knowledge] for incremental
+        models, against parquet's file-schema reality:
+
+          * ``ignore`` (default) — write as-is; files may carry mixed
+            schemas, and the plain read-back resolves them Spark's way
+            (dbt's ignore likewise leaves the table schema alone);
+          * ``fail`` — any column added or removed vs the existing table
+            raises before anything is written;
+          * ``append_new_columns`` — write as-is and read the table back
+            with ``mergeSchema`` so the UNION schema is visible: old
+            partitions show NULL for added columns, new partitions NULL
+            for removed ones.
+
+        Returns whether the read-back needs mergeSchema."""
+        if policy == "ignore" or not os.path.isdir(path):
+            return False
+        old = self.spark.read.parquet(path).columns
+        added = [c for c in df.columns if c not in old]
+        removed = [c for c in old if c not in df.columns]
+        if not added and not removed:
+            return False
+        if policy == "fail":
+            raise ValueError(
+                f"model {name}: schema changed (added {added}, removed "
+                f"{removed}) and on_schema_change='fail'")
+        return True  # append_new_columns
+
     def _materialize_incremental(self, name: str, df: DataFrame,
-                                 partition_by: tuple[str, ...]) -> DataFrame:
+                                 partition_by: tuple[str, ...],
+                                 on_schema_change: str = "ignore") -> DataFrame:
         """Overwrite-partition incremental build: replace exactly the
         partitions the model emitted this run, leave the rest on disk."""
         if not partition_by:
             raise ValueError(
                 f"model {name}: incremental materialization requires partition_by")
         path = os.path.join(self.warehouse_dir, name)
+        merge_schema = self._check_schema_change(name, df, path,
+                                                 on_schema_change)
         (
             df.write.mode("overwrite")
             # per-write dynamic mode: 'overwrite' replaces only partitions
@@ -448,11 +482,12 @@ class Runner:
             .partitionBy(*partition_by)
             .parquet(path)
         )
-        return self._read_back(name, path)
+        return self._read_back(name, path, merge_schema=merge_schema)
 
     def _materialize_merge(self, name: str, df: DataFrame,
                            partition_by: tuple[str, ...],
-                           unique_key: tuple[str, ...]) -> DataFrame:
+                           unique_key: tuple[str, ...],
+                           on_schema_change: str = "ignore") -> DataFrame:
         """dbt's ``merge`` incremental strategy [public knowledge] on plain
         parquet: UPSERT by ``unique_key`` — rows in ``df`` replace
         same-key rows in the existing table, everything else survives.
@@ -479,6 +514,8 @@ class Runner:
                 w = w.partitionBy(*writer_cols)
             w.parquet(path)
             return self._read_back(name, path)
+        merge_schema = self._check_schema_change(name, df, path,
+                                                 on_schema_change)
 
         from pyspark.sql import functions as F
 
@@ -491,7 +528,9 @@ class Runner:
             old_side = existing
         keep_old = old_side.join(df.select(*keys).distinct(),
                                  keys, "left_anti")
-        merged = keep_old.unionByName(df.select(*existing.columns))
+        # allowMissingColumns only under append_new_columns: surviving old
+        # rows get NULL in added columns, new rows NULL in removed ones
+        merged = keep_old.unionByName(df, allowMissingColumns=merge_schema)
 
         stage = path + "__stage"
         shutil.rmtree(stage, ignore_errors=True)
@@ -521,10 +560,14 @@ class Runner:
                     os.replace(os.path.join(stage, f),
                                os.path.join(path, f))
         shutil.rmtree(stage, ignore_errors=True)
-        return self._read_back(name, path)
+        return self._read_back(name, path, merge_schema=merge_schema)
 
-    def _read_back(self, name: str, path: str) -> DataFrame:
-        out = self.spark.read.parquet(path)
+    def _read_back(self, name: str, path: str,
+                   merge_schema: bool = False) -> DataFrame:
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        out = reader.parquet(path)
         out.createOrReplaceTempView(name)
         return out
 

@@ -491,3 +491,86 @@ def test_merge_validation():
                    incremental_strategy="replace")
         def m4(refs):
             return None
+
+
+# ---------------------------------------------------------------------------
+# on_schema_change (dbt incremental schema-evolution policy)
+# ---------------------------------------------------------------------------
+
+def _schema_reg(policy: str):
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("m", deps=("src",), materialized="incremental",
+               partition_by=("day",), on_schema_change=policy)
+    def m(refs):
+        return refs["src"]
+
+    return reg
+
+
+def test_on_schema_change_fail_raises_before_writing(spark, tmp_path):
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    reg = _schema_reg("fail")
+    v1 = spark.createDataFrame([(1, 10)], "day int, v long")
+    Runner(spark, reg, wh).run({"src": v1})
+    before = _partition_files(os.path.join(wh, "m"))
+    v2 = spark.createDataFrame([(2, 20, "x")], "day int, v long, extra string")
+    with pytest.raises(ValueError, match="on_schema_change='fail'"):
+        Runner(spark, reg, wh).run({"src": v2})
+    # nothing was written
+    assert _partition_files(os.path.join(wh, "m")) == before
+
+
+def test_on_schema_change_append_new_columns(spark, tmp_path):
+    """Added column: old partitions read back NULL, new partition carries
+    the value — the union schema via mergeSchema, dbt's
+    append_new_columns."""
+    wh = str(tmp_path / "wh")
+    reg = _schema_reg("append_new_columns")
+    v1 = spark.createDataFrame([(1, 10)], "day int, v long")
+    Runner(spark, reg, wh).run({"src": v1})
+    v2 = spark.createDataFrame([(2, 20, "x")], "day int, v long, extra string")
+    out = Runner(spark, reg, wh).run({"src": v2})["m"]
+    rows = {r.day: (r.v, r.extra) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, "x")}
+
+
+def test_on_schema_change_merge_strategy_append(spark, tmp_path):
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("m", deps=("src",), materialized="incremental",
+               incremental_strategy="merge", unique_key=("k",),
+               on_schema_change="append_new_columns")
+    def m(refs):
+        return refs["src"]
+
+    wh = str(tmp_path / "wh")
+    Runner(spark, reg, wh).run(
+        {"src": spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")})
+    out = Runner(spark, reg, wh).run(
+        {"src": spark.createDataFrame([(2, 99, "x")],
+                                      "k long, v long, extra string")})["m"]
+    rows = {r.k: (r.v, r.extra) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (99, "x")}
+
+
+def test_on_schema_change_validation():
+    import pytest
+
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+    with pytest.raises(ValueError, match="unknown on_schema_change"):
+        @reg.model("b1", materialized="incremental", on_schema_change="sync")
+        def b1(refs):
+            return None
+    with pytest.raises(ValueError, match="only applies to incremental"):
+        @reg.model("b2", materialized="table", on_schema_change="fail")
+        def b2(refs):
+            return None
