@@ -1,0 +1,134 @@
+"""Exact distributed heavy hitters: a Misra-Gries candidate pass that
+bounds what the exact pass must count.
+
+The reference surface has no frequency operator (it is a 4-model dbt demo,
+models/marts/*.sql), but a 100 TB corpus pipeline needs the vocabulary-head
+question constantly — boilerplate n-grams for dedup guards, hot keys for
+skew planning, stop-phrase lists for quality filters.  The naive answer
+(`GROUP BY item HAVING count >= N/denom`) is exact but shuffles every
+distinct item — at web scale the long tail IS the data (trillions of
+near-unique junk tokens), so the shuffle is the whole corpus.
+
+This operator is the classic two-pass exact algorithm [public knowledge:
+Misra & Gries 1982, "Finding repeated elements"; Agarwal et al. 2012,
+"Mergeable Summaries" for the merge bound]:
+
+  PASS 1 (map-side only, zero shuffle of items): each partition folds its
+    Arrow batches into a Misra-Gries summary of at most ``k`` counters.
+    A batch's exact value_counts is itself an error-free MG summary, so
+    the fold is the MERGE operation — add counts, then subtract the
+    (k+1)-th largest and drop non-positives — which is per-DISTINCT-key
+    vectorized work, never per-row Python.  By the mergeable-summaries
+    theorem the summed summaries undercount any item by at most
+    N/(k+1) and never overcount.
+
+  CANDIDATES (tiny): sum the per-partition summaries (<= (k+1) rows per
+    partition move) and keep items whose MG sum could still clear the
+    threshold: mg_sum >= N/denom - N/(k+1).  Every true heavy hitter
+    survives (no false negatives — the guarantee the exact pass relies
+    on); false positives merely cost the exact pass a few extra counters.
+
+  PASS 2 (exact, candidate-bounded shuffle): re-scan items through a
+    broadcast semi-join on the candidate set, count exactly, and apply
+    the exact integer threshold ``cnt * denom >= N``.  Only candidate
+    items — at most ~denom * (k+1)/(k+1-denom) of them — ever enter the
+    shuffle, no matter how long the tail is.
+
+The output is EXACT and invariant to input partitioning: partitioning
+changes which non-heavy items the candidate set happens to include, never
+whether a true heavy hitter is present (tests/test_operators.py drives the
+same skewed input through adversarial partitionings and a k small enough
+to force evictions, and asserts bit-identical results).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _mg_merge(counters: dict, batch: dict, k: int) -> dict:
+    """Merge an exact (or MG) count dict into an MG summary of <= k
+    counters: add per-key, then if over budget subtract the (k+1)-th
+    largest count from everything and drop non-positives.  Work is
+    O(distinct keys) dict/sort operations — no per-item loop."""
+    for item, c in batch.items():
+        counters[item] = counters.get(item, 0) + c
+    if len(counters) > k:
+        # (k+1)-th largest count; subtracting it leaves <= k positives
+        sub = sorted(counters.values(), reverse=True)[k]
+        counters = {i: c - sub for i, c in counters.items() if c > sub}
+    return counters
+
+
+def mg_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: one output row per surviving
+    counter ``(item, c)`` plus one NULL-item row per partition carrying the
+    partition's exact item count (so N needs no second scan).  Map-side
+    only — the corpus is never shuffled."""
+    schema = StructType([
+        StructField(item_col, items.schema[item_col].dataType, True),
+        StructField("c", LongType(), False),
+    ])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            col = pdf[item_col]
+            n += len(col)
+            counters = _mg_merge(counters, col.value_counts().to_dict(), k)
+        yield pd.DataFrame({
+            item_col: list(counters) + [None],
+            "c": [int(c) for c in counters.values()] + [n],
+        })
+
+    return items.select(item_col).mapInPandas(fold, schema)
+
+
+def heavy_hitters(items: DataFrame, item_col: str, denom: int,
+                  k: int | None = None) -> DataFrame:
+    """All items whose exact count ``cnt`` satisfies
+    ``cnt * denom >= N`` (N = total rows), i.e. frequency >= 1/denom.
+    Integer threshold arithmetic only, so the result is bit-identical to a
+    SQL ``GROUP BY .. HAVING cnt * denom >= (SELECT count(*) ..)`` oracle
+    in any engine.
+
+    ``k`` is the Misra-Gries counter budget per partition (default
+    ``4 * denom``: guarantees candidate pruning has margin; any k > denom
+    preserves exactness, smaller k only grows the candidate set).  The
+    returned plan is pass 2 only — a broadcast semi-join then a
+    candidate-bounded count — so it carries no cached state."""
+    k = k or 4 * denom
+    summ = mg_summaries(items, item_col, k)
+    # The summary is <= (k+1) rows per partition — persisting it is the
+    # point (pass 1 must run once, and two scalar reads follow); it is
+    # unpersisted before return so the output plan owns no cache state.
+    summ.persist()
+    try:
+        n_total = summ.filter(F.col(item_col).isNull()) \
+            .agg(F.sum("c")).collect()[0][0] or 0
+        if n_total == 0:
+            return (items.select(item_col).limit(0)
+                    .withColumn("cnt", F.lit(0).cast("long")))
+        # candidate iff mg_sum >= N/denom - N/(k+1), cross-multiplied to
+        # stay in exact integers: mg_sum * denom * (k+1) >= N * (k+1-denom)
+        cand_rows = (summ.filter(F.col(item_col).isNotNull())
+                     .groupBy(item_col).agg(F.sum("c").alias("s"))
+                     .filter(F.col("s") * denom * (k + 1)
+                             >= n_total * (k + 1 - denom))
+                     .select(item_col).collect())
+    finally:
+        summ.unpersist()
+    spark = items.sparkSession
+    cands = spark.createDataFrame(
+        cand_rows, StructType([StructField(
+            item_col, items.schema[item_col].dataType, True)]))
+    return (items.join(F.broadcast(cands), item_col, "leftsemi")
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * denom >= F.lit(n_total)))

@@ -190,6 +190,47 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra-Gries candidate pass + exact verify)
+# ---------------------------------------------------------------------------
+
+HEAVY_DENOM = 1000  # heavy = frequency >= 1/1000 of all bigram slots
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT t[i] || ' ' || t[i + 1] AS bigram
+              FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+        c AS (SELECT bigram, count(*) AS cnt FROM g GROUP BY bigram)
+        SELECT bigram, cnt
+        FROM c
+        WHERE cnt * {HEAVY_DENOM} >= (SELECT count(*) FROM g)
+    """,
+    tags=("llm", "heavy-hitters", "X43"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus token-bigrams with frequency >= 1/HEAVY_DENOM — the
+    boilerplate-phrase census a dedup guard or stop-phrase filter feeds on.
+
+    EXACT output via the two-pass algorithm (operators/heavy.py): a
+    map-side Misra-Gries pass bounds the candidate set (the corpus's long
+    tail never shuffles), then a broadcast-semi-joined exact count applies
+    the integer threshold ``cnt * denom >= N``.  The oracle is the naive
+    GROUP BY + scalar-subquery HAVING — identical results because the
+    threshold arithmetic is all-integer and the MG pass guarantees no
+    false negatives (reference has no frequency operator; this is the
+    §2-extension X43 row)."""
+    from ..operators.heavy import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = docs.select(
+        F.explode(_ngrams(toks, F.size(toks), 2)).alias("bigram"))
+    return heavy_hitters(grams, "bigram", denom=HEAVY_DENOM, k=2048)
+
+
+# ---------------------------------------------------------------------------
 # Source-weighted sampling (mixture weighting)
 # ---------------------------------------------------------------------------
 

@@ -25,9 +25,7 @@ from .catalog import query
 from .tpch import _revenue_cents, _sql_revenue_cents
 
 
-@query(
-    "tpch_q7_volume_shipping",
-    oracle=f"""
+TPCH_Q7_ORACLE = f"""
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -43,15 +41,22 @@ from .tpch import _revenue_cents, _sql_revenue_cents
           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
           AND l.l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1, 2, 3
-    """,
-    tags=("J1", "A1", "A4", "P5"),
-)
+"""
+
+
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral shipping volume between two nations by year.
     Both nation dims broadcast; the OR-of-pairs predicate lands after the
     joins (it references both sides), but nation is 25 rows so the
     broadcast-hash joins are free and lineitem is filtered on shipdate at
-    the scan."""
+    the scan.
+
+    Pytest-differential (TPCH_Q7_ORACLE above): displaced from the 50-row
+    driver catalog by text_heavy_hitters in r9 — its operator shapes
+    (multi-fact join with broadcast dims, post-join OR predicate, yearly
+    GROUP BY sum) stay gated via tpch_q5 / tpch_q8 / tpch_q9; the oracle
+    gate continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
@@ -343,9 +348,7 @@ _Q15_REVENUE = f"""
 """
 
 
-@query(
-    "tpch_q15_top_supplier",
-    oracle=f"""
+TPCH_Q15_ORACLE = f"""
         WITH revenue AS ({_Q15_REVENUE})
         SELECT s.s_suppkey AS supplier_key,
                s.s_name AS supplier_name,
@@ -353,14 +356,21 @@ _Q15_REVENUE = f"""
         FROM supplier s
         JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_units = (SELECT MAX(total_units) FROM revenue)
-    """,
-    tags=("J1", "A1", "A7"),
-)
+"""
+
+
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: quarterly revenue view + scalar-subquery MAX filter.
     The revenue aggregate is computed once and self-referenced: Spark
     evaluates the MAX as a scalar subquery over the reused plan (exact
-    integer units, so max-equality is safe — no double ties)."""
+    integer units, so max-equality is safe — no double ties).
+
+    Pytest-differential (TPCH_Q15_ORACLE above): displaced from the 50-row
+    driver catalog by events_range_join in r9 — its operator shapes
+    (scalar-subquery threshold, broadcast single-row join, grouped sum)
+    stay gated via tpch_q2 / tpch_q11 / grain_check_fanout; the oracle
+    gate continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
     revenue = (

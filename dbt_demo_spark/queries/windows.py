@@ -219,3 +219,49 @@ def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@query(
+    "events_range_join",
+    oracle="""
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events),
+        p AS (SELECT user_id, event_id AS click_id, us AS pt FROM ev
+              WHERE event_type = 'click'),
+        iv AS (SELECT user_id, event_id AS signup_id, us AS s,
+                      us + 3600000000 AS e FROM ev
+               WHERE event_type = 'signup')
+        SELECT p.user_id, click_id, signup_id
+        FROM p JOIN iv ON p.user_id = iv.user_id
+                      AND p.pt >= iv.s AND p.pt < iv.e
+    """,
+    tags=("range-join", "J-range"),
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: every click inside the hour after a signup
+    by the same user (attribution windows).  The oracle is DuckDB's plain
+    inequality join; the Spark plan is operators/asof.range_join's
+    bucketized decomposition — intervals explode onto a 10-minute grid,
+    points map to their single cell, and the join is an EQUI hash join on
+    (user_id, bucket) plus a residual bounds filter, never a nested loop
+    (the only plan Catalyst itself has for a non-equi conjunct).  At 100 TB
+    the shuffle distributes on (key, bucket), so a hot user's windows
+    spread across its time cells instead of one reducer."""
+    from ..operators.asof import range_join
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    points = (base.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("us").alias("pt")))
+    intervals = (base.filter(F.col("event_type") == "signup")
+                 .select("user_id", F.col("event_id").alias("signup_id"),
+                         F.col("us").alias("s"),
+                         (F.col("us") + 3_600_000_000).alias("e")))
+    return (range_join(points, intervals, on="user_id", point_col="pt",
+                       start_col="s", end_col="e",
+                       bucket_width=600_000_000)
+            .select("user_id", "click_id", "signup_id"))
