@@ -48,6 +48,7 @@ class ModelDef:
     incremental_strategy: str = "insert_overwrite"  # or "merge" (upsert)
     unique_key: tuple[str, ...] = ()     # merge strategy's row identity
     on_schema_change: str = "ignore"     # | "fail" | "append_new_columns"
+    tags: tuple[str, ...] = ()           # dbt tags (selection: tag:x)
     doc: str = ""
 
 
@@ -108,7 +109,8 @@ class ModelRegistry:
               watermark_col: str = "",
               incremental_strategy: str = "insert_overwrite",
               unique_key: tuple[str, ...] = (),
-              on_schema_change: str = "ignore") -> Callable[[ModelFn], ModelFn]:
+              on_schema_change: str = "ignore",
+              tags: tuple[str, ...] = ()) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
@@ -127,6 +129,7 @@ class ModelRegistry:
                                    incremental_strategy=incremental_strategy,
                                    unique_key=tuple(unique_key),
                                    on_schema_change=on_schema_change,
+                                   tags=tuple(tags),
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -151,6 +154,7 @@ class ModelRegistry:
                     "incremental_strategy": m.incremental_strategy,
                     "unique_key": list(m.unique_key),
                     "on_schema_change": m.on_schema_change,
+                    "tags": list(m.tags),
                     "description": m.doc,
                 } for m in self._models.values()
             },

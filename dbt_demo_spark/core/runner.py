@@ -129,13 +129,22 @@ class Runner:
         return model_name
 
     def run(self, sources: dict[str, DataFrame],
-            select: list[str] | None = None,
+            select: list[str] | str | None = None,
+            exclude: str | None = None,
             threads: int = 1,
             cache_sources: bool = False,
             refresh: str = "full") -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
+
+        ``select`` / ``exclude`` take dbt's node-selection grammar when
+        given as strings (``"+mart_x tag:nightly"``, ``"stg_*+2"``,
+        ``"@stg_loans"`` — core/selection.py); a list of names keeps the
+        legacy exact-name behavior.  Either way the runner still builds
+        unselected ANCESTORS the targets need (topo_order's upstream
+        closure) — parents here are in-memory views, not deferrable
+        warehouse state.
 
         ``threads`` > 1 runs INDEPENDENT DAG branches concurrently — the
         dbt ``threads`` profile setting [public knowledge]: a model is
@@ -172,6 +181,15 @@ class Runner:
         if refresh not in ("full", "changed"):
             raise ValueError(f"refresh must be 'full' or 'changed', "
                              f"got {refresh!r}")
+        if isinstance(select, str) or exclude:
+            from .selection import select_nodes
+
+            if isinstance(select, list):
+                # legacy exact-name list, narrowed by the exclude grammar
+                keep = set(select_nodes(self.registry, None, exclude))
+                select = [n for n in select if n in keep]
+            else:
+                select = select_nodes(self.registry, select, exclude)
         self._refresh_changed = refresh == "changed"
         self._fp_memo: dict[str, str | None] = {}
         self.last_refresh_report = {"built": [], "skipped": []}

@@ -30,7 +30,8 @@ REGISTRY = ModelRegistry()
 _model = REGISTRY.model
 
 
-@_model("stg_loans", deps=("raw_loans",), materialized="view")
+@_model("stg_loans", deps=("raw_loans",), materialized="view",
+        tags=("staging",))
 def stg_loans(refs: dict[str, DataFrame]) -> DataFrame:
     """Staging view: rename + date cast over raw_loans
     (models/staging/stg_loans.sql:5-17)."""
@@ -47,7 +48,8 @@ def stg_loans(refs: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-@_model("stg_loan_payments", deps=("raw_loan_payments",), materialized="view")
+@_model("stg_loan_payments", deps=("raw_loan_payments",),
+        materialized="view", tags=("staging",))
 def stg_loan_payments(refs: dict[str, DataFrame]) -> DataFrame:
     """Staging view: rename + date cast over raw_loan_payments
     (models/staging/stg_loan_payments.sql:5-15)."""
@@ -63,7 +65,7 @@ def stg_loan_payments(refs: dict[str, DataFrame]) -> DataFrame:
 
 
 @_model("fct_loan_details", deps=("stg_loans", "loan_types"),
-        materialized="table")
+        materialized="table", tags=("mart",))
 def fct_loan_details(refs: dict[str, DataFrame]) -> DataFrame:
     """Dimension join + LTV + amortization
     (models/marts/fct_loan_details.sql:8-36).
@@ -153,7 +155,7 @@ def _combined_cols() -> list:
 
 
 @_model("agg_monthly_loans", deps=("fct_loan_details", "stg_loan_payments"),
-        materialized="table", partition_by=("month",))
+        materialized="table", partition_by=("month",), tags=("mart", "nightly"))
 def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
     """REFERENCE-FAITHFUL (buggy) monthly rollup
     (models/marts/agg_monthly_loans.sql:1-53), including the fan-out join
@@ -178,7 +180,8 @@ def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
 
 @_model("agg_monthly_loans_fixed",
         deps=("fct_loan_details", "stg_loan_payments"),
-        materialized="incremental", partition_by=("month",))
+        materialized="incremental", partition_by=("month",),
+        tags=("mart", "nightly"))
 def agg_monthly_loans_fixed(refs: dict[str, DataFrame]) -> DataFrame:
     """The corrected rollup per docs/bug-analysis.md:161-174: no loan-level
     join, grain is exactly one row per (month, loan_type_name).
