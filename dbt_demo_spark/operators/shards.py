@@ -256,3 +256,30 @@ def shard_census(docs: DataFrame, spec: ShardSpec,
              .cast("long").alias("n_tokens"),
              *cost_aggs)
     )
+
+
+def packing_utilization(seq: DataFrame, spec: ShardSpec) -> DataFrame:
+    """Per-(split, shard) bin-utilization receipt over the packed layout
+    (build_training_shards output): bin count, packed cost, mean fill
+    fraction against the budget, and the fill of the emptiest/fullest
+    bin.  This is the number a capacity plan runs on — utilization says
+    how many shard files the token budget actually bought.
+
+    Also the auditable FFD floor: within any packing group, at most ONE
+    bin can be half-empty (two such bins would have been merged by
+    first-fit), so ``n_half_empty <= 1`` per (split, shard) — asserted in
+    tests/test_shards.py as the composition-survives invariant."""
+    cost = "n_cost" if spec.cost_model == "subword" else "n_tokens"
+    fill = F.col(cost) / F.lit(spec.budget)
+    return (seq
+            .select("split", "shard", F.col(cost).alias("_cost"),
+                    fill.alias("_fill"))
+            .groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_bins"),
+                 F.sum("_cost").cast("long").alias("packed_cost"),
+                 (F.sum("_cost") / (F.count(F.lit(1)) * spec.budget))
+                 .alias("utilization"),
+                 F.min("_fill").alias("min_fill"),
+                 F.max("_fill").alias("max_fill"),
+                 F.sum(F.when(F.col("_fill") <= 0.5, 1).otherwise(0))
+                 .cast("long").alias("n_half_empty")))

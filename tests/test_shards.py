@@ -266,3 +266,38 @@ def test_shard_census_subword_zero_overlap(spark, docs):
     doc_total = docs.select(
         F.sum(subword_cost(F.col("text"))).alias("t")).first().t
     assert census_total == doc_total
+
+
+def test_packing_utilization_receipt(spark, docs):
+    """Utilization receipt agrees with a direct recompute from the packed
+    bins, fills are sane, and the FFD floor holds: at most one half-empty
+    bin per (split, shard) group."""
+    from dbt_demo_spark.operators.shards import packing_utilization
+
+    seq = build_training_shards(docs, SPEC)
+    util = packing_utilization(seq, SPEC)
+    rows = util.collect()
+    assert rows, "census must be non-empty"
+    direct = {(r.split, r.shard): (r.n_bins, r.packed_cost)
+              for r in seq.groupBy("split", "shard")
+              .agg(F.count(F.lit(1)).alias("n_bins"),
+                   F.sum("n_tokens").cast("long").alias("packed_cost"))
+              .collect()}
+    for r in rows:
+        assert (r.n_bins, r.packed_cost) == direct[(r.split, r.shard)]
+        assert 0.0 < r.utilization <= 1.0
+        assert 0.0 < r.min_fill <= r.max_fill <= 1.0
+        assert abs(r.utilization - r.packed_cost / (r.n_bins * SPEC.budget)) < 1e-12
+        assert r.n_half_empty <= 1, \
+            f"two half-empty bins in {(r.split, r.shard)} — first-fit broken"
+
+
+def test_packing_utilization_subword_cost_model(spark, docs):
+    from dbt_demo_spark.operators.shards import packing_utilization
+
+    spec = ShardSpec(chunk_tokens=32, budget=128, overlap=4, n_shards=4,
+                     cost_model="subword")
+    seq = build_training_shards(docs, spec)
+    for r in packing_utilization(seq, spec).collect():
+        assert 0.0 < r.utilization <= 1.0
+        assert r.n_half_empty <= 1
