@@ -49,6 +49,8 @@ class ModelDef:
     unique_key: tuple[str, ...] = ()     # merge strategy's row identity
     on_schema_change: str = "ignore"     # | "fail" | "append_new_columns"
     tags: tuple[str, ...] = ()           # dbt tags (selection: tag:x)
+    zorder_by: tuple[str, ...] = ()      # Morton-clustered file layout
+    zorder_files: int = 0                # target file count (0 = let AQE)
     doc: str = ""
 
 
@@ -90,6 +92,19 @@ class ModelRegistry:
             raise ValueError(
                 f"model {mdef.name}: on_schema_change only applies to "
                 "incremental materialization")
+        if mdef.zorder_by:
+            if mdef.materialized != "table":
+                raise ValueError(
+                    f"model {mdef.name}: zorder_by only applies to table "
+                    "materialization")
+            if mdef.bucket_by:
+                raise ValueError(
+                    f"model {mdef.name}: zorder_by and bucket_by are "
+                    "mutually exclusive layouts (hash-clustered buckets "
+                    "vs range-clustered Morton files)")
+        elif mdef.zorder_files:
+            raise ValueError(
+                f"model {mdef.name}: zorder_files without zorder_by")
         self._models[mdef.name] = mdef
 
     def __getitem__(self, name: str) -> ModelDef:
@@ -110,7 +125,9 @@ class ModelRegistry:
               incremental_strategy: str = "insert_overwrite",
               unique_key: tuple[str, ...] = (),
               on_schema_change: str = "ignore",
-              tags: tuple[str, ...] = ()) -> Callable[[ModelFn], ModelFn]:
+              tags: tuple[str, ...] = (),
+              zorder_by: tuple[str, ...] = (),
+              zorder_files: int = 0) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
@@ -130,6 +147,8 @@ class ModelRegistry:
                                    unique_key=tuple(unique_key),
                                    on_schema_change=on_schema_change,
                                    tags=tuple(tags),
+                                   zorder_by=tuple(zorder_by),
+                                   zorder_files=zorder_files,
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -155,6 +174,8 @@ class ModelRegistry:
                     "unique_key": list(m.unique_key),
                     "on_schema_change": m.on_schema_change,
                     "tags": list(m.tags),
+                    "zorder_by": list(m.zorder_by),
+                    "zorder_files": m.zorder_files,
                     "description": m.doc,
                 } for m in self._models.values()
             },

@@ -47,6 +47,7 @@ import tempfile
 import threading
 from urllib.parse import unquote, urlparse
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .model import ModelRegistry
@@ -228,7 +229,8 @@ class Runner:
         mdef = self.registry[name]
         parts = [name, mdef.materialized, ",".join(mdef.partition_by),
                  ",".join(mdef.bucket_by), str(mdef.n_buckets),
-                 mdef.watermark_col]
+                 mdef.watermark_col, ",".join(mdef.zorder_by),
+                 str(mdef.zorder_files)]
         try:
             parts.append(inspect.getsource(mdef.fn))
         except (OSError, TypeError):
@@ -313,7 +315,8 @@ class Runner:
             df = mdef.fn(refs)
         if mdef.materialized == "table":
             df = self._materialize_table(name, df, mdef.partition_by,
-                                         mdef.bucket_by, mdef.n_buckets)
+                                         mdef.bucket_by, mdef.n_buckets,
+                                         mdef.zorder_by, mdef.zorder_files)
         elif mdef.materialized == "incremental":
             if mdef.incremental_strategy == "merge":
                 df = self._materialize_merge(name, df, mdef.partition_by,
@@ -374,8 +377,28 @@ class Runner:
     def _materialize_table(self, name: str, df: DataFrame,
                            partition_by: tuple[str, ...],
                            bucket_by: tuple[str, ...] = (),
-                           n_buckets: int = 0) -> DataFrame:
+                           n_buckets: int = 0,
+                           zorder_by: tuple[str, ...] = (),
+                           zorder_files: int = 0) -> DataFrame:
         path = os.path.join(self.warehouse_dir, name)
+        if zorder_by:
+            # Morton-clustered file layout (operators/layout.py): range-
+            # partition on the Z value so each file covers one compact
+            # hyper-rectangle of the zorder_by space — multi-dimensional
+            # data skipping via parquet footer stats, next to partition_by
+            # (directory pruning, one dim) and bucket_by (join clustering).
+            # With partition_by the range shuffle leads with the partition
+            # keys so each partition directory gets its own Z-run of files.
+            from ..operators.layout import zorder_column
+
+            zc = "__zval__"
+            keys = [F.col(c) for c in partition_by] + [F.col(zc)]
+            df = df.withColumn(zc, zorder_column(df, list(zorder_by)))
+            # an explicit zorder_files pins the file count (a skipping
+            # layout wants MANY small Z-ranges; AQE would coalesce them)
+            df = (df.repartitionByRange(zorder_files, *keys)
+                  if zorder_files else df.repartitionByRange(*keys))
+            df = df.sortWithinPartitions(zc).drop(zc)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -69,3 +69,49 @@ def test_single_and_degenerate_columns(spark, tmp_path):
         zorder_column(df, [], bits=8)
     with pytest.raises(ValueError):
         zorder_column(df, ["x", "c"], bits=32)
+
+
+def test_runner_zorder_materialization(spark, tmp_path):
+    """A table model with zorder_by writes a Morton-clustered layout: rows
+    identical to the plain build, and the skipping receipt shows real
+    pruning for a box predicate while a random layout reads everything."""
+    import pyspark.sql.functions as F
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    reg = ModelRegistry()
+
+    @reg.model("pts_z", deps=("raw",), materialized="table",
+               zorder_by=("x", "y"), zorder_files=16)
+    def pts_z(refs):
+        return refs["raw"].repartition(16)
+
+    src = spark.range(0, 60_000).select(
+        (F.col("id") % 251).alias("x"),
+        ((F.col("id") * 104729) % 241).alias("y"),
+        F.sha1(F.col("id").cast("string")).alias("pad"))
+    wh = str(tmp_path / "wh")
+    runner = Runner(spark, reg, warehouse_dir=wh, catalog_namespace="zt")
+    out = runner.run({"raw": src})["pts_z"]
+    assert out.count() == 60_000
+    import os
+    rec = skipping_receipt(os.path.join(wh, "pts_z"),
+                           {"x": (0, 31), "y": (0, 30)})
+    assert rec["files"] == 16
+    assert rec["frac_read"] <= 0.25, rec
+
+
+def test_zorder_bucket_conflict_rejected():
+    from dbt_demo_spark.core.model import ModelRegistry
+    import pytest as _pytest
+
+    reg = ModelRegistry()
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        @reg.model("bad", materialized="table", zorder_by=("x",),
+                   bucket_by=("x",), n_buckets=4)
+        def bad(refs):
+            return None
+    with _pytest.raises(ValueError, match="table materialization"):
+        @reg.model("bad2", materialized="view", zorder_by=("x",))
+        def bad2(refs):
+            return None
