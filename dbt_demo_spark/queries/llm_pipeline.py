@@ -640,6 +640,116 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def pq_residual_oracle() -> str:
+    """DuckDB twin of the residual (IVFADC) SERVING path — the pytest-tier
+    differential (tests/test_pq.py::test_residual_frozen_serving_matches_
+    duckdb_oracle; the catalog's 50-row window carries the plain-PQ twin).
+
+    Identical skeleton to _pq_oracle with two deltas, exactly the deltas
+    of the algorithm [Jegou et al. 2011]: the per-subspace encode argmin
+    runs over the RESIDUAL (v - coarse_centroid[assigned cluster]) against
+    the frozen residual codebooks, and reconstruction adds the coarse
+    centroid back element-first (centroid[i] + codeword[i], matching the
+    Spark side's zip_with(cent, recon, +) association) before the one
+    full-width cosine fold over the TRUE corpus norm."""
+    from ..operators.ivf_frozen import FROZEN_CENTROIDS
+    from ..operators.pq import SUB_DIM
+    from ..operators.pq_residual_frozen import FROZEN_RESIDUAL_CODEBOOKS
+
+    def _dlit(v: float) -> str:
+        r = repr(v)
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    cent_values = ",\n               ".join(
+        f"({i}, CAST([{', '.join(_dlit(v) for v in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(FROZEN_CENTROIDS))
+    book_values = ",\n               ".join(
+        f"({m}, {j}, CAST([{', '.join(_dlit(v) for v in cw)}] AS DOUBLE[]))"
+        for m, book in enumerate(FROZEN_RESIDUAL_CODEBOOKS)
+        for j, cw in enumerate(book))
+    return f"""
+    WITH cents(cluster_id, centroid) AS (
+        VALUES {cent_values}
+    ),
+    books(m, j, cw) AS (
+        VALUES {book_values}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dv AS (
+        SELECT e.vec_id, c.cluster_id,
+               [e.v[i] - c.centroid[i]
+                for i in generate_series(1, len(e.v))] AS d
+        FROM emb e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(d, d),
+                                           cluster_id) AS rk
+        FROM dv
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, cluster_id FROM assign
+               WHERE rk = 1),
+    probes AS (SELECT vec_id AS query_id, cluster_id FROM assign
+               WHERE rk <= 2 AND vec_id % 50 = 0),
+    -- the residual each corpus vector quantizes: v - its coarse centroid
+    resid AS (
+        SELECT a.vec_id, a.cluster_id,
+               [e.v[i] - c.centroid[i]
+                for i in generate_series(1, len(e.v))] AS rv
+        FROM assign a
+        JOIN emb e ON e.vec_id = a.vec_id
+        JOIN cents c ON c.cluster_id = a.cluster_id
+        WHERE a.rk = 1
+    ),
+    subdist AS (
+        SELECT r.vec_id, b.m, b.j,
+               [r.rv[b.m * {SUB_DIM} + i] - b.cw[i]
+                for i in generate_series(1, {SUB_DIM})] AS d
+        FROM resid r CROSS JOIN books b
+    ),
+    enc AS (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY list_dot_product(d, d), j) AS rk
+        FROM subdist
+    ),
+    recon AS (
+        SELECT e.vec_id, flatten(list(b.cw ORDER BY b.m)) AS rr
+        FROM enc e JOIN books b ON b.m = e.m AND b.j = e.j
+        WHERE e.rk = 1 GROUP BY e.vec_id
+    ),
+    -- IVFADC reconstruction: coarse centroid added back element-first
+    full_recon AS (
+        SELECT r.vec_id,
+               [c.centroid[i] + r.rr[i]
+                for i in generate_series(1, len(r.rr))] AS fv
+        FROM recon r
+        JOIN resid rs ON rs.vec_id = r.vec_id
+        JOIN cents c ON c.cluster_id = rs.cluster_id
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               list_dot_product(q.v, f.fv)
+                 / ({sql_norm('q.v')} * {sql_norm('n.v')}) AS score
+        FROM probes p
+        JOIN corpus c USING (cluster_id)
+        JOIN emb q ON q.vec_id = p.query_id
+        JOIN emb n ON n.vec_id = c.neighbor_id
+        JOIN full_recon f ON f.vec_id = c.neighbor_id
+        WHERE p.query_id != c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 5
+"""
+
+
 _EMB_DUP_THRESHOLD = 0.3
 
 _EMB_NEAR_DUP_ORACLE = f"""

@@ -283,3 +283,27 @@ def test_table_adc_receipt_faster_at_width(spark, tmp_path):
     # reconstruction; table form must not
     assert "flatten" in plan_recon
     assert "flatten" not in plan_table
+
+
+def test_residual_frozen_serving_matches_duckdb_oracle(spark, tmp_path):
+    """The IVFADC serving path (frozen residual codebooks,
+    tools/freeze_pq.py --residual) hash-matches its full DuckDB oracle at
+    the driver's gate scale — the same rigor the catalog's plain-PQ row
+    gets, kept at the pytest tier because the 50-row window is full."""
+    from dbt_demo_spark.operators.pq_residual_frozen import (
+        FROZEN_RESIDUAL_CODEBOOKS)
+    from dbt_demo_spark.queries.llm_pipeline import pq_residual_oracle
+    from dbt_demo_spark.testing import compare, duckdb_connection
+    from tests.conftest import SF_GATE
+
+    emb = load_table(spark, SF_GATE, "embeddings")
+    idx = pq.build_pq_index(emb, str(tmp_path / "pqr"),
+                            centroids=FROZEN_CENTROIDS,
+                            codebooks=FROZEN_RESIDUAL_CODEBOOKS,
+                            residual=True)
+    out = (pq.pq_topk_indexed(emb.filter(F.col("vec_id") % 50 == 0),
+                              idx, k=5, nprobe=2)
+           .withColumn("rank", F.col("rank").cast("int")))
+    con = duckdb_connection(SF_GATE)
+    res = compare("pq_residual_frozen", out, con, pq_residual_oracle())
+    assert res.ok, res.detail
