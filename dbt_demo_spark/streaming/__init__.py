@@ -1,5 +1,6 @@
 from .dedup import (streaming_dedup_within_watermark, streaming_first_seen,
                     streaming_first_seen_ttl)
+from .heavy import streaming_heavy_hitter_sketch
 from .ingest import clean_ingest, ingest_batch, read_document_stream
 from .join import interval_join
 from .rollup import read_event_stream, session_rollup, streaming_hourly_rollup
@@ -8,4 +9,5 @@ from .sink import rollup_to_warehouse, stream_static_enrich
 __all__ = ["clean_ingest", "ingest_batch", "interval_join", "read_document_stream", "read_event_stream", "rollup_to_warehouse",
            "session_rollup", "stream_static_enrich",
            "streaming_dedup_within_watermark", "streaming_first_seen",
-           "streaming_first_seen_ttl", "streaming_hourly_rollup"]
+           "streaming_first_seen_ttl", "streaming_heavy_hitter_sketch",
+           "streaming_hourly_rollup"]

@@ -90,3 +90,58 @@ def test_crash_leftover_dirs_are_ignored(spark, tmp_path):
     plan = plan_compaction(path)
     assert all("__compact_" not in l["leaf"] for l in plan["leaves"])
     assert len(_leaf_dirs(path)) == 4
+
+
+def test_compaction_after_streaming_ingest(spark, tmp_path):
+    """The maintenance pass composes with the ingestion warehouse: each
+    ingest_batch_id leaf compacts independently, rows and the partition
+    column survive exactly, and a restart with no new files still sees
+    the compacted layout untouched (exactly-once unaffected — a replayed
+    batch would dynamic-overwrite its own leaf wholesale anyway)."""
+    from dbt_demo_spark.sources.parquet import load_table
+    from dbt_demo_spark.streaming import clean_ingest, read_document_stream
+    from tests.conftest import SF_GATE
+
+    docs = load_table(spark, SF_GATE, "documents")
+    landing = str(tmp_path / "landing")
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(landing, mode="append")
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(landing, mode="append")
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    stream = read_document_stream(spark, landing, max_files_per_trigger=1)
+    q = (clean_ingest(stream, idx, out, str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    before = _rows(spark, out)
+    batches = {r.ingest_batch_id for r in
+               spark.read.parquet(out).select("ingest_batch_id")
+               .distinct().collect()}
+    assert len(batches) == 2
+
+    # locally AQE coalesces each micro-batch to one file; a cluster write
+    # lands tasks-many files per leaf — simulate that fragmentation
+    for leaf in [l["leaf"] for l in plan_compaction(out)["leaves"]]:
+        lp = os.path.join(out, leaf)
+        frag = spark.read.parquet(lp).repartition(5)
+        frag.write.mode("overwrite").parquet(lp + ".__frag__")
+        import shutil
+        shutil.rmtree(lp)
+        os.rename(lp + ".__frag__", lp)
+    assert all(l["files"] == 5 for l in plan_compaction(out)["leaves"])
+    assert _rows(spark, out) == before
+
+    rec = compact_parquet(spark, out, target_bytes=1 << 30)
+    assert rec["leaves_rewritten"] == 2
+    assert rec["files_after"] == 2
+    assert _rows(spark, out) == before
+
+    # restart with no new landing files: nothing fires, layout untouched
+    files_now = plan_compaction(out)["leaves"]
+    q = (clean_ingest(read_document_stream(spark, landing,
+                                           max_files_per_trigger=1),
+                      idx, out, str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert plan_compaction(out)["leaves"] == files_now
+    assert _rows(spark, out) == before

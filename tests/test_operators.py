@@ -1155,3 +1155,73 @@ def test_dedup_catalog_rows_serve_from_feature_memo(spark):
                      None, corpus, 0.5, max_doc_freq=lp._MAX_DOC_FREQ,
                      query_filter=F.col("doc_id") % 20 == 0).collect()}
     assert row_ng == inline_ng
+
+
+def test_streaming_heavy_hitter_sketch_bounds(spark, tmp_path):
+    """Streaming MG sketch (streaming/heavy.py): after the backlog drains,
+    each shard's final summary must obey the batch operator's guarantees
+    against exact full-prefix counts — never overcount, undercount by at
+    most shard_n/(k+1), at most k counters held — and every globally
+    frequent bigram must be present in its shard's sketch."""
+    from dbt_demo_spark.streaming import read_document_stream
+    from dbt_demo_spark.streaming.heavy import streaming_heavy_hitter_sketch
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    (landing / "documents.parquet").symlink_to(
+        f"{SF_SMOKE}/documents.parquet")
+
+    K, SHARDS = 64, 8
+
+    def bigrams(df):
+        t = F.split(F.col("text"), " ")
+        m = F.greatest(F.size(t) - 1, F.lit(0))
+        bg = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+        return df.select(F.explode(bg).alias("item"))
+
+    stream = streaming_heavy_hitter_sketch(
+        bigrams(read_document_stream(spark, str(landing),
+                                     max_files_per_trigger=1)),
+        k=K, n_shards=SHARDS)
+    q = (stream.writeStream.format("memory").queryName("hh_sketch")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # latest emission per shard = highest shard_n
+    rows = spark.sql("SELECT * FROM hh_sketch").collect()
+    latest_n = {}
+    for r in rows:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.shard_n)
+    sketch = {}   # (shard, item) -> mg_count
+    for r in rows:
+        if r.shard_n == latest_n[r.shard]:
+            sketch[(r.shard, r.item)] = r.mg_count
+
+    # exact ground truth with the same routing
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {(r.shard, r.item): r.cnt for r in
+             bigrams(docs)
+             .select("item", F.pmod(F.xxhash64("item"), F.lit(SHARDS))
+                     .cast("int").alias("shard"))
+             .groupBy("shard", "item")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    shard_n = {}
+    for (sh, _it), c in exact.items():
+        shard_n[sh] = shard_n.get(sh, 0) + c
+    assert sum(shard_n.values()) == sum(latest_n.values())
+
+    per_shard_counters = {}
+    for (sh, it), c in sketch.items():
+        per_shard_counters[sh] = per_shard_counters.get(sh, 0) + 1
+        assert c <= exact[(sh, it)], "sketch must never overcount"
+    for sh, cnt in per_shard_counters.items():
+        assert cnt <= K
+    for (sh, it), true in exact.items():
+        got = sketch.get((sh, it), 0)
+        assert got >= true - shard_n[sh] / (K + 1), \
+            f"undercount bound violated for {it} in shard {sh}"
+    # eviction actually happened (vocabulary outruns the counter budget)
+    assert len(exact) > sum(per_shard_counters.values())
