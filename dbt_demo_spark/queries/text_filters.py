@@ -393,3 +393,40 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("percentile(n_chars, array(0.25, 0.5, 0.9, 0.99))")
                  .alias("q_chars"),
                  F.count(F.lit(1)).alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram LM quality scoring (X40 — promoted to the driver gate, r8)
+# ---------------------------------------------------------------------------
+
+
+def _lm_oracle() -> str:
+    from ..operators import lm
+    from ..operators.lm_frozen import FROZEN_LM_TABLE
+
+    return lm.sql_bits_per_char_query(FROZEN_LM_TABLE, relation="documents")
+
+
+@query(
+    "text_lm_quality",
+    oracle=_lm_oracle(),
+    tags=("llm", "quality", "X40"),
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: bits-per-char of every
+    document under the FROZEN char-bigram LM (operators/lm_frozen.py,
+    trained once by tools/freeze_lm.py — the train-once / score-many model
+    lifecycle, same freeze pattern as sim_topk_ivf's centroids).  Scoring
+    is pure lookup+add over pre-logged doubles, so the JVM fold, the Arrow
+    twin, and the DuckDB oracle are BIT-IDENTICAL (tests/test_lm.py); the
+    plan is Scan -> Project with zero Exchange after the local `spread`.
+    At 100 TB this is the corpus-wide quality pass that feeds the
+    clean_corpus band filter (pipeline.py lm_table / bits_per_char band).
+
+    Reference parity: the reference has no quality stage; this is the
+    §2-extension X40 row (CCNet, Wenzek et al. 2020 [public knowledge])."""
+    from ..operators import lm
+    from ..operators.lm_frozen import FROZEN_LM_TABLE
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return lm.score_documents(docs, FROZEN_LM_TABLE)

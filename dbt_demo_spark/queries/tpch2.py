@@ -228,9 +228,7 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q13_customer_distribution",
-    oracle="""
+TPCH_Q13_ORACLE = """
         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
         FROM (
             SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
@@ -240,14 +238,20 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY c.c_custkey
         )
         GROUP BY c_count
-    """,
-    tags=("J1", "A1", "A6"),
-)
+"""
+
+
 def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: orders-per-customer distribution via filtered LEFT JOIN
     and two stacked aggregations (count of non-null keys preserves
     zero-order customers).  Second groupBy is on an integer — trivially
-    skew-safe."""
+    skew-safe.
+
+    Pytest-differential (TPCH_Q13_ORACLE above): displaced from the 50-row
+    driver catalog by text_lm_quality in r9 — its operator shapes (outer
+    join with join-side predicate, stacked aggregation) stay gated via
+    agg_monthly_combined / tpch_q16; the oracle gate continues in
+    tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
     # Aggregate-before-join: collapsing orders to (custkey, n) BEFORE the

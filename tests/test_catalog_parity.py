@@ -39,8 +39,9 @@ def test_demoted_queries_still_match_oracle(spark, con):
     tpch_q22 (slot funds corpus_shard_census, r7),
     tpch_q14 (slot funds cube_pricing_levels, r8),
     tpch_q17 (slot funds sim_topk_pq, r8),
-    tpch_q7 (slot funds text_heavy_hitters, r9), and
-    tpch_q15 (slot funds events_range_join, r9)."""
+    tpch_q7 (slot funds text_heavy_hitters, r9),
+    tpch_q15 (slot funds events_range_join, r9), and
+    tpch_q13 (slot funds text_lm_quality, r9)."""
     from dbt_demo_spark.queries.llm_pipeline import (TEXT_TOKEN_COUNT_ORACLE,
                                                      text_token_count)
     from dbt_demo_spark.queries.reference_surface import (STG_ORDERS_ORACLE,
@@ -48,12 +49,13 @@ def test_demoted_queries_still_match_oracle(spark, con):
     from dbt_demo_spark.queries.text_filters import (
         CORPUS_LENGTH_QUANTILES_ORACLE, corpus_length_quantiles)
     from dbt_demo_spark.queries.tpch2 import (
-        TPCH_Q7_ORACLE, TPCH_Q12_ORACLE, TPCH_Q14_ORACLE, TPCH_Q15_ORACLE,
-        TPCH_Q17_ORACLE, TPCH_Q19_ORACLE, TPCH_Q20_ORACLE, TPCH_Q22_ORACLE,
-        tpch_q7_volume_shipping, tpch_q12_priority_shipping,
-        tpch_q14_promo_revenue, tpch_q15_top_supplier,
-        tpch_q17_small_quantity_revenue, tpch_q19_discounted_revenue,
-        tpch_q20_part_promotion, tpch_q22_global_sales_opportunity)
+        TPCH_Q7_ORACLE, TPCH_Q12_ORACLE, TPCH_Q13_ORACLE, TPCH_Q14_ORACLE,
+        TPCH_Q15_ORACLE, TPCH_Q17_ORACLE, TPCH_Q19_ORACLE, TPCH_Q20_ORACLE,
+        TPCH_Q22_ORACLE, tpch_q7_volume_shipping, tpch_q12_priority_shipping,
+        tpch_q13_customer_distribution, tpch_q14_promo_revenue,
+        tpch_q15_top_supplier, tpch_q17_small_quantity_revenue,
+        tpch_q19_discounted_revenue, tpch_q20_part_promotion,
+        tpch_q22_global_sales_opportunity)
 
     for fn, oracle in ((stg_orders, STG_ORDERS_ORACLE),
                        (text_token_count, TEXT_TOKEN_COUNT_ORACLE),
@@ -65,6 +67,7 @@ def test_demoted_queries_still_match_oracle(spark, con):
                        (tpch_q17_small_quantity_revenue, TPCH_Q17_ORACLE),
                        (tpch_q7_volume_shipping, TPCH_Q7_ORACLE),
                        (tpch_q15_top_supplier, TPCH_Q15_ORACLE),
+                       (tpch_q13_customer_distribution, TPCH_Q13_ORACLE),
                        (corpus_length_quantiles,
                         CORPUS_LENGTH_QUANTILES_ORACLE)):
         res = compare(fn.__name__, fn(spark, SF_GATE), con, oracle)

@@ -110,3 +110,18 @@ def test_clean_corpus_lm_band_validation(spark, tmp_path):
         clean_corpus(docs, str(tmp_path / "i1"), lm_table=[0.0] * 784)
     with pytest.raises(ValueError, match="need lm_table"):
         clean_corpus(docs, str(tmp_path / "i2"), max_bits_per_char=3.0)
+
+
+def test_frozen_table_matches_retraining(spark):
+    """The committed frozen table (operators/lm_frozen.py, the artifact the
+    catalog row text_lm_quality scores with) must equal retraining on the
+    gate-scale corpus with the frozen hyperparameters — catches silent
+    drift if the test data or the trainer changes without re-freezing."""
+    from dbt_demo_spark.operators.lm_frozen import (FROZEN_ALPHA,
+                                                    FROZEN_LM_TABLE,
+                                                    FROZEN_MAX_SAMPLE)
+
+    docs = load_table(spark, SF_GATE, "documents")
+    fresh = lm.train_char_bigram_lm(docs, max_sample=FROZEN_MAX_SAMPLE,
+                                    alpha=FROZEN_ALPHA)
+    assert list(FROZEN_LM_TABLE) == fresh
