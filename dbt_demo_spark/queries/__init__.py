@@ -23,5 +23,8 @@ from . import llm_pipeline  # noqa: E402,F401
 # corpus-hygiene surface: registers text_repetition (r5, displacing
 # tpch_q19 whose gate moved to a pytest differential — tpch2.py)
 from . import text_filters  # noqa: E402,F401
+# time-series reshaping: pivot + date-spine gap-fill (r9, displacing
+# tpch_q10 / tpch_q4 whose gates moved to pytest differentials — tpch.py)
+from . import timeseries  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query", "get_queries", "get_oracles"]

@@ -114,9 +114,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q4_late_orders",
-    oracle="""
+TPCH_Q4_ORACLE = """
         SELECT o.o_orderpriority AS order_priority,
                COUNT(*) AS order_count
         FROM orders o
@@ -128,13 +126,19 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
           )
         GROUP BY 1
-    """,
-    tags=("J-semi", "A1", "A6"),
-)
+"""
+
+
 def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS -> LEFT SEMI join (no fan-out, no dedup
     needed — the semi join short-circuits per order, and Spark pushes the
-    correlated date condition into the join)."""
+    correlated date condition into the join).
+
+    Pytest-differential (TPCH_Q4_ORACLE above): displaced from the 50-row
+    driver catalog by events_gapfill_ffill in r9 — its operator shape
+    (semi join) stays gated via tpch_q21's double semi/anti; the oracle
+    gate continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01"))
     li = load_table(spark, sf_dir, "lineitem")
@@ -228,9 +232,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q10_returned_items",
-    oracle=f"""
+TPCH_Q10_ORACLE = f"""
         SELECT c.c_custkey AS customer_key,
                c.c_name AS customer_name,
                SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}) / 10000.0 AS revenue,
@@ -246,11 +248,17 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 4, 5
         ORDER BY revenue DESC, customer_key
         LIMIT 20
-    """,
-    tags=("J1", "A1", "A4", "O1"),
-)
+"""
+
+
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue ranking, deterministic top-20."""
+    """TPC-H Q10: returned-item revenue ranking, deterministic top-20.
+
+    Pytest-differential (TPCH_Q10_ORACLE above): displaced from the 50-row
+    driver catalog by events_pivot_daily in r9 — its operator shapes
+    (multi-join + agg + deterministic top-k) stay gated via tpch_q3 /
+    tpch_q18; the oracle gate continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01"))
