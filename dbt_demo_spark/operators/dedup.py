@@ -21,7 +21,7 @@ interchangeable.  Scale notes per function.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.text import HASH_P, shingle_hashes, token_hashes
 
@@ -688,3 +688,58 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_dir: str,
                                        f"batch_{uuid.uuid4().hex}"))
         shutil.rmtree(staging, ignore_errors=True)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (repeated-passage removal, X46)
+# ---------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 20  # passage granularity: fixed windows of 20 tokens
+
+
+def passage_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  width: int = PASSAGE_TOKENS) -> DataFrame:
+    """Remove passages repeated ANYWHERE in the corpus, keeping the first
+    occurrence (global order = (doc_id, passage index)) and reassembling
+    each document from its surviving passages — the passage-granularity
+    analog of ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better" [public knowledge]; a true
+    suffix-array dedup is character-granular, this fixed-window form is
+    the distributable approximation the big corpus pipelines actually run).
+
+    Shape: tokenize -> fixed windows of `width` tokens (transform over a
+    generated index range, row-local) -> posexplode -> ONE shuffle
+    (row_number over the passage partition — high-cardinality key,
+    skew-safe) -> group back by doc.  Returns (doc_id, n_passages,
+    n_kept, clean_text); clean_text is NULL when every passage was a
+    repeat (whole-doc duplicates).
+
+    At 100 TB: the only wide ops are the passage-key shuffle and the
+    doc_id regroup — both on high-cardinality keys; at that scale swap
+    the raw-passage shuffle key for xxhash64(passage) and verify in-group
+    (same trick as exact_dedup's content hash).
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n_pass = F.ceil(F.size(toks) / float(width)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "))
+    exploded = (docs.select(id_col, passages.alias("_ps"))
+                .select(id_col, F.posexplode("_ps").alias("pidx", "passage")))
+    w = Window.partitionBy("passage").orderBy(id_col, "pidx")
+    ranked = exploded.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("_rn") == 1,
+                         F.struct(F.col("pidx"), F.col("passage")))
+    return (ranked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_passages"),
+                 F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_kept"),
+                 F.sort_array(F.collect_list(kept_struct)).alias("_keep"))
+            .select(id_col, "n_passages", "n_kept",
+                    F.when(F.col("n_kept") > 0,
+                           F.array_join(F.transform("_keep",
+                                                    lambda s: s.passage),
+                                        " ")).alias("clean_text")))

@@ -1121,3 +1121,51 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("k").alias("min_k"),
              F.max("k").alias("max_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (X46 — repeated-passage removal + reassembly)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_passage_exact",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks
+                   FROM documents),
+        p AS (
+            SELECT doc_id, CAST(u.i AS INT) AS pidx,
+                   array_to_string(
+                       toks[(u.i * {dedup.PASSAGE_TOKENS} + 1):
+                            (u.i * {dedup.PASSAGE_TOKENS}
+                             + {dedup.PASSAGE_TOKENS})], ' ') AS passage
+            FROM t, unnest(generate_series(
+                     0, CAST(ceil(len(toks) / {float(dedup.PASSAGE_TOKENS)})
+                             AS BIGINT) - 1)) AS u(i)
+        ),
+        r AS (SELECT doc_id, pidx, passage,
+                     row_number() OVER (PARTITION BY passage
+                                        ORDER BY doc_id, pidx) AS rn
+              FROM p)
+        SELECT doc_id,
+               COUNT(*) AS n_passages,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               string_agg(CASE WHEN rn = 1 THEN passage END,
+                          ' ' ORDER BY pidx) AS clean_text
+        FROM r GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "X46"),
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage removal with document reassembly
+    (operators/dedup.passage_dedup): every 20-token window that appears
+    anywhere earlier in the corpus is dropped, the document is stitched
+    back together from its surviving passages — the passage-granularity
+    analog of ExactSubstr dedup (Lee et al. 2021 [public knowledge]),
+    which whole-doc exact dedup (dedup_exact_keep_first) cannot express
+    (boilerplate repeats INSIDE otherwise-unique docs).  One shuffle on
+    the high-cardinality passage key, one regroup by doc_id; clean_text
+    is NULL for whole-doc duplicates (string_agg over no kept rows)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return dedup.passage_dedup(docs)

@@ -154,9 +154,7 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q5_local_supplier_volume",
-    oracle=f"""
+TPCH_Q5_ORACLE = f"""
         SELECT n.n_name AS nation_name,
                SUM({_sql_revenue_cents('l.l_extendedprice', 'l.l_discount')}) / 10000.0 AS revenue
         FROM customer c
@@ -169,14 +167,22 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1
-    """,
-    tags=("J1", "A1", "A4"),
-)
+"""
+
+
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join with tiny-dim broadcasts.  nation/region are
     broadcast explicitly; the region filter then prunes customers BEFORE the
     big orders/lineitem joins — the join order Catalyst's CBO would pick,
-    expressed declaratively."""
+    expressed declaratively.
+
+    Pytest-differential (TPCH_Q5_ORACLE above): displaced from the 50-row
+    driver catalog by dedup_passage_exact in r9 — its operator shapes
+    (multi-way join, broadcast dims, filtered fact agg) stay gated via
+    tpch_q9 / tpch_q21; per TPCH_TAIL.json it is stage-constants-bound at
+    local sf0.1, so the bench set loses no signal.  The oracle gate
+    continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))

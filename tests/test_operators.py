@@ -1225,3 +1225,48 @@ def test_streaming_heavy_hitter_sketch_bounds(spark, tmp_path):
             f"undercount bound violated for {it} in shard {sh}"
     # eviction actually happened (vocabulary outruns the counter budget)
     assert len(exact) > sum(per_shard_counters.values())
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (X46)
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_planted_fixture(spark):
+    """Planted corpus pins the three contracts: unique docs reassemble to
+    their original text verbatim; a doc repeating an EARLIER doc's passage
+    loses exactly that passage (first occurrence wins by (doc_id, pidx));
+    a whole-doc duplicate loses everything (NULL clean_text)."""
+    w = dedup.PASSAGE_TOKENS
+    pass_a = " ".join(f"a{i}" for i in range(w))      # one exact window
+    pass_b = " ".join(f"b{i}" for i in range(w))
+    tail = "unique trailing words here"
+    rows = [
+        (0, f"{pass_a} {pass_b}"),              # first owner of a + b
+        (1, f"{pass_a} {tail}"),                # repeats a, keeps its tail
+        (2, f"{pass_a} {pass_b}"),              # whole-doc duplicate of 0
+        (3, "entirely fresh text with no repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.passage_dedup(docs).collect()}
+
+    assert out[0].clean_text == rows[0][1]      # untouched, verbatim
+    assert out[0].n_kept == out[0].n_passages == 2
+    # doc 1: passage a removed, its own second window survives
+    assert out[1].clean_text == tail
+    assert (out[1].n_passages, out[1].n_kept) == (2, 1)
+    # doc 2: both passages already owned by doc 0
+    assert out[2].clean_text is None and out[2].n_kept == 0
+    assert out[3].clean_text == rows[3][1]
+
+
+def test_passage_dedup_partial_window_and_short_docs(spark):
+    """Docs shorter than one window are a single (short) passage; the
+    ragged final window participates like any other passage."""
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc"), (2, "other")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.passage_dedup(docs).collect()}
+    assert out[0].clean_text == "tiny doc"
+    assert out[1].clean_text is None            # short-doc dup still caught
+    assert out[2].clean_text == "other"
