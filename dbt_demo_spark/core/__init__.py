@@ -1,6 +1,6 @@
 from .model import ModelDef, ModelRegistry, model
-from .runner import Runner
+from .runner import BuildResult, NodeResult, Runner
 from .datatests import DataTest, run_data_tests
 
-__all__ = ["ModelDef", "ModelRegistry", "model", "Runner", "DataTest",
-           "run_data_tests"]
+__all__ = ["ModelDef", "ModelRegistry", "model", "Runner", "BuildResult",
+           "NodeResult", "DataTest", "run_data_tests"]

@@ -51,6 +51,7 @@ class ModelDef:
     tags: tuple[str, ...] = ()           # dbt tags (selection: tag:x)
     zorder_by: tuple[str, ...] = ()      # Morton-clustered file layout
     zorder_files: int = 0                # target file count (0 = let AQE)
+    tests: tuple = ()                    # attached DataTests (dbt build gates)
     doc: str = ""
 
 
@@ -127,14 +128,20 @@ class ModelRegistry:
               on_schema_change: str = "ignore",
               tags: tuple[str, ...] = (),
               zorder_by: tuple[str, ...] = (),
-              zorder_files: int = 0) -> Callable[[ModelFn], ModelFn]:
+              zorder_files: int = 0,
+              tests: tuple = ()) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
         whose max over the existing table is handed back to the model fn as
         an IncrementalContext on refresh runs — the fn then bounds its
         source reads to rows past the watermark.  The fn opts in by
-        accepting a second positional arg: ``fn(refs, ctx)``."""
+        accepting a second positional arg: ``fn(refs, ctx)``.
+
+        ``tests`` attaches DataTests to the model — the schema.yml tests
+        dbt declares next to a model.  ``Runner.run`` ignores them (dbt
+        run doesn't test); ``Runner.build`` executes them right after the
+        model materializes and gates every descendant on the outcome."""
 
         def deco(fn: ModelFn) -> ModelFn:
             self.register(ModelDef(name=name, deps=tuple(deps),
@@ -149,6 +156,7 @@ class ModelRegistry:
                                    tags=tuple(tags),
                                    zorder_by=tuple(zorder_by),
                                    zorder_files=zorder_files,
+                                   tests=tuple(tests),
                                    doc=fn.__doc__ or ""))
             return fn
 

@@ -50,7 +50,40 @@ from urllib.parse import unquote, urlparse
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .datatests import DataTestResult, run_data_tests
 from .model import ModelRegistry
+
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class NodeResult:
+    """Per-node outcome of a ``Runner.build`` pass (dbt build's run_results
+    row [public knowledge: dbt run_results.json]): ``success`` (model built
+    and every attached test passed), ``fail`` (the model raised, or an
+    attached test found violations), or ``skipped`` (an ancestor failed —
+    dbt's "skipped upon upstream failure")."""
+    name: str
+    status: str                       # "success" | "fail" | "skipped"
+    error: str | None = None          # model exception, if any
+    tests: list[DataTestResult] = field(default_factory=list)
+
+
+@dataclass
+class BuildResult:
+    relations: dict[str, DataFrame]   # sources + every model that BUILT
+    nodes: dict[str, NodeResult]
+
+    @property
+    def ok(self) -> bool:
+        return all(n.status == "success" for n in self.nodes.values())
+
+    def counts(self) -> dict[str, int]:
+        out = {"success": 0, "fail": 0, "skipped": 0}
+        for n in self.nodes.values():
+            out[n.status] += 1
+        return out
 
 
 class Runner:
@@ -208,6 +241,102 @@ class Runner:
         finally:
             for df in caches:
                 df.unpersist()
+
+    def build(self, sources: dict[str, DataFrame],
+              select: list[str] | str | None = None,
+              exclude: str | None = None,
+              threads: int = 1,
+              refresh: str = "full") -> BuildResult:
+        """The ``dbt build`` analog [public knowledge: dbt build runs
+        models and their tests interleaved in DAG order]: materialize each
+        model, IMMEDIATELY run its attached ``tests`` (ModelDef.tests),
+        and gate every descendant on the outcome — a failing test (or a
+        raising model) marks the node ``fail`` and all its transitive
+        descendants ``skipped``, while independent branches keep building.
+        Unlike ``run``, model errors are captured per-node rather than
+        aborting the pass (dbt build reports per-node status and exits
+        non-zero at the end).
+
+        A failed model's relation is still registered in ``relations``
+        when it materialized (the table exists in the warehouse — dbt
+        leaves it too); only scheduling treats it as poisoned.  Selection
+        grammar and ``threads`` behave exactly as in ``run``: the
+        dependency gate decides when a node starts, so results are
+        identical at any thread count."""
+        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                        wait)
+
+        if refresh not in ("full", "changed"):
+            raise ValueError(f"refresh must be 'full' or 'changed', "
+                             f"got {refresh!r}")
+        if isinstance(select, str) or exclude:
+            from .selection import select_nodes
+
+            if isinstance(select, list):
+                keep = set(select_nodes(self.registry, None, exclude))
+                select = [n for n in select if n in keep]
+            else:
+                select = select_nodes(self.registry, select, exclude)
+        self._refresh_changed = refresh == "changed"
+        self._fp_memo = {}
+        self.last_refresh_report = {"built": [], "skipped": []}
+
+        relations: dict[str, DataFrame] = dict(sources)
+        nodes: dict[str, NodeResult] = {}
+        poisoned: set[str] = set()        # failed or skipped node names
+        built: set[str] = set(sources)    # names whose relation is usable
+
+        def work(name: str):
+            df = self._build_model(name, dict(relations))
+            mdef = self.registry[name]
+            trs: list[DataTestResult] = []
+            if mdef.tests:
+                rel = dict(relations)
+                rel[name] = df
+                trs = run_data_tests(list(mdef.tests), rel)
+            return df, trs
+
+        pending = list(self.registry.topo_order(select))
+        with ThreadPoolExecutor(max(1, threads)) as ex:
+            in_flight: dict = {}
+            while pending or in_flight:
+                still = []
+                for n in pending:
+                    deps = self.registry[n].deps
+                    if any(d in poisoned for d in deps):
+                        nodes[n] = NodeResult(n, "skipped")
+                        poisoned.add(n)
+                    elif all(d in built for d in deps):
+                        in_flight[ex.submit(work, n)] = n
+                    else:
+                        still.append(n)
+                if len(still) == len(pending) and not in_flight:
+                    missing = {n: [d for d in self.registry[n].deps
+                                   if d not in built and d not in poisoned]
+                               for n in still}
+                    raise KeyError(f"unresolved refs: {missing}")
+                pending = still
+                if not in_flight:
+                    continue    # a skip cascade may unblock more skips
+                done, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = in_flight.pop(fut)
+                    try:
+                        df, trs = fut.result()
+                    except Exception as exc:  # noqa: BLE001 — per-node report
+                        nodes[name] = NodeResult(
+                            name, "fail",
+                            error=f"{type(exc).__name__}: {exc}")
+                        poisoned.add(name)
+                        continue
+                    relations[name] = df
+                    if all(t.passed for t in trs):
+                        nodes[name] = NodeResult(name, "success", tests=trs)
+                        built.add(name)
+                    else:
+                        nodes[name] = NodeResult(name, "fail", tests=trs)
+                        poisoned.add(name)
+        return BuildResult(relations=relations, nodes=nodes)
 
     def _fingerprint(self, name: str,
                      relations: dict[str, DataFrame]) -> str | None:

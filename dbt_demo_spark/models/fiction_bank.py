@@ -49,7 +49,9 @@ def stg_loans(refs: dict[str, DataFrame]) -> DataFrame:
 
 
 @_model("stg_loan_payments", deps=("raw_loan_payments",),
-        materialized="view", tags=("staging",))
+        materialized="view", tags=("staging",),
+        tests=(accepted_values("stg_loan_payments", "payment_status",
+                               ["completed"]),))
 def stg_loan_payments(refs: dict[str, DataFrame]) -> DataFrame:
     """Staging view: rename + date cast over raw_loan_payments
     (models/staging/stg_loan_payments.sql:5-15)."""
@@ -65,7 +67,10 @@ def stg_loan_payments(refs: dict[str, DataFrame]) -> DataFrame:
 
 
 @_model("fct_loan_details", deps=("stg_loans", "loan_types"),
-        materialized="table", tags=("mart",))
+        materialized="table", tags=("mart",),
+        tests=(unique("fct_loan_details", ["loan_id"]),
+               not_null("fct_loan_details",
+                        ["loan_id", "customer_id", "loan_amount"])))
 def fct_loan_details(refs: dict[str, DataFrame]) -> DataFrame:
     """Dimension join + LTV + amortization
     (models/marts/fct_loan_details.sql:8-36).
@@ -155,7 +160,13 @@ def _combined_cols() -> list:
 
 
 @_model("agg_monthly_loans", deps=("fct_loan_details", "stg_loan_payments"),
-        materialized="table", partition_by=("month",), tags=("mart", "nightly"))
+        materialized="table", partition_by=("month",), tags=("mart", "nightly"),
+        # the prose-specified grain test (docs/bug-analysis.md:139-157)
+        # attached WHERE dbt would attach it — on the buggy model, where
+        # `Runner.build` surfaces the fan-out as a per-node test failure
+        tests=(DataTest("grain_agg_monthly_loans",
+                        lambda rel: _grain_violations(
+                            rel["agg_monthly_loans"])),))
 def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
     """REFERENCE-FAITHFUL (buggy) monthly rollup
     (models/marts/agg_monthly_loans.sql:1-53), including the fan-out join
@@ -181,7 +192,12 @@ def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
 @_model("agg_monthly_loans_fixed",
         deps=("fct_loan_details", "stg_loan_payments"),
         materialized="incremental", partition_by=("month",),
-        tags=("mart", "nightly"))
+        tags=("mart", "nightly"),
+        tests=(DataTest("grain_agg_monthly_loans_fixed",
+                        lambda rel: _grain_violations(
+                            rel["agg_monthly_loans_fixed"])),
+               unique("agg_monthly_loans_fixed",
+                      ["month", "loan_type_name"])))
 def agg_monthly_loans_fixed(refs: dict[str, DataFrame]) -> DataFrame:
     """The corrected rollup per docs/bug-analysis.md:161-174: no loan-level
     join, grain is exactly one row per (month, loan_type_name).

@@ -1,0 +1,120 @@
+"""``Runner.build`` — the dbt build analog: models and their attached
+tests interleaved in DAG order, failures gating descendants while
+independent branches keep going.  What must hold:
+
+  * a failing attached test marks the node ``fail`` and every transitive
+    descendant ``skipped``; siblings on other branches still build;
+  * a RAISING model is a per-node ``fail`` (with the error captured),
+    not an aborted pass — dbt build reports statuses, it doesn't stop
+    the world;
+  * statuses and built relations are identical at any thread count (the
+    dependency gate, not submission order, schedules nodes);
+  * the fiction-bank registry surfaces the reference's deliberate
+    fan-out bug (models/marts/agg_monthly_loans.sql:48-49) as a test
+    failure ON that node, with the fixed twin green — the build-level
+    retelling of docs/bug-analysis.md.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_demo_spark.core import DataTest, ModelRegistry, Runner
+from dbt_demo_spark.core.datatests import unique
+
+
+def _diamond_registry():
+    """a -> b -> c, a -> d; b carries a test that always fails."""
+    reg = ModelRegistry()
+
+    @reg.model("a", deps=("src",))
+    def a(refs):
+        return refs["src"].select("k", "v")
+
+    @reg.model("b", deps=("a",),
+               tests=(DataTest("always_fails", lambda rel: rel["b"]),))
+    def b(refs):
+        return refs["a"].filter(F.col("v") > 0)
+
+    @reg.model("c", deps=("b",))
+    def c(refs):
+        return refs["b"].groupBy("k").count()
+
+    @reg.model("d", deps=("a",),
+               tests=(unique("d", ["k"]),))
+    def d(refs):
+        return refs["a"].select("k").distinct()
+
+    return reg
+
+
+@pytest.fixture
+def src(spark):
+    return {"src": spark.createDataFrame([(1, 10), (2, 20), (2, 30)],
+                                         "k long, v long")}
+
+
+def test_failing_test_gates_descendants_not_siblings(spark, src, tmp_path):
+    res = Runner(spark, _diamond_registry(), str(tmp_path)).build(src)
+    status = {n: r.status for n, r in res.nodes.items()}
+    assert status == {"a": "success", "b": "fail",
+                      "c": "skipped", "d": "success"}
+    assert not res.ok
+    assert res.counts() == {"success": 2, "fail": 1, "skipped": 1}
+    # the failed model still materialized (dbt leaves the table too) …
+    assert "b" in res.relations
+    # … but the skipped one never ran
+    assert "c" not in res.relations
+    # the failing test's violation count is reported
+    [t] = res.nodes["b"].tests
+    assert not t.passed and t.violations == 3
+
+
+def test_raising_model_is_a_per_node_fail(spark, src, tmp_path):
+    reg = ModelRegistry()
+
+    @reg.model("boom", deps=("src",))
+    def boom(refs):
+        raise RuntimeError("planted")
+
+    @reg.model("after_boom", deps=("boom",))
+    def after_boom(refs):
+        return refs["boom"]
+
+    @reg.model("other", deps=("src",))
+    def other(refs):
+        return refs["src"]
+
+    res = Runner(spark, reg, str(tmp_path)).build(src)
+    assert res.nodes["boom"].status == "fail"
+    assert "planted" in res.nodes["boom"].error
+    assert res.nodes["after_boom"].status == "skipped"
+    assert res.nodes["other"].status == "success"
+
+
+def test_build_parallel_matches_sequential(spark, src, tmp_path):
+    seq = Runner(spark, _diamond_registry(),
+                 str(tmp_path / "seq")).build(src)
+    par = Runner(spark, _diamond_registry(),
+                 str(tmp_path / "par")).build(src, threads=4)
+    assert ({n: r.status for n, r in seq.nodes.items()}
+            == {n: r.status for n, r in par.nodes.items()})
+
+
+def test_fiction_bank_build_surfaces_the_fanout_bug(spark, tmp_path):
+    from dbt_demo_spark.models.fiction_bank import REGISTRY
+    from dbt_demo_spark.models.seeds import load_seed_dataframes
+
+    res = Runner(spark, REGISTRY, str(tmp_path)).build(
+        load_seed_dataframes(spark))
+    # the reference-faithful buggy rollup fails ITS OWN grain test …
+    assert res.nodes["agg_monthly_loans"].status == "fail"
+    failed = [t for t in res.nodes["agg_monthly_loans"].tests if not t.passed]
+    assert [t.name for t in failed] == ["grain_agg_monthly_loans"]
+    # … every other node (including the fixed twin and its tests) is green
+    others = {n: r.status for n, r in res.nodes.items()
+              if n != "agg_monthly_loans"}
+    assert set(others.values()) == {"success"}
+    assert any(t.name.startswith("grain_agg_monthly_loans_fixed")
+               for t in res.nodes["agg_monthly_loans_fixed"].tests)
