@@ -118,3 +118,36 @@ def test_fiction_bank_build_surfaces_the_fanout_bug(spark, tmp_path):
     assert set(others.values()) == {"success"}
     assert any(t.name.startswith("grain_agg_monthly_loans_fixed")
                for t in res.nodes["agg_monthly_loans_fixed"].tests)
+
+
+# ---------------------------------------------------------------------------
+# Source freshness (the dbt source freshness analog)
+# ---------------------------------------------------------------------------
+
+
+def test_source_freshness_thresholds(spark):
+    from datetime import datetime
+
+    from dbt_demo_spark.core.freshness import (FreshnessSpec,
+                                               check_freshness)
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0)),
+         (2, datetime(2024, 1, 2, 0, 0, 0))], "id long, loaded_at timestamp")
+    empty = ev.filter("id < 0")
+    now = datetime(2024, 1, 2, 6, 0, 0)          # 6h past the newest row
+
+    res = {r.source: r for r in check_freshness(
+        {"fresh": ev, "stale_warn": ev, "stale_err": ev, "never": empty},
+        [FreshnessSpec("fresh", "loaded_at", warn_after_s=7 * 3600),
+         FreshnessSpec("stale_warn", "loaded_at", warn_after_s=3600),
+         FreshnessSpec("stale_err", "loaded_at", warn_after_s=3600,
+                       error_after_s=2 * 3600),
+         FreshnessSpec("never", "loaded_at", warn_after_s=1)], now)}
+
+    assert res["fresh"].status == "pass" and bool(res["fresh"])
+    assert res["stale_warn"].status == "warn"
+    assert res["stale_warn"].age_s == 6 * 3600
+    assert res["stale_err"].status == "error"
+    assert res["never"].status == "error"
+    assert res["never"].max_loaded_at is None

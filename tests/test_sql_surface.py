@@ -185,3 +185,36 @@ def test_pivot_crosstab_matches_case_oracle(spark, con):
         GROUP BY 1
     """)
     assert res.ok, res.detail
+
+
+def test_unpivot_melts_back_to_long(spark, con):
+    """UNPIVOT (DataFrame ``unpivot`` — wide -> long melt), the inverse of
+    the pivot above: melting the month x status cross-tab back and
+    dropping the empty cells must equal the direct long-form aggregate.
+    No same-text form (Spark UNPIVOT vs DuckDB UNPIVOT syntaxes differ);
+    the oracle is the plain GROUP BY the melt desugars to."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_GATE, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    wide = (
+        orders
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                 .alias("month_start"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(cents)))
+    got = (
+        wide.unpivot("month_start", ["F", "O", "P"], "status", "cents")
+        .filter(F.col("cents").isNotNull())
+        .select("month_start", "status", F.col("cents").cast("long")))
+    res = compare("unpivot_melt", got, con, """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               o_orderstatus AS status,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY 1, 2
+    """)
+    assert res.ok, res.detail
