@@ -322,3 +322,45 @@ def test_source_weighted_sample_census_and_monotonic(spark, ids, t1, t2):
     assert kept_lo == census(lo)
     assert kept_hi == census(hi)
     assert kept_lo <= kept_hi
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (operators/dedup.passage_dedup)
+# ---------------------------------------------------------------------------
+
+# small vocab + short docs: cross-document passage collisions guaranteed,
+# ragged final windows constant, whole-doc duplicates frequent
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9)
+    .map(" ".join),
+    min_size=1, max_size=16,
+)
+
+
+@SETTINGS
+@given(docs_strategy, st.integers(2, 4))
+def test_passage_dedup_property(spark, texts, width):
+    """Distributed passage dedup == the sequential reference model:
+    walking docs in doc_id order, a passage survives iff its text was
+    never seen before (any doc, any position), and each clean_text is the
+    in-order join of its survivors (None when nothing survives)."""
+    from dbt_demo_spark.operators.dedup import passage_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    seen: set[str] = set()
+    expect = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        kept, total = [], 0
+        for s in range(0, len(toks), width):
+            p = " ".join(toks[s:s + width])
+            total += 1
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expect[i] = (total, len(kept), " ".join(kept) if kept else None)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_passages, r.n_kept, r.clean_text)
+           for r in passage_dedup(docs, width=width).collect()}
+    assert got == expect
