@@ -52,6 +52,8 @@ class ModelDef:
     zorder_by: tuple[str, ...] = ()      # Morton-clustered file layout
     zorder_files: int = 0                # target file count (0 = let AQE)
     tests: tuple = ()                    # attached DataTests (dbt build gates)
+    pre_hook: tuple = ()                 # SQL strings / callables before build
+    post_hook: tuple = ()                # … and after materialization
     doc: str = ""
 
 
@@ -129,7 +131,9 @@ class ModelRegistry:
               tags: tuple[str, ...] = (),
               zorder_by: tuple[str, ...] = (),
               zorder_files: int = 0,
-              tests: tuple = ()) -> Callable[[ModelFn], ModelFn]:
+              tests: tuple = (),
+              pre_hook: tuple = (),
+              post_hook: tuple = ()) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
@@ -141,7 +145,15 @@ class ModelRegistry:
         ``tests`` attaches DataTests to the model — the schema.yml tests
         dbt declares next to a model.  ``Runner.run`` ignores them (dbt
         run doesn't test); ``Runner.build`` executes them right after the
-        model materializes and gates every descendant on the outcome."""
+        model materializes and gates every descendant on the outcome.
+
+        ``pre_hook`` / ``post_hook`` are dbt's model hooks [public
+        knowledge: dbt pre-hook/post-hook configs run SQL around each
+        model's materialization].  Entries are SQL strings (run via
+        ``spark.sql``, ``{name}`` interpolated to the model name) or
+        callables ``(spark, relations) -> None``; pre hooks run before
+        the model fn, post hooks after materialization with the built
+        relation already registered."""
 
         def deco(fn: ModelFn) -> ModelFn:
             self.register(ModelDef(name=name, deps=tuple(deps),
@@ -157,6 +169,8 @@ class ModelRegistry:
                                    zorder_by=tuple(zorder_by),
                                    zorder_files=zorder_files,
                                    tests=tuple(tests),
+                                   pre_hook=tuple(pre_hook),
+                                   post_hook=tuple(post_hook),
                                    doc=fn.__doc__ or ""))
             return fn
 

@@ -362,6 +362,11 @@ class Runner:
                  str(mdef.zorder_files)]
         try:
             parts.append(inspect.getsource(mdef.fn))
+            # hooks are part of the materialization: a changed hook must
+            # rebuild; an unsourceable hook callable is unknowable
+            for h in (*mdef.pre_hook, *mdef.post_hook):
+                parts.append("hook:" + (h if isinstance(h, str)
+                                        else inspect.getsource(h)))
         except (OSError, TypeError):
             parts = None
         if parts is not None:
@@ -419,6 +424,19 @@ class Runner:
             return None
         return self._read_back(name, path)
 
+    def _run_hooks(self, hooks: tuple, name: str,
+                   relations: dict[str, DataFrame]) -> None:
+        """dbt pre-hook / post-hook execution: SQL strings run via
+        ``spark.sql`` with ``{name}`` interpolated (dbt's ``{{ this }}``);
+        callables get ``(spark, relations)``.  Hooks run in declaration
+        order; a raising hook fails the model (dbt's behavior — hooks are
+        part of the materialization)."""
+        for h in hooks:
+            if isinstance(h, str):
+                self.spark.sql(h.format(name=name))
+            else:
+                h(self.spark, relations)
+
     def _build_model(self, name: str,
                      relations: dict[str, DataFrame]) -> DataFrame:
         mdef = self.registry[name]
@@ -438,6 +456,7 @@ class Runner:
             # otherwise leave the OLD fingerprint paired with NEW table
             # bytes — a later run under the old definition would false-skip
             self._drop_state(name)
+        self._run_hooks(mdef.pre_hook, name, dict(relations))
         if mdef.materialized == "incremental" and mdef.watermark_col:
             df = mdef.fn(refs, self._incremental_context(name, mdef))
         else:
@@ -459,6 +478,10 @@ class Runner:
             pass  # inlined into consumers; no view, no storage
         else:
             df.createOrReplaceTempView(name)
+        if mdef.post_hook:
+            rels = dict(relations)
+            rels[name] = df
+            self._run_hooks(mdef.post_hook, name, rels)
         self.last_refresh_report["built"].append(name)
         if state_tracked:
             # record the build state on EVERY successful materialization

@@ -151,3 +151,45 @@ def test_source_freshness_thresholds(spark):
     assert res["stale_err"].status == "error"
     assert res["never"].status == "error"
     assert res["never"].max_loaded_at is None
+
+
+# ---------------------------------------------------------------------------
+# Model hooks (dbt pre-hook / post-hook)
+# ---------------------------------------------------------------------------
+
+
+def test_pre_and_post_hooks_run_in_order(spark, src, tmp_path):
+    calls = []
+    reg = ModelRegistry()
+
+    @reg.model("hooked", deps=("src",),
+               pre_hook=(lambda s, rel: calls.append(("pre",
+                                                      sorted(rel))),),
+               post_hook=("CREATE OR REPLACE TEMP VIEW audit_{name} AS "
+                          "SELECT COUNT(*) AS n FROM {name}",
+                          lambda s, rel: calls.append(("post",
+                                                       sorted(rel)))))
+    def hooked(refs):
+        calls.append(("fn", None))
+        return refs["src"]
+
+    Runner(spark, reg, str(tmp_path)).run(src)
+    # pre fires before the fn (model not yet in relations), post after
+    # (model registered); the SQL hook ran with {name} interpolated
+    assert calls == [("pre", ["src"]), ("fn", None),
+                     ("post", ["hooked", "src"])]
+    assert spark.table("audit_hooked").collect()[0].n == 3
+
+
+def test_raising_hook_fails_the_model_in_build(spark, src, tmp_path):
+    reg = ModelRegistry()
+
+    @reg.model("bad_hook", deps=("src",),
+               post_hook=(lambda s, rel: (_ for _ in ()).throw(
+                   RuntimeError("hook boom")),))
+    def bad_hook(refs):
+        return refs["src"]
+
+    res = Runner(spark, reg, str(tmp_path)).build(src)
+    assert res.nodes["bad_hook"].status == "fail"
+    assert "hook boom" in res.nodes["bad_hook"].error
