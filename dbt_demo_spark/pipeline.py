@@ -54,6 +54,8 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  lm_table: list | None = None,
                  max_bits_per_char: float | None = None,
                  min_bits_per_char: float | None = None,
+                 dedup_passages: bool = False,
+                 passage_width: int | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -63,6 +65,11 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     caller materializes ``clean`` (write/collect).  Stage order — cheap
     row-local filters BEFORE the shuffling dedups — keeps every shuffle as
     small as the filters can make it.
+
+    ``dedup_passages``: rewrite every document to the passages not seen
+    earlier in THIS batch (operators/dedup.passage_dedup; first occurrence
+    wins), dropping whole-duplicate docs — the repeated-boilerplate cut
+    whole-doc dedup cannot make.
 
     ``sink``: optional callable receiving the final (split-annotated)
     accepted rows BEFORE the fingerprint index is appended — the
@@ -138,6 +145,23 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     if eval_docs is not None:
         df = tap(decontaminate(df, eval_docs, min_matched=min_matched),
                  "after_decontamination")
+
+    # passage-level dedup (operators/dedup.passage_dedup): rewrite each doc
+    # to its surviving passages, drop docs whose every passage repeats.
+    # Runs on RAW text (after decontamination, which must also see raw
+    # grams; before redaction, which rewrites text).  Scope is THIS batch:
+    # cross-batch passage dedup would need a passage-hash index — the same
+    # pattern as the doc-level incremental index, not built here.
+    if dedup_passages:
+        from .operators.dedup import PASSAGE_TOKENS, passage_dedup
+
+        pd_out = passage_dedup(df, width=passage_width or PASSAGE_TOKENS)
+        rewritten = (pd_out.filter(F.col("n_kept") > 0)
+                     .select("doc_id", F.col("clean_text").alias("text")))
+        carried = df.drop("text")
+        df = tap(carried.join(rewritten, "doc_id"), "after_passage_dedup")
+        if "n_chars" in df.columns:   # keep the length stat honest
+            df = df.withColumn("n_chars", F.length("text").cast("long"))
 
     df = df.withColumn(
         "text", F.regexp_replace(

@@ -122,3 +122,39 @@ def test_filters_order_preserves_dedup_input(spark, tmp_path):
                .select("doc_id").collect()}
     allowed = {r["doc_id"] for r in survivors.select("doc_id").collect()}
     assert indexed <= allowed
+
+
+def test_passage_dedup_stage_composes(spark, tmp_path):
+    """The optional passage stage rewrites docs to surviving passages,
+    drops whole-duplicates, recomputes n_chars, and its funnel count
+    replicates running passage_dedup independently on the stage input."""
+    import pyspark.sql.functions as F
+
+    w = dedup.PASSAGE_TOKENS
+    boiler = " ".join(f"b{i}" for i in range(w))
+    fresh_a = " ".join(f"x{i}" for i in range(w))
+    fresh_b = " ".join(f"y{i}" for i in range(w))
+    docs = spark.createDataFrame(
+        [(0, f"{boiler} {fresh_a}", "en", "s0", 0),
+         (1, f"{boiler} {fresh_b}", "en", "s0", 0),   # loses the boilerplate
+         (2, boiler, "en", "s0", 0)],                 # whole-dup: dropped
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    clean, obs = clean_corpus(docs, str(tmp_path / "idx"),
+                              dedup_passages=True,
+                              # row-local hygiene would cut the tiny
+                              # synthetic docs; neutralize those stages
+                              max_dup_trigram_frac=1.0,
+                              min_uniq_token_frac=0.0)
+    rows = {r.doc_id: r for r in clean.collect()}
+    counts = {k: o.get["rows"] for k, o in obs.items()}
+
+    assert counts["after_passage_dedup"] == 2 == len(rows)
+    assert rows[0].text == f"{boiler} {fresh_a}"
+    assert rows[1].text == fresh_b                   # boilerplate removed
+    assert 2 not in rows
+    assert rows[1].n_chars == len(fresh_b)           # stat recomputed
+    # stage replication: independent operator output agrees
+    pd_ref = {r.doc_id: r.clean_text
+              for r in dedup.passage_dedup(docs).collect() if r.n_kept > 0}
+    assert {k: v.text for k, v in rows.items()} == pd_ref
