@@ -54,12 +54,28 @@ class ModelDef:
     tests: tuple = ()                    # attached DataTests (dbt build gates)
     pre_hook: tuple = ()                 # SQL strings / callables before build
     post_hook: tuple = ()                # … and after materialization
+    contract: tuple = ()                 # enforced (column, type) pairs
+    doc: str = ""
+
+
+@dataclass(frozen=True)
+class Exposure:
+    """A downstream consumer of models — dbt's exposure node [public
+    knowledge: dbt exposures declare dashboards/ML jobs/reports that
+    depend_on models, so impact analysis ("what breaks if this mart
+    changes?") extends past the warehouse boundary]."""
+    name: str
+    depends_on: tuple[str, ...]
+    type: str = "dashboard"      # dbt's types: dashboard|notebook|ml|application|analysis
+    owner: str = ""
+    url: str = ""
     doc: str = ""
 
 
 class ModelRegistry:
     def __init__(self) -> None:
         self._models: dict[str, ModelDef] = {}
+        self._exposures: dict[str, Exposure] = {}
 
     def register(self, mdef: ModelDef) -> None:
         if mdef.name in self._models:
@@ -108,7 +124,26 @@ class ModelRegistry:
         elif mdef.zorder_files:
             raise ValueError(
                 f"model {mdef.name}: zorder_files without zorder_by")
+        for c in mdef.contract:
+            if (not isinstance(c, tuple) or len(c) != 2
+                    or not all(isinstance(x, str) for x in c)):
+                raise ValueError(
+                    f"model {mdef.name}: contract entries are "
+                    f"(column, type) string pairs, got {c!r}")
         self._models[mdef.name] = mdef
+
+    def exposure(self, name: str, *, depends_on: tuple[str, ...],
+                 type: str = "dashboard", owner: str = "",
+                 url: str = "", doc: str = "") -> Exposure:
+        """Register a dbt-style exposure.  ``depends_on`` is validated at
+        manifest time (exposures are usually declared before the last
+        model they reference)."""
+        if name in self._exposures:
+            raise ValueError(f"duplicate exposure: {name}")
+        exp = Exposure(name=name, depends_on=tuple(depends_on), type=type,
+                       owner=owner, url=url, doc=doc)
+        self._exposures[name] = exp
+        return exp
 
     def __getitem__(self, name: str) -> ModelDef:
         return self._models[name]
@@ -133,7 +168,8 @@ class ModelRegistry:
               zorder_files: int = 0,
               tests: tuple = (),
               pre_hook: tuple = (),
-              post_hook: tuple = ()) -> Callable[[ModelFn], ModelFn]:
+              post_hook: tuple = (),
+              contract: tuple = ()) -> Callable[[ModelFn], ModelFn]:
         """Decorator: register a model function on this registry.
 
         ``watermark_col`` (incremental models only) names an output column
@@ -153,7 +189,16 @@ class ModelRegistry:
         ``spark.sql``, ``{name}`` interpolated to the model name) or
         callables ``(spark, relations) -> None``; pre hooks run before
         the model fn, post hooks after materialization with the built
-        relation already registered."""
+        relation already registered.
+
+        ``contract`` is dbt's model contract [public knowledge: dbt
+        ``contract: enforced`` declares each column's name and data type
+        and the build fails on divergence]: a tuple of (column,
+        spark-sql-type) pairs, e.g. ``(("month", "date"), ("revenue",
+        "double"))``.  The runner checks the model's ACTUAL schema
+        (names + types, order-insensitive; missing/extra columns fail)
+        before materializing — schema drift is caught at build time, not
+        by a downstream consumer."""
 
         def deco(fn: ModelFn) -> ModelFn:
             self.register(ModelDef(name=name, deps=tuple(deps),
@@ -171,6 +216,7 @@ class ModelRegistry:
                                    tests=tuple(tests),
                                    pre_hook=tuple(pre_hook),
                                    post_hook=tuple(post_hook),
+                                   contract=tuple(tuple(c) for c in contract),
                                    doc=fn.__doc__ or ""))
             return fn
 
@@ -182,6 +228,13 @@ class ModelRegistry:
         edges, materialization, partition layout, doc string, and the
         DAG's execution order — everything a lineage UI or an orchestration
         layer needs, derivable without running anything."""
+        known = set(self._models) | {d for m in self._models.values()
+                                     for d in m.deps}
+        for e in self._exposures.values():
+            missing = [d for d in e.depends_on if d not in known]
+            if missing:
+                raise ValueError(f"exposure {e.name}: depends_on unknown "
+                                 f"nodes {missing}")
         order = self.topo_order()
         return {
             "nodes": {
@@ -198,11 +251,22 @@ class ModelRegistry:
                     "tags": list(m.tags),
                     "zorder_by": list(m.zorder_by),
                     "zorder_files": m.zorder_files,
+                    "contract": [list(c) for c in m.contract],
+                    "tests": [t.name for t in m.tests],
                     "description": m.doc,
                 } for m in self._models.values()
             },
             "sources": sorted({d for m in self._models.values()
                                for d in m.deps if d not in self._models}),
+            "exposures": {
+                e.name: {
+                    "depends_on": list(e.depends_on),
+                    "type": e.type,
+                    "owner": e.owner,
+                    "url": e.url,
+                    "description": e.doc,
+                } for e in self._exposures.values()
+            },
             "execution_order": order,
         }
 

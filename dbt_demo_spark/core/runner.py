@@ -359,7 +359,8 @@ class Runner:
         parts = [name, mdef.materialized, ",".join(mdef.partition_by),
                  ",".join(mdef.bucket_by), str(mdef.n_buckets),
                  mdef.watermark_col, ",".join(mdef.zorder_by),
-                 str(mdef.zorder_files)]
+                 str(mdef.zorder_files),
+                 ",".join("=".join(c) for c in mdef.contract)]
         try:
             parts.append(inspect.getsource(mdef.fn))
             # hooks are part of the materialization: a changed hook must
@@ -424,6 +425,30 @@ class Runner:
             return None
         return self._read_back(name, path)
 
+    @staticmethod
+    def _enforce_contract(name: str, df: DataFrame,
+                          contract: tuple) -> None:
+        """dbt model contract enforcement: the model's ACTUAL schema must
+        carry exactly the declared (column, type) pairs — missing, extra,
+        or type-diverged columns fail the build BEFORE anything
+        materializes (plan-time check, no job runs).  Types compare on
+        Catalyst's simpleString ("bigint", "decimal(10,2)",
+        "array<double>"…), order-insensitive like dbt's check."""
+        actual = {f.name: f.dataType.simpleString() for f in df.schema}
+        declared = dict(contract)
+        problems = []
+        for col, typ in declared.items():
+            if col not in actual:
+                problems.append(f"missing column {col} ({typ})")
+            elif actual[col] != typ:
+                problems.append(f"column {col}: declared {typ}, "
+                                f"got {actual[col]}")
+        problems += [f"undeclared column {c} ({t})"
+                     for c, t in actual.items() if c not in declared]
+        if problems:
+            raise ValueError(f"model {name}: contract violation — "
+                             + "; ".join(problems))
+
     def _run_hooks(self, hooks: tuple, name: str,
                    relations: dict[str, DataFrame]) -> None:
         """dbt pre-hook / post-hook execution: SQL strings run via
@@ -461,6 +486,8 @@ class Runner:
             df = mdef.fn(refs, self._incremental_context(name, mdef))
         else:
             df = mdef.fn(refs)
+        if mdef.contract:
+            self._enforce_contract(name, df, mdef.contract)
         if mdef.materialized == "table":
             df = self._materialize_table(name, df, mdef.partition_by,
                                          mdef.bucket_by, mdef.n_buckets,

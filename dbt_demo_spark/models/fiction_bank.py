@@ -70,7 +70,19 @@ def stg_loan_payments(refs: dict[str, DataFrame]) -> DataFrame:
         materialized="table", tags=("mart",),
         tests=(unique("fct_loan_details", ["loan_id"]),
                not_null("fct_loan_details",
-                        ["loan_id", "customer_id", "loan_amount"])))
+                        ["loan_id", "customer_id", "loan_amount"])),
+        # dbt model contract (enforced): the mart's public schema —
+        # schema drift fails the build, not a downstream consumer
+        contract=(("loan_id", "string"), ("customer_id", "string"),
+                  ("loan_type_id", "bigint"), ("loan_type_name", "string"),
+                  ("loan_type_description", "string"),
+                  ("loan_amount", "bigint"), ("interest_rate", "double"),
+                  ("loan_start_date", "date"),
+                  ("loan_term_months", "bigint"),
+                  ("typical_term_months", "bigint"),
+                  ("property_address", "string"),
+                  ("property_value", "bigint"), ("ltv_ratio", "double"),
+                  ("estimated_monthly_payment", "double")))
 def fct_loan_details(refs: dict[str, DataFrame]) -> DataFrame:
     """Dimension join + LTV + amortization
     (models/marts/fct_loan_details.sql:8-36).

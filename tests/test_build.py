@@ -193,3 +193,61 @@ def test_raising_hook_fails_the_model_in_build(spark, src, tmp_path):
     res = Runner(spark, reg, str(tmp_path)).build(src)
     assert res.nodes["bad_hook"].status == "fail"
     assert "hook boom" in res.nodes["bad_hook"].error
+
+
+# ---------------------------------------------------------------------------
+# Model contracts (dbt contract: enforced) and exposures
+# ---------------------------------------------------------------------------
+
+
+def test_contract_enforced_at_build_time(spark, src, tmp_path):
+    reg = ModelRegistry()
+
+    @reg.model("ok", deps=("src",),
+               contract=(("k", "bigint"), ("v", "bigint")))
+    def ok(refs):
+        return refs["src"]
+
+    @reg.model("drifted", deps=("src",),
+               contract=(("k", "bigint"), ("v", "string"),
+                         ("missing_col", "date")))
+    def drifted(refs):
+        return refs["src"].withColumn("extra", F.lit(1))
+
+    r = Runner(spark, reg, str(tmp_path))
+    r.run(src, select=["ok"])                       # green contract passes
+    res = r.build(src)
+    assert res.nodes["ok"].status == "success"
+    assert res.nodes["drifted"].status == "fail"
+    err = res.nodes["drifted"].error
+    # all three divergence kinds reported at once
+    assert "declared string, got bigint" in err     # type drift
+    assert "missing column missing_col" in err
+    assert "undeclared column extra" in err
+
+
+def test_fiction_bank_fct_contract_is_green(spark, tmp_path):
+    from dbt_demo_spark.models.fiction_bank import REGISTRY
+    from dbt_demo_spark.models.seeds import load_seed_dataframes
+
+    Runner(spark, REGISTRY, str(tmp_path)).run(
+        load_seed_dataframes(spark), select=["fct_loan_details"])
+
+
+def test_exposures_in_manifest(spark):
+    reg = ModelRegistry()
+
+    @reg.model("mart", deps=("src",))
+    def mart(refs):
+        return refs["src"]
+
+    reg.exposure("weekly_dashboard", depends_on=("mart",),
+                 type="dashboard", owner="analytics",
+                 url="https://bi.example/d/42")
+    man = reg.manifest()
+    assert man["exposures"]["weekly_dashboard"]["depends_on"] == ["mart"]
+    assert man["nodes"]["mart"]["contract"] == []
+
+    reg.exposure("broken", depends_on=("nonexistent_model",))
+    with pytest.raises(ValueError, match="depends_on unknown"):
+        reg.manifest()
