@@ -21,7 +21,7 @@ a source).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import date, datetime
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -59,7 +59,11 @@ def check_freshness(relations: dict[str, DataFrame],
         if row.m is None:
             out.append(FreshnessResult(spec.source, None, None, "error"))
             continue
-        age = (now - row.m).total_seconds()
+        m = row.m
+        if isinstance(m, date) and not isinstance(m, datetime):
+            # DATE-typed loaded_at: a day loaded "on d" is fresh through d
+            m = datetime(m.year, m.month, m.day)
+        age = (now - m).total_seconds()
         if spec.error_after_s is not None and age > spec.error_after_s:
             status = "error"
         elif age > spec.warn_after_s:

@@ -152,6 +152,14 @@ def test_source_freshness_thresholds(spark):
     assert res["never"].status == "error"
     assert res["never"].max_loaded_at is None
 
+    # DATE-typed loaded_at: fresh through the loaded day's midnight
+    import pyspark.sql.functions as F
+    dated = ev.select(F.col("loaded_at").cast("date").alias("loaded_at"))
+    [r] = check_freshness({"d": dated},
+                          [FreshnessSpec("d", "loaded_at",
+                                         warn_after_s=36 * 3600)], now)
+    assert r.status == "pass" and r.age_s == 6 * 3600
+
 
 # ---------------------------------------------------------------------------
 # Model hooks (dbt pre-hook / post-hook)
