@@ -720,6 +720,16 @@ def passage_dedup(docs: DataFrame, text_col: str = "text",
     the raw-passage shuffle key for xxhash64(passage) and verify in-group
     (same trick as exact_dedup's content hash).
     """
+    exploded = _passage_rows(docs, text_col, id_col, width)
+    w = Window.partitionBy("passage").orderBy(id_col, "pidx")
+    ranked = exploded.withColumn(
+        "_keep_flag", F.row_number().over(w) == 1)
+    return _reassemble_passages(ranked, id_col)
+
+
+def _passage_rows(docs: DataFrame, text_col: str, id_col: str,
+                  width: int) -> DataFrame:
+    """(id, pidx, passage): fixed `width`-token windows, row-local."""
     from ..functions.text import tokens
 
     toks = tokens(F.col(text_col))
@@ -727,15 +737,19 @@ def passage_dedup(docs: DataFrame, text_col: str = "text",
     passages = F.transform(
         F.sequence(F.lit(0), n_pass - 1),
         lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "))
-    exploded = (docs.select(id_col, passages.alias("_ps"))
-                .select(id_col, F.posexplode("_ps").alias("pidx", "passage")))
-    w = Window.partitionBy("passage").orderBy(id_col, "pidx")
-    ranked = exploded.withColumn("_rn", F.row_number().over(w))
-    kept_struct = F.when(F.col("_rn") == 1,
+    return (docs.select(id_col, passages.alias("_ps"))
+            .select(id_col, F.posexplode("_ps").alias("pidx", "passage")))
+
+
+def _reassemble_passages(flagged: DataFrame, id_col: str) -> DataFrame:
+    """(id, pidx, passage, _keep_flag) -> (id, n_passages, n_kept,
+    clean_text): stitch each doc back from its surviving passages in
+    order; NULL clean_text when nothing survived."""
+    kept_struct = F.when(F.col("_keep_flag"),
                          F.struct(F.col("pidx"), F.col("passage")))
-    return (ranked.groupBy(id_col)
+    return (flagged.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_passages"),
-                 F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+                 F.sum(F.when(F.col("_keep_flag"), 1).otherwise(0))
                   .cast("long").alias("n_kept"),
                  F.sort_array(F.collect_list(kept_struct)).alias("_keep"))
             .select(id_col, "n_passages", "n_kept",
@@ -743,3 +757,109 @@ def passage_dedup(docs: DataFrame, text_col: str = "text",
                            F.array_join(F.transform("_keep",
                                                     lambda s: s.passage),
                                         " ")).alias("clean_text")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch passage dedup against a persisted passage-hash index (X53)
+# ---------------------------------------------------------------------------
+
+# index rows: kind 0 = xxhash64 of a seen passage; kind 1 = an ingested
+# doc_id (the replay sentinel — content-free, covers every batch id)
+PASSAGE_INDEX_SCHEMA = "kind int, key long"
+
+
+def read_passage_index(spark, index_dir: str) -> DataFrame:
+    """Every committed ``batch_*`` dir of a passage-hash index, with a
+    DECLARED schema (an empty/fresh index reads as a valid empty frame)
+    and recursive lookup over the atomic batch-dir commits; underscore
+    staging stays invisible (same layout discipline as read_index)."""
+    return (spark.read.schema(PASSAGE_INDEX_SCHEMA)
+            .option("recursiveFileLookup", "true").parquet(index_dir))
+
+
+def incremental_passage_dedup(new_docs: DataFrame, index_dir: str,
+                              width: int = PASSAGE_TOKENS,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              sink=None) -> DataFrame:
+    """Cross-batch passage dedup: rewrite each ingest batch to the
+    passages never seen in ANY earlier batch (then keep-first within the
+    batch), against a persisted index of passage hashes — the growing-
+    corpus production shape of ``passage_dedup``, mirroring
+    ``incremental_minhash_dedup``'s index discipline:
+
+      * passage identity is ``xxhash64(passage)`` — the index stores 8
+        bytes per distinct passage, never text (at 20-token windows a
+        collision needs ~2^32 distinct passages by birthday bound;
+        text-exact verify within a batch is the spec twin, tested equal);
+      * the historical index is SCANNED, never shuffled: batch-derived
+        key sets are broadcast into both probe joins (the batch bounds
+        them by contract);
+      * the batch's matched-hash set and already-ingested-id set are
+        localCheckpointed BEFORE the commit, so the returned (lazy) plan
+        can never observe the batch's own keys in the index;
+      * replay sentinels: every ingested doc_id is indexed as a kind=1
+        row; a batch id already present is dropped wholesale, so a crash
+        AFTER the commit replays into an empty output — touch nothing —
+        while a crash BEFORE it replays against an index that never saw
+        the batch and reproduces the identical output (``sink`` runs
+        before the commit, the exactly-once hook);
+      * the commit is ONE atomic same-filesystem directory rename of the
+        staged (fresh passage hashes + id sentinels) parquet.
+
+    Returns the ``passage_dedup``-shaped frame (id, n_passages, n_kept,
+    clean_text) for the batch's NOT-previously-ingested docs.
+    """
+    import os
+    import shutil
+    import uuid
+
+    spark = new_docs.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    for name in os.listdir(index_dir):    # reclaim crashed staging
+        if name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+    idx = read_passage_index(spark, index_dir)
+    # already-ingested ids (replay detection): batch side broadcast
+    batch_ids = new_docs.select(F.col(id_col).alias("key")).distinct()
+    already = (idx.filter(F.col("kind") == 1)
+               .join(F.broadcast(batch_ids), "key").select("key")
+               .localCheckpoint(eager=True))
+    fresh_docs = new_docs.join(
+        already.withColumnRenamed("key", id_col), id_col, "left_anti")
+
+    p = (_passage_rows(fresh_docs, text_col, id_col, width)
+         .withColumn("phash", F.xxhash64("passage")))
+    # index probe: which batch hashes were seen before (batch broadcast)
+    batch_hashes = p.select("phash").distinct()
+    seen = (idx.filter(F.col("kind") == 0)
+            .select(F.col("key").alias("phash"))
+            .join(F.broadcast(batch_hashes), "phash").select("phash")
+            .distinct()
+            .localCheckpoint(eager=True))
+
+    w = Window.partitionBy("phash").orderBy(id_col, "pidx")
+    flagged = (p.join(F.broadcast(seen.withColumn("_seen", F.lit(True))),
+                      "phash", "left")
+               .withColumn("_keep_flag",
+                           F.col("_seen").isNull()
+                           & (F.row_number().over(w) == 1)))
+    kept = _reassemble_passages(flagged, id_col)
+    if sink is not None:
+        sink(kept)
+
+    # commit: fresh hashes (batch distinct minus seen) + id sentinels,
+    # both derived from the pre-batch index state
+    staging = os.path.join(index_dir, f"_staging_{uuid.uuid4().hex}")
+    fresh_hashes = (batch_hashes.join(F.broadcast(seen), "phash",
+                                      "left_anti")
+                    .select(F.lit(0).alias("kind"),
+                            F.col("phash").alias("key")))
+    fresh_ids = (fresh_docs.select(F.col(id_col).alias("key")).distinct()
+                 .select(F.lit(1).alias("kind"), "key"))
+    (fresh_hashes.unionByName(fresh_ids)
+     .select(F.col("kind").cast("int"), F.col("key").cast("long"))
+     .write.parquet(staging))
+    os.rename(staging, os.path.join(index_dir, f"batch_{uuid.uuid4().hex}"))
+    return kept

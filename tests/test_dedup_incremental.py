@@ -104,3 +104,98 @@ def test_non_monotonic_arrival_first_wins(spark, tmp_path):
                             (6, other, "en", "s", len(other))])
     kept = dedup.incremental_minhash_dedup(b2, idx, THRESHOLD)
     assert _ids(kept) == {6}  # 5 loses to the already-indexed 100
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch passage dedup (X53 — the passage-hash index)
+# ---------------------------------------------------------------------------
+
+
+def _pd_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_passage_two_batches_equal_one_shot(spark, tmp_path):
+    """Ascending-id batches through the passage index == one-shot
+    passage_dedup over the union, doc for doc (the split-invariance
+    contract the doc-level incremental dedup pins)."""
+    from dbt_demo_spark.operators.dedup import (PASSAGE_TOKENS,
+                                                incremental_passage_dedup,
+                                                passage_dedup)
+
+    w = PASSAGE_TOKENS
+    boiler = " ".join(f"b{i}" for i in range(w))
+    uniq = [" ".join(f"u{b}_{i}" for i in range(w)) for b in range(4)]
+    b1 = [(0, f"{boiler} {uniq[0]}"), (1, f"{boiler} {uniq[1]}")]
+    b2 = [(2, f"{boiler} {uniq[2]}"),     # boiler seen in batch 1 -> cut
+          (3, uniq[1]),                   # whole passage seen -> NULL
+          (4, f"{uniq[3]} fresh tail")]
+    idx = str(tmp_path / "pidx")
+
+    one_shot = {r.doc_id: (r.n_passages, r.n_kept, r.clean_text)
+                for r in passage_dedup(_pd_docs(spark, b1 + b2)).collect()}
+    inc1 = {r.doc_id: (r.n_passages, r.n_kept, r.clean_text)
+            for r in incremental_passage_dedup(_pd_docs(spark, b1),
+                                               idx).collect()}
+    inc2 = {r.doc_id: (r.n_passages, r.n_kept, r.clean_text)
+            for r in incremental_passage_dedup(_pd_docs(spark, b2),
+                                               idx).collect()}
+    assert {**inc1, **inc2} == one_shot
+    assert inc2[3][2] is None             # cross-batch whole-dup
+
+
+def test_incremental_passage_replay_is_inert(spark, tmp_path):
+    """Re-ingesting a committed batch returns NOTHING (id sentinels), and
+    the index gains no rows — the crash-after-commit replay story."""
+    import os
+
+    from dbt_demo_spark.operators.dedup import (incremental_passage_dedup,
+                                                read_passage_index)
+
+    idx = str(tmp_path / "pidx")
+    batch = _pd_docs(spark, [(0, "alpha beta gamma"), (1, "delta words")])
+    first = incremental_passage_dedup(batch, idx).collect()
+    assert len(first) == 2
+    n_rows = read_passage_index(spark, idx).count()
+    n_dirs = len(os.listdir(idx))
+
+    replay = incremental_passage_dedup(batch, idx).collect()
+    assert replay == []
+    # the replay commits only an (empty) batch dir — no new index keys
+    assert read_passage_index(spark, idx).count() == n_rows
+    assert len(os.listdir(idx)) == n_dirs + 1
+
+
+def test_incremental_passage_reclaims_crashed_staging(spark, tmp_path):
+    import os
+
+    from dbt_demo_spark.operators.dedup import incremental_passage_dedup
+
+    idx = str(tmp_path / "pidx")
+    os.makedirs(os.path.join(idx, "_staging_deadbeef"))
+    incremental_passage_dedup(_pd_docs(spark, [(0, "a b c")]), idx).collect()
+    assert not [d for d in os.listdir(idx) if d.startswith("_staging_")]
+
+
+def test_incremental_passage_sink_runs_before_commit(spark, tmp_path):
+    """A sink that raises leaves the index untouched: the replay then
+    reproduces the identical output (crash-BEFORE-commit story)."""
+    import os
+
+    import pytest
+
+    from dbt_demo_spark.operators.dedup import incremental_passage_dedup
+
+    idx = str(tmp_path / "pidx")
+    batch = _pd_docs(spark, [(0, "some words here"), (1, "other words")])
+
+    def bad_sink(kept):
+        raise RuntimeError("sink crash")
+
+    with pytest.raises(RuntimeError, match="sink crash"):
+        incremental_passage_dedup(batch, idx, sink=bad_sink)
+    assert not [d for d in os.listdir(idx) if d.startswith("batch_")]
+
+    got = {r.doc_id: r.clean_text
+           for r in incremental_passage_dedup(batch, idx).collect()}
+    assert got == {0: "some words here", 1: "other words"}
