@@ -3,6 +3,7 @@ from .dedup import (streaming_dedup_within_watermark, streaming_first_seen,
 from .heavy import streaming_heavy_hitter_sketch
 from .ingest import clean_ingest, ingest_batch, read_document_stream
 from .join import interval_join
+from .locf import streaming_locf
 from .rollup import read_event_stream, session_rollup, streaming_hourly_rollup
 from .sink import rollup_to_warehouse, stream_static_enrich
 
@@ -10,4 +11,5 @@ __all__ = ["clean_ingest", "ingest_batch", "interval_join", "read_document_strea
            "session_rollup", "stream_static_enrich",
            "streaming_dedup_within_watermark", "streaming_first_seen",
            "streaming_first_seen_ttl", "streaming_heavy_hitter_sketch",
+           "streaming_locf",
            "streaming_hourly_rollup"]

@@ -1270,3 +1270,65 @@ def test_passage_dedup_partial_window_and_short_docs(spark):
     assert out[0].clean_text == "tiny doc"
     assert out[1].clean_text is None            # short-doc dup still caught
     assert out[2].clean_text == "other"
+
+
+def test_streaming_locf_matches_batch_window(spark, tmp_path):
+    """Stateful LOCF (streaming/locf.py): streamed carry across TWO
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered files) must equal
+    the batch IGNORE-NULLS window over the union — including a
+    cross-batch carry for a user whose observation lives in batch 1 and
+    whose null rows arrive in batch 2."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from dbt_demo_spark.streaming import streaming_locf
+
+    b1 = [(1, "2024-01-01 00:00:00", 10, 5.0),
+          (1, "2024-01-01 01:00:00", 11, None),
+          (2, "2024-01-01 00:30:00", 12, None)]   # user 2: no obs yet
+    b2 = [(1, "2024-01-02 00:00:00", 20, None),   # carried from batch 1
+          (2, "2024-01-02 01:00:00", 21, 7.0),
+          (2, "2024-01-02 02:00:00", 22, None)]
+    schema = "user_id long, ts_s string, event_id long, value double"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def _write(rows, name, mtime):
+        df = (spark.createDataFrame(rows, schema)
+              .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                      "event_id", "value").coalesce(1))
+        df.write.parquet(str(tmp_path / name))
+        part = next(p for p in os.listdir(tmp_path / name)
+                    if p.endswith(".parquet"))
+        dst = landing / f"{name}.parquet"
+        os.rename(tmp_path / name / part, dst)
+        os.utime(dst, (mtime, mtime))
+        return df
+
+    now = time.time()
+    d1 = _write(b1, "b1", now - 100)
+    d2 = _write(b2, "b2", now)
+
+    stream = streaming_locf(
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(landing)))
+    q = (stream.writeStream.format("memory").queryName("locf")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: (r.gauge, r.observed)
+           for r in spark.sql("SELECT * FROM locf").collect()}
+
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.event_id: (r.gauge, r.observed)
+            for r in d1.unionByName(d2).select(
+                "event_id",
+                F.last("value", ignorenulls=True).over(w).alias("gauge"),
+                F.col("value").isNotNull().alias("observed")).collect()}
+    assert got == want
+    assert got[20] == (5.0, False)        # the cross-batch carry
+    assert got[12] == (None, False)       # no observation yet -> NULL
