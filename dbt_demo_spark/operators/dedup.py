@@ -863,3 +863,47 @@ def incremental_passage_dedup(new_docs: DataFrame, index_dir: str,
      .write.parquet(staging))
     os.rename(staging, os.path.join(index_dir, f"batch_{uuid.uuid4().hex}"))
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (X54): inverted-index candidates, levenshtein verify
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_near_dups(docs: DataFrame, max_dist: int,
+                            candidate_threshold: float = 0.2,
+                            max_doc_freq: int | None = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Pairs (d1 < d2, distance) whose texts are within ``max_dist``
+    character edits — the fuzzy-dup family for OCR noise / templated
+    variants, where token-set measures (Jaccard, minhash) under-read
+    single-character damage spread across many tokens.
+
+    Never all-pairs: candidates come from the existing shingle
+    inverted-index join (ngram_jaccard_pairs, Jaccard >=
+    ``candidate_threshold``), then Spark's JVM ``levenshtein`` verifies
+    each candidate exactly.  Recall contract: a pair is findable iff it
+    still shares a 3-token shingle — tiny edit distances on >3-token docs
+    always do (an edit damages at most 3 shingles per token touched);
+    adversarial ≤max_dist pairs with NO shared shingle are out of scope
+    (the sound PassJoin-style substring blocking is the upgrade path).
+    Verify cost is candidate-bounded; levenshtein is O(len²) per pair —
+    cap document length upstream for pathological corpora.
+
+    DuckDB twin (tests): brute-force O(n²) `levenshtein` cross join on a
+    planted corpus — operator pairs must equal the oracle's exactly."""
+    pairs = (ngram_jaccard_pairs(None, docs, candidate_threshold,
+                                 max_doc_freq=max_doc_freq,
+                                 query_filter=F.lit(True))
+             .filter(F.col("qid") < F.col("cid"))
+             .select(F.col("qid").alias("d1"), F.col("cid").alias("d2")))
+    t = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    return (pairs
+            .join(t.withColumnRenamed("_id", "d1")
+                   .withColumnRenamed("_t", "_t1"), "d1")
+            .join(t.withColumnRenamed("_id", "d2")
+                   .withColumnRenamed("_t", "_t2"), "d2")
+            .withColumn("distance", F.levenshtein("_t1", "_t2"))
+            .filter(F.col("distance") <= max_dist)
+            .select("d1", "d2", "distance"))

@@ -1332,3 +1332,34 @@ def test_streaming_locf_matches_batch_window(spark, tmp_path):
     assert got == want
     assert got[20] == (5.0, False)        # the cross-batch carry
     assert got[12] == (None, False)       # no observation yet -> NULL
+
+
+def test_edit_distance_near_dups_match_bruteforce_oracle(spark):
+    """Inverted-index-blocked levenshtein near-dup == DuckDB's brute-force
+    O(n^2) oracle on a corpus of templated variants (small edits spread
+    across long docs — the case token-set measures under-read)."""
+    import duckdb
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    rows = [(0, base),
+            (1, base.replace("quick", "quack")),            # 1 edit
+            (2, base.replace("lazy", "hazy") + " today"),   # 1 + 6 edits
+            (3, "completely different text about spark plans and shuffles"),
+            (4, base.replace("brown", "red"))]              # 4 edits
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.d1, r.d2): r.distance
+           for r in dedup.edit_distance_near_dups(docs, max_dist=8)
+           .collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in rows)
+                + ") t(doc_id, text)")
+    want = {(a, b): dist for a, b, dist in con.execute("""
+        SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 8""").fetchall()}
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert not any(3 in p for p in got)
