@@ -907,3 +907,45 @@ def edit_distance_near_dups(docs: DataFrame, max_dist: int,
             .withColumn("distance", F.levenshtein("_t1", "_t2"))
             .filter(F.col("distance") <= max_dist)
             .select("d1", "d2", "distance"))
+
+
+def compact_passage_index(spark, index_dir: str,
+                          min_dirs: int = 2) -> int:
+    """Merge the passage index's committed ``batch_*`` dirs into one —
+    the maintenance pass for a long-running ingest stream, whose index
+    otherwise accumulates one directory (and its tiny files) per batch
+    and pays per-dir listing + per-file open on every probe.
+
+    Safety argument (this is why the index can be compacted with plain
+    renames at all): the index is a MEMBERSHIP SET — readers only ever
+    ask "is this key present" via joins that bound/distinct their output
+    — so a duplicated key is semantically inert.  The merge therefore
+    needs no cross-directory atomicity: write the union to underscore
+    staging, rename it in as a new batch dir (atomic), then delete the
+    old dirs; a crash mid-delete leaves duplicate keys, which the next
+    compaction (or nothing at all) cleans up.  Contrast the FEATURE
+    index (incremental_minhash_dedup), where rows are per-doc payloads —
+    its compaction would need the same merged-write but a
+    dedup-on-doc_id read guard.
+
+    Single-writer contract: run between batches (the ingest stream owns
+    the index).  Returns the number of batch dirs merged (0 = below
+    ``min_dirs``, nothing touched)."""
+    import os
+    import shutil
+    import uuid
+
+    dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_")]
+    if len(dirs) < min_dirs:
+        return 0
+    merged = (read_passage_index(spark, index_dir)
+              .distinct()
+              .coalesce(max(1, int(spark.conf.get(
+                  "spark.sql.shuffle.partitions")) // 8)))
+    staging = os.path.join(index_dir, f"_staging_{uuid.uuid4().hex}")
+    merged.write.parquet(staging)
+    os.rename(staging, os.path.join(index_dir,
+                                    f"batch_{uuid.uuid4().hex}"))
+    for d in dirs:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return len(dirs)

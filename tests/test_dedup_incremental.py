@@ -199,3 +199,37 @@ def test_incremental_passage_sink_runs_before_commit(spark, tmp_path):
     got = {r.doc_id: r.clean_text
            for r in incremental_passage_dedup(batch, idx).collect()}
     assert got == {0: "some words here", 1: "other words"}
+
+
+def test_compact_passage_index_preserves_semantics(spark, tmp_path):
+    """Compaction merges N batch dirs into one with the key set intact:
+    the next batch dedups exactly as it would have against the
+    uncompacted index."""
+    import os
+
+    from dbt_demo_spark.operators.dedup import (compact_passage_index,
+                                                incremental_passage_dedup,
+                                                read_passage_index)
+
+    idx = str(tmp_path / "pidx")
+    incremental_passage_dedup(_pd_docs(spark, [(0, "alpha beta")]),
+                              idx).collect()
+    incremental_passage_dedup(_pd_docs(spark, [(1, "gamma delta")]),
+                              idx).collect()
+    keys = {(r.kind, r.key) for r in read_passage_index(spark, idx).collect()}
+
+    n = compact_passage_index(spark, idx)
+    assert n == 2
+    assert len([d for d in os.listdir(idx)
+                if d.startswith("batch_")]) == 1
+    assert {(r.kind, r.key)
+            for r in read_passage_index(spark, idx).collect()} == keys
+
+    # a replayed batch is still inert; a seen passage is still cut
+    assert incremental_passage_dedup(_pd_docs(spark, [(0, "alpha beta")]),
+                                     idx).collect() == []
+    [r] = incremental_passage_dedup(
+        _pd_docs(spark, [(2, "alpha beta")]), idx).collect()
+    assert r.clean_text is None          # whole-dup across compaction
+
+    assert compact_passage_index(spark, idx, min_dirs=99) == 0
