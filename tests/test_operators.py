@@ -1363,3 +1363,184 @@ def test_edit_distance_near_dups_match_bruteforce_oracle(spark):
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 1
     assert not any(3 in p for p in got)
+
+
+def test_streaming_daily_spine_matches_batch_gapfill(spark, tmp_path):
+    """transformWithStateInPandas + EVENT-TIME TIMERS: the streamed dense
+    daily grid must equal the batch gap-fill window for every day the
+    final watermark closed — observation days, observation-driven gap
+    fills, AND timer-driven trailing fills (users silent at stream end).
+
+    transformWithState's runner protocol needs protobuf (not shipped in
+    this container) — the test exercises the operator wherever the
+    dependency exists and skips cleanly where it doesn't."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas runner requires protobuf")
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from dbt_demo_spark.streaming import streaming_daily_spine
+
+    # user 1: obs day1, gap, obs day4  -> inline fills for day2/day3
+    # user 2: obs day1 then silence    -> TIMER fills day2..day5
+    # user 3: two obs on day2 (last wins), late-day start
+    rows1 = [(1, "2024-01-01 10:00:00", 10, 5.0),
+             (2, "2024-01-01 12:00:00", 11, 9.0)]
+    rows2 = [(1, "2024-01-04 09:00:00", 20, 7.0),
+             (3, "2024-01-02 08:00:00", 21, 1.0),
+             (3, "2024-01-02 20:00:00", 22, 2.0),
+             (2, "2024-01-06 00:30:00", 23, None)]   # null: watermark mover
+    schema = "user_id long, ts_s string, event_id long, value double"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def _write(rows, name, mtime):
+        df = (spark.createDataFrame(rows, schema)
+              .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                      "event_id", "value").coalesce(1))
+        df.write.parquet(str(tmp_path / name))
+        part = next(p for p in os.listdir(tmp_path / name)
+                    if p.endswith(".parquet"))
+        dst = landing / f"{name}.parquet"
+        os.rename(tmp_path / name / part, dst)
+        os.utime(dst, (mtime, mtime))
+        return df
+
+    now = time.time()
+    d1 = _write(rows1, "b1", now - 100)
+    d2 = _write(rows2, "b2", now)
+
+    stream = streaming_daily_spine(
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(landing)))
+    q = (stream.writeStream.format("memory").queryName("spine_grid")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, str(r.day)): (r.gauge, r.observed)
+           for r in spark.sql("SELECT * FROM spine_grid").collect()}
+
+    # batch reference: per-user spine from first obs to the global max
+    # day, LOCF-carried; streamed grid == every batch day the final
+    # watermark (max ts) CLOSED, i.e. day_end <= max(ts): all days before
+    # 2024-01-06, plus observation days on it (none here)
+    ev = d1.unionByName(d2).filter(F.col("value").isNotNull())
+    g = (ev.select("user_id", F.to_date("ts").alias("day"),
+                   F.struct("ts", "event_id", "value").alias("o"))
+         .groupBy("user_id", "day")
+         .agg(F.max("o").getField("value").alias("value")))
+    d1max = g.agg(F.max("day").alias("d1")).collect()[0].d1  # 2024-01-04
+    spine = (g.groupBy("user_id").agg(F.min("day").alias("d0"))
+             .select("user_id",
+                     F.explode(F.sequence("d0", F.lit("2024-01-05")
+                                          .cast("date"))).alias("day")))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r.user_id, str(r.day)): (r.gauge, r.observed)
+            for r in spine.join(g, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.last("value", ignorenulls=True).over(w).alias("gauge"),
+                    F.col("value").isNotNull().alias("observed"))
+            .collect()}
+    assert got == want
+    # the timer-driven tail really happened: user 2 silent since day 1
+    assert got[(2, "2024-01-05")] == (9.0, False)
+    # same-day refinement: user 3's later obs won day 2
+    assert got[(3, "2024-01-02")] == (2.0, True)
+    assert d1max is not None
+
+
+def test_daily_spine_processor_logic_with_fake_runtime():
+    """The StatefulProcessor's fill algebra, driven directly with fake
+    state/handle/timer objects (no streaming runtime, no protobuf): gap
+    fills at observation time, timer-driven trailing fills as the
+    watermark advances, same-day refinement, late-row drop, and
+    exactly-one-registered-timer bookkeeping."""
+    import pandas as pd
+
+    from dbt_demo_spark.streaming.spine import (DAY_MS, DailySpineProcessor)
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = set()
+
+        def getValueState(self, name, schema):
+            return FakeState()
+
+        def registerTimer(self, ms):
+            self.timers.add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.discard(ms)
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self.wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self.wm
+
+    class FakeExpired:
+        def __init__(self, ms):
+            self.ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self.ms
+
+    p = DailySpineProcessor()
+    handle = FakeHandle()
+    p.init(handle)
+    day0 = 1_704_067_200_000           # 2024-01-01 00:00 UTC, day-aligned
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms")
+        return list(p.handleInputRows((7,), iter([pdf]),
+                                      FakeTimerValues(0)))
+
+    def grid(frames):
+        out = {}
+        for f in frames:
+            for _, r in f.iterrows():
+                out[int(r["day_ms"] - day0) // DAY_MS] = (
+                    r["gauge"], bool(r["observed"]))
+        return out
+
+    # day 0 obs, then a day-3 obs: days 1-2 fill inline
+    g1 = grid(batch([(day0 + 3_600_000, 1, 5.0)]))
+    assert g1 == {0: (5.0, True)}
+    assert handle.timers == {day0 + 2 * DAY_MS}     # closes day 1 (next)
+    g2 = grid(batch([(day0 + 3 * DAY_MS + 60_000, 2, 8.0)]))
+    assert g2 == {1: (5.0, False), 2: (5.0, False), 3: (8.0, True)}
+    assert handle.timers == {day0 + 5 * DAY_MS}     # one timer, end of day 4
+
+    # same-day refinement wins; a LATE row for closed day 1 is dropped
+    g3 = grid(batch([(day0 + 3 * DAY_MS + 120_000, 3, 9.0),
+                     (day0 + 1 * DAY_MS + 60_000, 4, 4.0)]))
+    assert g3 == {3: (9.0, True)}
+
+    # watermark to end of day 5: trailing fills for days 4 and 5
+    # (the engine removes a fired timer before dispatch — mimic that)
+    handle.timers.discard(day0 + 5 * DAY_MS)
+    frames = list(p.handleExpiredTimer(
+        (7,), FakeTimerValues(day0 + 6 * DAY_MS),
+        FakeExpired(day0 + 5 * DAY_MS)))
+    assert grid(frames) == {4: (9.0, False), 5: (9.0, False)}
+    assert handle.timers == {day0 + 7 * DAY_MS}     # re-armed for day 6
