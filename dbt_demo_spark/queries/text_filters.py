@@ -21,7 +21,7 @@ way its users would for LLM corpus preparation.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.numeric import round2, sql_round2
 from ..functions.text import HASH_P, sql_tokens, tokens
@@ -430,3 +430,39 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return lm.score_documents(docs, FROZEN_LM_TABLE)
+
+
+# ---------------------------------------------------------------------------
+# Exact-k stratified sampling (pytest-differential — catalog capped at 50)
+# ---------------------------------------------------------------------------
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_sql_sample_bucket('doc_id')},
+                                           doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+"""
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str,
+                             k: int = 20) -> DataFrame:
+    """Exactly-k-per-stratum sampling (here: k docs per language) —
+    the mixture op rate-based sampling (source_weighted_sample) can't
+    express when the recipe demands exact counts.  Deterministic and
+    engine/partitioning-stable: strata are ordered by the same integer
+    hash family as the split/sampling buckets (doc_id tiebreak), so the
+    chosen set is a pure function of the data — no RNG, reproducible
+    across engines and re-runs, unlike ``df.sampleBy``.  One shuffle on
+    the stratum key; rank-k via window (strata are few; for millions of
+    strata swap to a bounded groupBy-top-k accumulation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _sample_bucket(F.col("doc_id")), "doc_id")
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= k).select("doc_id", "lang"))

@@ -50,7 +50,8 @@ def test_demoted_queries_still_match_oracle(spark, con):
     from dbt_demo_spark.queries.reference_surface import (STG_ORDERS_ORACLE,
                                                           stg_orders)
     from dbt_demo_spark.queries.text_filters import (
-        CORPUS_LENGTH_QUANTILES_ORACLE, corpus_length_quantiles)
+        CORPUS_LENGTH_QUANTILES_ORACLE, STRATIFIED_SAMPLE_ORACLE,
+        corpus_length_quantiles, corpus_stratified_sample)
     from dbt_demo_spark.queries.tpch import (TPCH_Q4_ORACLE, TPCH_Q5_ORACLE,
                                              TPCH_Q10_ORACLE,
                                              tpch_q4_late_orders,
@@ -80,7 +81,9 @@ def test_demoted_queries_still_match_oracle(spark, con):
                        (tpch_q4_late_orders, TPCH_Q4_ORACLE),
                        (tpch_q5_local_supplier_volume, TPCH_Q5_ORACLE),
                        (corpus_length_quantiles,
-                        CORPUS_LENGTH_QUANTILES_ORACLE)):
+                        CORPUS_LENGTH_QUANTILES_ORACLE),
+                       (corpus_stratified_sample,
+                        STRATIFIED_SAMPLE_ORACLE)):
         res = compare(fn.__name__, fn(spark, SF_GATE), con, oracle)
         assert res.ok, f"{fn.__name__}: {res.detail}"
 
