@@ -155,3 +155,15 @@ def registry_column_lineage(registry, sources: dict[str, DataFrame]) -> dict:
                      for c, parents in lin.items()}
         relations[name] = df
     return out
+
+
+def manifest_with_lineage(registry, sources: dict[str, DataFrame]) -> dict:
+    """``ModelRegistry.manifest()`` with each node's column-level edges
+    attached under ``columns`` — the ONE document a lineage platform
+    ingests (table edges, exposures, AND column provenance together).
+    Pure plan analysis on top of the static manifest; no jobs."""
+    man = registry.manifest()
+    cols = registry_column_lineage(registry, sources)
+    for name, lin in cols.items():
+        man["nodes"][name]["columns"] = lin
+    return man

@@ -45,6 +45,7 @@ import os
 import shutil
 import tempfile
 import threading
+import time
 from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
@@ -68,6 +69,7 @@ class NodeResult:
     status: str                       # "success" | "fail" | "skipped"
     error: str | None = None          # model exception, if any
     tests: list[DataTestResult] = field(default_factory=list)
+    seconds: float = 0.0              # model + attached-test wall time
 
 
 @dataclass
@@ -84,6 +86,23 @@ class BuildResult:
         for n in self.nodes.values():
             out[n.status] += 1
         return out
+
+    def to_json(self) -> dict:
+        """The run_results.json artifact shape [public knowledge: dbt
+        writes per-node status/timing/failure artifacts each invocation]."""
+        return {
+            "counts": self.counts(),
+            "nodes": {
+                n.name: {
+                    "status": n.status,
+                    "error": n.error,
+                    "seconds": round(n.seconds, 3),
+                    "tests": [{"name": t.name, "passed": t.passed,
+                               "violations": t.violations}
+                              for t in n.tests],
+                } for n in self.nodes.values()
+            },
+        }
 
 
 class Runner:
@@ -287,6 +306,7 @@ class Runner:
         built: set[str] = set(sources)    # names whose relation is usable
 
         def work(name: str):
+            t0 = time.perf_counter()
             df = self._build_model(name, dict(relations))
             mdef = self.registry[name]
             trs: list[DataTestResult] = []
@@ -294,7 +314,7 @@ class Runner:
                 rel = dict(relations)
                 rel[name] = df
                 trs = run_data_tests(list(mdef.tests), rel)
-            return df, trs
+            return df, trs, time.perf_counter() - t0
 
         pending = list(self.registry.topo_order(select))
         with ThreadPoolExecutor(max(1, threads)) as ex:
@@ -322,7 +342,7 @@ class Runner:
                 for fut in done:
                     name = in_flight.pop(fut)
                     try:
-                        df, trs = fut.result()
+                        df, trs, secs = fut.result()
                     except Exception as exc:  # noqa: BLE001 — per-node report
                         nodes[name] = NodeResult(
                             name, "fail",
@@ -331,12 +351,22 @@ class Runner:
                         continue
                     relations[name] = df
                     if all(t.passed for t in trs):
-                        nodes[name] = NodeResult(name, "success", tests=trs)
+                        nodes[name] = NodeResult(name, "success", tests=trs,
+                                                 seconds=secs)
                         built.add(name)
                     else:
-                        nodes[name] = NodeResult(name, "fail", tests=trs)
+                        nodes[name] = NodeResult(name, "fail", tests=trs,
+                                                 seconds=secs)
                         poisoned.add(name)
-        return BuildResult(relations=relations, nodes=nodes)
+        result = BuildResult(relations=relations, nodes=nodes)
+        # the dbt run_results.json artifact, refreshed per invocation
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        tmp = os.path.join(self.warehouse_dir, "run_results.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(result.to_json(), f, indent=1)
+        os.replace(tmp,
+                   os.path.join(self.warehouse_dir, "run_results.json"))
+        return result
 
     def _fingerprint(self, name: str,
                      relations: dict[str, DataFrame]) -> str | None:

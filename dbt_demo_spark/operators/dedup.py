@@ -904,8 +904,14 @@ def edit_distance_near_dups(docs: DataFrame, max_dist: int,
                    .withColumnRenamed("_t", "_t1"), "d1")
             .join(t.withColumnRenamed("_id", "d2")
                    .withColumnRenamed("_t", "_t2"), "d2")
-            .withColumn("distance", F.levenshtein("_t1", "_t2"))
-            .filter(F.col("distance") <= max_dist)
+            # sound length filter: edit distance >= |len1 - len2|, so the
+            # verify never runs on pairs it cannot accept
+            .filter(F.abs(F.length("_t1") - F.length("_t2")) <= max_dist)
+            # thresholded levenshtein: banded O(k*len) DP instead of
+            # O(len^2), returning -1 past the bound
+            .withColumn("distance",
+                        F.levenshtein("_t1", "_t2", max_dist))
+            .filter(F.col("distance") >= 0)
             .select("d1", "d2", "distance"))
 
 

@@ -259,3 +259,26 @@ def test_exposures_in_manifest(spark):
     reg.exposure("broken", depends_on=("nonexistent_model",))
     with pytest.raises(ValueError, match="depends_on unknown"):
         reg.manifest()
+
+
+def test_build_writes_run_results_artifact(spark, src, tmp_path):
+    import json
+    import os
+
+    from dbt_demo_spark.core.lineage import manifest_with_lineage
+
+    res = Runner(spark, _diamond_registry(), str(tmp_path)).build(src)
+    with open(os.path.join(str(tmp_path), "run_results.json")) as f:
+        art = json.load(f)
+    assert art["counts"] == res.counts()
+    assert art["nodes"]["b"]["status"] == "fail"
+    assert art["nodes"]["b"]["tests"][0]["violations"] == 3
+    assert art["nodes"]["a"]["seconds"] > 0
+    assert art["nodes"]["c"]["seconds"] == 0        # skipped: never ran
+
+    # the one-document lineage manifest composes table + column edges
+    reg = _diamond_registry()
+    man = manifest_with_lineage(reg, src)
+    assert man["nodes"]["d"]["columns"] == {"k": [["a", "k"]]}
+    assert man["nodes"]["a"]["depends_on"] == ["src"]
+    json.dumps(man)
