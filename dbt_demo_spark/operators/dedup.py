@@ -955,3 +955,75 @@ def compact_passage_index(spark, index_dir: str,
     for d in dirs:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return len(dirs)
+
+
+def edit_distance_near_dups_qchunk(docs: DataFrame, max_dist: int,
+                                   q: int | None = None,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> DataFrame:
+    """SOUND edit-distance near-dup: every pair within ``max_dist`` is
+    found, no shingle-survival assumption — the q-chunk filter of the
+    PassJoin/Ed-Join family [public knowledge: Ukkonen's q-gram bound;
+    Li, Deng, Feng, "PASS-JOIN", PVLDB 2011].
+
+    Pigeonhole: transform a into b with <= k edits; each edit's aligned
+    region intersects at most one of b's floor(|b|/q) FULL non-overlapping
+    q-chunks, so at least floor(|b|/q) - k chunks of b appear VERBATIM as
+    substrings of a.  With floor(minlen/q) >= k+1, at least one chunk
+    matches — so joining every doc's full q-chunks (as b) against every
+    doc's q-grams (as a) on chunk text generates a complete candidate
+    set.  Verify is the same thresholded levenshtein.
+
+    Cost shape: chunks ~ len/q rows per doc, grams ~ len rows per doc —
+    the gram index is the big side; one shuffle joins them on gram text
+    (at 100 TB hash the gram and pre-aggregate the gram side by doc to
+    bound fan-out; boilerplate-heavy corpora want the same doc-frequency
+    cutoff as ngram_jaccard, which TRADES the soundness guarantee and is
+    therefore not applied here).
+
+    ``q`` defaults to the largest sound value, floor(minlen/(k+1)),
+    probed with one scalar aggregate (an index-build step, not per-row
+    work); an explicit q is validated against the same bound."""
+    lens = docs.select(F.min(F.length(text_col)).alias("mn")).collect()[0]
+    if lens.mn is None:
+        return docs.sparkSession.createDataFrame(
+            [], "d1 long, d2 long, distance int")
+    max_q = lens.mn // (max_dist + 1)
+    if max_q < 1:
+        raise ValueError(
+            f"no sound q exists: min text length {lens.mn} needs "
+            f"> {max_dist + 1} chars (floor(minlen/(k+1)) >= 1)")
+    if q is None:
+        q = max_q
+    elif q > max_q:
+        raise ValueError(f"q={q} unsound for min length {lens.mn} and "
+                         f"k={max_dist}: need q <= {max_q}")
+
+    t = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    n_chunks = F.floor(F.length("_t") / q).cast("int")
+    chunks = t.select(
+        F.col("_id").alias("cb"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.substring(F.col("_t"), i * q + 1, q))).alias("g"))
+    n_grams = (F.length("_t") - q + 1).cast("int")
+    grams = t.select(
+        F.col("_id").alias("ga"),
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.col("_t"), i, q)))).alias("g"))
+    pairs = (chunks.join(grams, "g")
+             .filter(F.col("cb") != F.col("ga"))
+             .select(F.least("cb", "ga").alias("d1"),
+                     F.greatest("cb", "ga").alias("d2"))
+             .distinct())
+    return (pairs
+            .join(t.withColumnRenamed("_id", "d1")
+                   .withColumnRenamed("_t", "_t1"), "d1")
+            .join(t.withColumnRenamed("_id", "d2")
+                   .withColumnRenamed("_t", "_t2"), "d2")
+            .filter(F.abs(F.length("_t1") - F.length("_t2")) <= max_dist)
+            .withColumn("distance",
+                        F.levenshtein("_t1", "_t2", max_dist))
+            .filter(F.col("distance") >= 0)
+            .select("d1", "d2", "distance"))

@@ -364,3 +364,59 @@ def test_passage_dedup_property(spark, texts, width):
     got = {r.doc_id: (r.n_passages, r.n_kept, r.clean_text)
            for r in passage_dedup(docs, width=width).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Sound q-chunk edit-distance blocking (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet="abc", min_size=8, max_size=24),
+                min_size=2, max_size=10, unique=True))
+def test_qchunk_edit_distance_is_sound_and_exact(spark, texts):
+    """The q-chunk filter must find EVERY pair within k (soundness is the
+    theorem, not a heuristic) and nothing else (verify is exact) — i.e.
+    exact equality with the brute-force O(n^2) DP on random corpora."""
+    from dbt_demo_spark.operators.dedup import edit_distance_near_dups_qchunk
+
+    k = 2
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.d1, r.d2): r.distance
+           for r in edit_distance_near_dups_qchunk(docs, k).collect()}
+    want = {(i, j): _lev(a, b)
+            for i, a in rows for j, b in rows
+            if i < j and _lev(a, b) <= k}
+    assert got == want
+
+
+def test_qchunk_finds_pairs_shingle_blocking_cannot(spark):
+    """The adversarial case for the shingle-blocked variant: docs too
+    short to shingle (< 3 tokens) are invisible to it, while the sound
+    q-chunk filter still finds their close pairs; unsound q raises."""
+    import pytest
+
+    from dbt_demo_spark.operators.dedup import (
+        edit_distance_near_dups, edit_distance_near_dups_qchunk)
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "abcdefghix"), (2, "zzzzzzzzzz")],
+        "doc_id long, text string")
+    assert edit_distance_near_dups(docs, 2).collect() == []  # no shingles
+    got = {(r.d1, r.d2): r.distance
+           for r in edit_distance_near_dups_qchunk(docs, 2).collect()}
+    assert got == {(0, 1): 1}
+    with pytest.raises(ValueError, match="unsound"):
+        edit_distance_near_dups_qchunk(docs, 2, q=9)
