@@ -27,12 +27,14 @@ def _diamond_registry(sleep_sec: float, log: list | None = None):
     def left(refs):
         mark("left")
         time.sleep(sleep_sec)
+        mark("left_end")
         return refs["src"].withColumn("l", F.col("k") * 2)
 
     @reg.model("right", deps=("src",))
     def right(refs):
         mark("right")
         time.sleep(sleep_sec)
+        mark("right_end")
         return refs["src"].withColumn("r", F.col("k") * 3)
 
     @reg.model("joined", deps=("left", "right"), materialized="table")
@@ -51,17 +53,21 @@ def test_parallel_diamond_overlaps_and_matches_sequential(spark, tmp_path):
     want = sorted(map(tuple, seq["joined"].collect()))
 
     log: list = []
-    t0 = time.perf_counter()
     par = Runner(spark, _diamond_registry(1.0, log),
                  warehouse_dir=str(tmp_path / "par")).run(
         {"src": src}, threads=4)
-    wall = time.perf_counter() - t0
 
     # identical outputs
     assert sorted(map(tuple, par["joined"].collect())) == want
-    # the two 1s sleeps overlapped: wall well under the 2s a sequential
-    # run pays (generous bound for a loaded shared host)
-    assert wall < 1.9, wall
+    # the two 1s sleeps OVERLAPPED: each branch started before the other
+    # finished.  (Interval overlap, not a total-wall bound — a wall bound
+    # flakes under ambient host load, which delays job submission but
+    # cannot forge an overlap.)
+    starts0 = dict()
+    for name, t in log:
+        starts0.setdefault(name, t)
+    assert starts0["left"] < starts0["right_end"], log
+    assert starts0["right"] < starts0["left_end"], log
     # dependency gate held: joined started after both branch fns began
     starts = dict()
     for name, t in log:
