@@ -968,11 +968,16 @@ def edit_distance_near_dups_qchunk(docs: DataFrame, max_dist: int,
 
     Pigeonhole: transform a into b with <= k edits; each edit's aligned
     region intersects at most one of b's floor(|b|/q) FULL non-overlapping
-    q-chunks, so at least floor(|b|/q) - k chunks of b appear VERBATIM as
-    substrings of a.  With floor(minlen/q) >= k+1, at least one chunk
-    matches — so joining every doc's full q-chunks (as b) against every
-    doc's q-grams (as a) on chunk text generates a complete candidate
-    set.  Verify is the same thresholded levenshtein.
+    q-chunks, so at least m - k of them (m = floor(|b|/q)) appear VERBATIM
+    as substrings of a, each displaced by at most k characters.  With
+    floor(minlen/q) >= k+1 that is at least one chunk — so joining every
+    doc's full q-chunks (as b) against every doc's q-grams (as a) on
+    chunk text generates a complete candidate set, which two further
+    SOUND filters then prune before the verify: the POSITION window
+    (|gram offset - chunk offset| <= k) and the COUNT filter (>= m - k
+    distinct chunks must match).  Verify is the same thresholded
+    levenshtein; the hypothesis differential pins exact equality with
+    brute force, so none of the three filters can silently over-prune.
 
     Cost shape: chunks ~ len/q rows per doc, grams ~ len rows per doc —
     the gram index is the big side; one shuffle joins them on gram text
@@ -1003,20 +1008,33 @@ def edit_distance_near_dups_qchunk(docs: DataFrame, max_dist: int,
     n_chunks = F.floor(F.length("_t") / q).cast("int")
     chunks = t.select(
         F.col("_id").alias("cb"),
-        F.explode(F.transform(
+        n_chunks.alias("m"),
+        F.posexplode(F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.substring(F.col("_t"), i * q + 1, q))).alias("g"))
+            lambda i: F.substring(F.col("_t"), i * q + 1, q)))
+        .alias("cpos", "g"))
     n_grams = (F.length("_t") - q + 1).cast("int")
     grams = t.select(
         F.col("_id").alias("ga"),
-        F.explode(F.array_distinct(F.transform(
+        F.posexplode(F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.substring(F.col("_t"), i, q)))).alias("g"))
-    pairs = (chunks.join(grams, "g")
-             .filter(F.col("cb") != F.col("ga"))
-             .select(F.least("cb", "ga").alias("d1"),
-                     F.greatest("cb", "ga").alias("d2"))
-             .distinct())
+            lambda i: F.substring(F.col("_t"), i, q))).alias("gpos", "g"))
+    pairs = (
+        chunks.join(grams, "g")
+        .filter(F.col("cb") != F.col("ga"))
+        # POSITION filter (sound): <= k edits shift an untouched chunk's
+        # image in `a` by at most k characters, so a chunk at character
+        # offset cpos*q can only match a gram within +-k of it
+        .filter(F.abs(F.col("gpos") - F.col("cpos") * q) <= max_dist)
+        # COUNT filter (sound): at least m - k of b's chunks survive the
+        # edit script untouched, so a true pair matches that many
+        # DISTINCT chunks — fewer means the pair cannot be within k
+        .groupBy(F.col("cb"), F.col("ga"), F.col("m"))
+        .agg(F.countDistinct("cpos").alias("_hits"))
+        .filter(F.col("_hits") >= F.col("m") - max_dist)
+        .select(F.least("cb", "ga").alias("d1"),
+                F.greatest("cb", "ga").alias("d2"))
+        .distinct())
     return (pairs
             .join(t.withColumnRenamed("_id", "d1")
                    .withColumnRenamed("_t", "_t1"), "d1")
