@@ -51,7 +51,12 @@ def stg_loans(refs: dict[str, DataFrame]) -> DataFrame:
 @_model("stg_loan_payments", deps=("raw_loan_payments",),
         materialized="view", tags=("staging",),
         tests=(accepted_values("stg_loan_payments", "payment_status",
-                               ["completed"]),))
+                               ["completed"]),),
+        contract=(("payment_id", "string"), ("loan_id", "string"),
+                  ("payment_date", "date"), ("payment_amount", "double"),
+                  ("principal_paid", "double"),
+                  ("interest_paid", "double"),
+                  ("payment_status", "string")))
 def stg_loan_payments(refs: dict[str, DataFrame]) -> DataFrame:
     """Staging view: rename + date cast over raw_loan_payments
     (models/staging/stg_loan_payments.sql:5-15)."""
@@ -209,7 +214,14 @@ def agg_monthly_loans(refs: dict[str, DataFrame]) -> DataFrame:
                         lambda rel: _grain_violations(
                             rel["agg_monthly_loans_fixed"])),
                unique("agg_monthly_loans_fixed",
-                      ["month", "loan_type_name"])))
+                      ["month", "loan_type_name"])),
+        contract=(("loan_type_name", "string"), ("new_loans", "bigint"),
+                  ("amount_originated", "bigint"),
+                  ("avg_loan_size", "double"), ("avg_rate", "double"),
+                  ("payments_received", "bigint"),
+                  ("payment_volume", "double"),
+                  ("principal_collected", "double"),
+                  ("interest_collected", "double"), ("month", "date")))
 def agg_monthly_loans_fixed(refs: dict[str, DataFrame]) -> DataFrame:
     """The corrected rollup per docs/bug-analysis.md:161-174: no loan-level
     join, grain is exactly one row per (month, loan_type_name).
