@@ -44,11 +44,36 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 
+def loadavg() -> tuple[float, float, float]:
+    """1/5/15-minute load averages from /proc/loadavg."""
+    with open("/proc/loadavg") as fh:
+        a, b, c = fh.read().split()[:3]
+    return float(a), float(b), float(c)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "16"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Ambient-load guard (VERDICT r8 item 1): BENCH_r08 was measured on a
+    # load-5 host and recorded a 7x-inflated throughput that never
+    # happened.  Before any Spark work, wait (up to SPARK_GRAFT_LOAD_WAIT
+    # seconds) for the 1-minute load to drop under SPARK_GRAFT_MAX_LOAD;
+    # stamp the observed load into the JSON either way, plus a
+    # load_contaminated flag, so a number measured on a busy host can
+    # never silently become the number of record.  The check runs BEFORE
+    # the SparkSession exists — once the bench itself is running, load1
+    # measures our own threads, not ambient pressure.
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    waited = 0.0
+    while loadavg()[0] > max_load and waited < wait_budget:
+        time.sleep(10.0)
+        waited += 10.0
+    load_before = loadavg()
+    load_contaminated = load_before[0] > max_load
 
     # plenty of heap for 40 concurrent tiny queries: GC pauses, not data
     # volume, are the noise source at this sf
@@ -107,9 +132,23 @@ def main() -> None:
     # construction (~0.2-0.5s/query of Python round-trips) — a client
     # artifact DuckDB's C API doesn't pay either; engines serve repeated
     # queries from a plan cache.
-    dfs = {name: CATALOG[name].fn(spark, sf_dir) for name in names}
+    #
+    # EXCEPTION — two_pass rows (e.g. text_heavy_hitters): their fn runs
+    # real engine passes (Misra-Gries candidate jobs) at plan-construction
+    # time, so a prebuilt handle would time only the final pass while the
+    # DuckDB oracle pays its full scan each execution.  Those rows rebuild
+    # inside the timed region — the timer covers every pass (VERDICT r8
+    # item 3).
+    two_pass = {name for name in names if CATALOG[name].two_pass}
+    dfs = {name: CATALOG[name].fn(spark, sf_dir) for name in names
+           if name not in two_pass}
 
     def run(name: str, at: str | None = None) -> float:
+        if name in two_pass:
+            t0 = time.perf_counter()
+            df = CATALOG[name].fn(spark, at or sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
         df = dfs[name] if at is None else CATALOG[name].fn(spark, at)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -153,7 +192,8 @@ def main() -> None:
         if shared_mode:
             # DataFrames bind their scans at construction — rebuild inside
             # the block so every query reads the cached projections
-            dfs.update({n: CATALOG[n].fn(spark, sf_dir) for n in names})
+            dfs.update({n: CATALOG[n].fn(spark, sf_dir) for n in names
+                        if n not in two_pass})
         passes = []
         for _ in range(3):
             spark._jvm.System.gc()
@@ -197,7 +237,10 @@ def main() -> None:
                  "one-at-a-time warmed power pass (min of 3, run BEFORE "
                  "the throughput passes; plans built once and re-executed "
                  "— timings cover JVM planning + execution, not py4j "
-                 "client plan construction); sim_topk_ivf is excluded "
+                 "client plan construction; two_pass rows such as "
+                 "text_heavy_hitters instead rebuild inside the timed "
+                 "region so their candidate-pass jobs are on the clock "
+                 "every rep); sim_topk_ivf is excluded "
                  "from bench entirely (bench=False): its k-means index "
                  "build is a materialization side effect, not query time; "
                  "scale_bench_path (if set) points at a pre-measured "
@@ -214,6 +257,10 @@ def main() -> None:
             f"{sorted(NON_RELATIONAL)} — the text/list rows that dominate "
             "the DuckDB baseline's total; the subtotal is the honest "
             "cross-engine number for the relational/bulk tail"),
+        "loadavg_before": list(load_before),
+        "loadavg_after": list(loadavg()),
+        "load_wait_sec": waited,
+        "load_contaminated": load_contaminated,
         "metric": "catalog_workload_wall_sec",
         "sequential_relational_sec": sequential_relational,
         "sequential_total_sec": sequential_total,
@@ -230,6 +277,8 @@ def main() -> None:
         "sequential_relational_sec": sequential_relational,
         "unit": "sec",
         "sf": sf,
+        "load1_before": load_before[0],
+        "load_contaminated": load_contaminated,
     }))
     sys.stdout.flush()
     spark.stop()

@@ -17,6 +17,12 @@ class QuerySpec:
     oracle: str | None        # DuckDB SQL; None -> driver does rows-only check
     tags: tuple[str, ...] = ()
     bench: bool = True        # include in bench.py headline timing
+    # two_pass=True: the query fn does real multi-pass engine work (Spark
+    # jobs, e.g. a Misra-Gries candidate pass) at PLAN-CONSTRUCTION time,
+    # so bench.py must rebuild the plan inside the timed region instead of
+    # re-executing a prebuilt handle — otherwise only the final pass is
+    # timed while the oracle pays its full scan (VERDICT r8 item 3).
+    two_pass: bool = False
     doc: str = ""
 
 
@@ -34,7 +40,8 @@ NON_RELATIONAL_QUERIES = frozenset({
 
 
 def query(name: str, *, oracle: str | None, tags: tuple[str, ...] = (),
-          bench: bool = True) -> Callable[[SparkQuery], SparkQuery]:
+          bench: bool = True,
+          two_pass: bool = False) -> Callable[[SparkQuery], SparkQuery]:
     """Register a catalog query.  The decorated function's docstring should
     cite the reference file:line whose operator it exercises."""
 
@@ -42,7 +49,8 @@ def query(name: str, *, oracle: str | None, tags: tuple[str, ...] = (),
         if name in CATALOG:
             raise ValueError(f"duplicate query name: {name}")
         CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags,
-                                  bench=bench, doc=fn.__doc__ or "")
+                                  bench=bench, two_pass=two_pass,
+                                  doc=fn.__doc__ or "")
         return fn
 
     return deco
