@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -349,6 +350,12 @@ def agg_monthly_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MARTS: dict = {}
+# one lock for all mart cold-start builds: bench warmup/throughput phases
+# run catalog queries on a thread pool, and since r9 FOUR rows (q3/q18/q21
+# + mart_bucketed_revenue) share the bucketed marts — unlocked, two
+# threads race the same _temporary write dir (the first post-layout bench
+# run failed exactly this way)
+_MART_BUILD_LOCK = threading.Lock()
 
 
 def month_partitioned_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,23 +366,25 @@ def month_partitioned_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     .mart_cache dir, keyed by a hash of the absolute sf_dir so same-basename
     dirs never collide (same discipline as the IVF index)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _MARTS.get(key)
-    if df is None:
-        from ..sources.parquet import mart_cache_dir
+    with _MART_BUILD_LOCK:
+        df = _MARTS.get(key)
+        if df is None:
+            from ..sources.parquet import mart_cache_dir
 
-        path = mart_cache_dir(sf_dir, "orders_monthly_mart")
-        orders = load_table(spark, sf_dir, "orders")
-        mart = (
-            orders.groupBy(
-                F.date_trunc("month", "o_orderdate").cast("date")
-                 .alias("month_start"),
-                F.col("o_orderstatus").alias("order_status"))
-            .agg(F.countDistinct("o_orderkey").alias("orders_placed"),
-                 round2(F.sum("o_totalprice")).alias("total_amount"))
-        )
-        mart.write.mode("overwrite").partitionBy("month_start").parquet(path)
-        df = spark.read.parquet(path)
-        _MARTS[key] = df
+            path = mart_cache_dir(sf_dir, "orders_monthly_mart")
+            orders = load_table(spark, sf_dir, "orders")
+            mart = (
+                orders.groupBy(
+                    F.date_trunc("month", "o_orderdate").cast("date")
+                     .alias("month_start"),
+                    F.col("o_orderstatus").alias("order_status"))
+                .agg(F.countDistinct("o_orderkey").alias("orders_placed"),
+                     round2(F.sum("o_totalprice")).alias("total_amount"))
+            )
+            mart.write.mode("overwrite").partitionBy("month_start") \
+                .parquet(path)
+            df = spark.read.parquet(path)
+            _MARTS[key] = df
     return df
 
 
@@ -418,38 +427,59 @@ def bucketed_order_marts(spark: SparkSession, sf_dir: str):
     (session, sf_dir) under .mart_cache with a digest tag (same
     discipline as month_partitioned_mart and the IVF index); catalog
     table names carry the digest so two sf_dirs never collide in the
-    session catalog."""
-    from ..core.model import ModelDef, ModelRegistry
-    from ..core.runner import Runner
+    session catalog.
 
+    The marts carry the column union needed by every row they serve
+    (mart_bucketed_revenue + the orderkey-join TPC-H tail q3/q18/q21 —
+    the r9 layout decision, VERDICT r8 item 2): parquet is columnar, so
+    each query's scan still prunes to exactly the columns it projects,
+    while the orderkey clustering removes the join/agg exchanges that
+    dominated the tail (TPCH_TAIL.json measured -55% on q3/q21, results
+    identical).  This is the dbt posture: marts are materialized WITH a
+    layout precisely so downstream queries don't re-shuffle."""
     key = (spark.sparkContext.applicationId, sf_dir)
     rels = _BUCKETED_MARTS.get(key)
-    if rels is None:
-        abs_dir = os.path.abspath(sf_dir)
-        digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
-        o_name = f"mart_orders_bk_{digest}"
-        l_name = f"mart_lineitem_bk_{digest}"
-        reg = ModelRegistry()
-        reg.register(ModelDef(
-            name=o_name, deps=("orders",), materialized="table",
-            fn=lambda refs: refs["orders"].select(
-                "o_orderkey", "o_orderpriority"),
-            bucket_by=("o_orderkey",), n_buckets=8))
-        reg.register(ModelDef(
-            name=l_name, deps=("lineitem",), materialized="table",
-            fn=lambda refs: refs["lineitem"].select(
-                "l_orderkey", "l_quantity", "l_extendedprice"),
-            bucket_by=("l_orderkey",), n_buckets=8))
-        from ..sources.parquet import mart_cache_dir
-
-        wh = mart_cache_dir(sf_dir, "bucketed")
-        out = Runner(spark, reg, warehouse_dir=wh).run({
-            "orders": load_table(spark, sf_dir, "orders"),
-            "lineitem": load_table(spark, sf_dir, "lineitem"),
-        })
-        rels = (out[o_name], out[l_name])
-        _BUCKETED_MARTS[key] = rels
+    if rels is not None:
+        return rels
+    # serialize cold-start builds: since r9 four catalog rows share these
+    # marts, and the bench warmup phase calls them on a thread pool —
+    # unlocked, two threads race the same _temporary write dir
+    with _MART_BUILD_LOCK:
+        rels = _BUCKETED_MARTS.get(key)
+        if rels is None:
+            rels = _build_bucketed_order_marts(spark, sf_dir)
+            _BUCKETED_MARTS[key] = rels
     return rels
+
+
+def _build_bucketed_order_marts(spark: SparkSession, sf_dir: str):
+    from ..core.model import ModelDef, ModelRegistry
+    from ..core.runner import Runner
+    from ..sources.parquet import mart_cache_dir
+
+    abs_dir = os.path.abspath(sf_dir)
+    digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
+    o_name = f"mart_orders_bk_{digest}"
+    l_name = f"mart_lineitem_bk_{digest}"
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name=o_name, deps=("orders",), materialized="table",
+        fn=lambda refs: refs["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+            "o_orderstatus", "o_totalprice"),
+        bucket_by=("o_orderkey",), n_buckets=8))
+    reg.register(ModelDef(
+        name=l_name, deps=("lineitem",), materialized="table",
+        fn=lambda refs: refs["lineitem"].select(
+            "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate"),
+        bucket_by=("l_orderkey",), n_buckets=8))
+    wh = mart_cache_dir(sf_dir, "bucketed")
+    out = Runner(spark, reg, warehouse_dir=wh).run({
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    })
+    return (out[o_name], out[l_name])
 
 
 @query(

@@ -94,10 +94,43 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J1", "A1", "A4", "O1", "P5"),
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: 3-way join + grouped revenue + deterministic top-10.
-    Catalyst pushes all three filters to the scans; the orderkey join is the
-    natural shuffle key so orders/lineitem co-partition, and at scale AQE
-    can broadcast the filtered customer side."""
+    """TPC-H Q3: 3-way join + grouped revenue + deterministic top-10,
+    served from the orderkey-BUCKETED orders/lineitem marts (the r9
+    layout decision, VERDICT r8 item 2: dbt users materialize marts with
+    a layout precisely so the hot join path doesn't re-shuffle; the
+    DuckDB oracle computes the identical result from the raw tables —
+    layout must never change answers).  The filtered customer dim
+    broadcasts, the orderkey join reads co-located buckets with NO
+    exchange, and the group-by keys include the bucket key so the
+    aggregate is exchange-free too — the only movement left is the
+    top-10 TakeOrdered.  tpch_q3_rawscan keeps the raw-table twin for
+    the both-numbers receipt (tools/layout_receipt.py,
+    LAYOUT_DECISION.json) and the equivalence pytest."""
+    from .reference_surface import bucketed_order_marts
+
+    o, li = bucketed_order_marts(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    ob = o.filter(F.col("o_orderdate") < "1997-01-01")
+    lb = li.filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        ob.join(F.broadcast(cust), cust.c_custkey == ob.o_custkey)
+        .join(lb, lb.l_orderkey == ob.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("order_key"),
+                 F.col("o_orderdate").cast("date").alias("order_date"),
+                 F.col("o_orderpriority").alias("order_priority"))
+        .agg((F.sum(_revenue_cents()) / 10000.0).alias("revenue"))
+        .select("order_key", "revenue", "order_date", "order_priority")
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+def tpch_q3_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-table twin of tpch_q3_shipping_priority (the pre-r9 catalog
+    plan): identical semantics over unbucketed scans — the orderkey join
+    shuffles both fact sides.  Kept for the layout both-numbers receipt
+    and the equivalence pytest (tests/test_bucketing.py)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
@@ -313,9 +346,45 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J-semi", "A1", "A4", "A8", "O1"),
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: HAVING-filtered aggregate reused as a semi-join filter.
-    The `big` set is tiny after HAVING, so Spark broadcasts it into the
-    semi join — aggregation pruning before the expensive join."""
+    """TPC-H Q18: HAVING-filtered aggregate reused as a semi-join filter,
+    served from the orderkey-BUCKETED marts (r9 layout decision).  The
+    per-order qty rollup is exchange-free over the bucketed lineitem
+    (group key == bucket key); because the rollup already carries each
+    qualifying order's total quantity, the classic lineitem rescan+rejoin
+    is algebraically redundant — `big` broadcasts into orders and the
+    customer dim joins the tiny qualifying set (aggregate-reuse is
+    standard engine optimization; the oracle stays the naive rejoin SQL
+    and results hash-match).  The semi-join operator shape this row used
+    to carry stays gated by tpch_q21's left_semi + left_anti pair.
+    tpch_q18_rawscan keeps the pre-r9 raw-table plan for the layout
+    receipt and equivalence pytest."""
+    from .reference_surface import bucketed_order_marts
+
+    o, li = bucketed_order_marts(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == o.o_custkey)
+        .select(F.col("c_name").alias("customer_name"),
+                F.col("c_custkey").alias("customer_key"),
+                F.col("o_orderkey").alias("order_key"),
+                F.col("o_orderdate").cast("date").alias("order_date"),
+                F.col("o_totalprice").alias("total_price"),
+                F.col("total_qty"))
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(100)
+    )
+
+
+def tpch_q18_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-table twin of tpch_q18_large_volume_customer (the pre-r9
+    catalog plan, semi-join + rescan shape) for the layout receipt and
+    the equivalence pytest."""
     li = load_table(spark, sf_dir, "lineitem")
     # spread the HAVING-aggregate's input: the local single-row-group scan
     # is one task, and the qty rollup over all of lineitem is the query's

@@ -392,9 +392,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q16_supplier_part_counts",
-    oracle="""
+TPCH_Q16_ORACLE = """
         SELECT p.p_brand AS brand,
                p.p_type AS type,
                p.p_size AS size,
@@ -407,14 +405,21 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
           )
         GROUP BY 1, 2, 3
-    """,
-    tags=("J-anti", "A3", "P5"),
-)
+"""
+
+
 def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part group with a
     NOT-IN supplier exclusion (negative balance stands in for the
     complaints LIKE — same anti-join + COUNT DISTINCT operators; lineitem
-    is the part-supplier relation since the schema has no partsupp)."""
+    is the part-supplier relation since the schema has no partsupp).
+
+    Pytest-differential (TPCH_Q16_ORACLE above): displaced from the 50-row
+    driver catalog by sim_topk_pq_residual in r10 (VERDICT r8 item 7) —
+    its operator shapes (anti join via NOT IN, exact COUNT DISTINCT,
+    broadcast dim) stay gated via tpch_q21 (anti), agg_monthly_orders
+    (count distinct), and tpch_q16's own oracle gate continues in
+    tests/test_catalog_parity.py::test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -602,11 +607,20 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole late supplier on multi-supplier finished
     orders — EXISTS -> left_semi, NOT EXISTS -> left_anti, both with the
     suppkey-inequality condition in the join (no commit/receipt dates in
-    the schema: 'late' = shipped after a cutoff)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    the schema: 'late' = shipped after a cutoff).
+
+    Served from the orderkey-BUCKETED marts (r9 layout decision, VERDICT
+    r8 item 2): all four orderkey joins (inner + semi + anti + the
+    late/l2/l3 self-references) read co-located buckets with no exchange;
+    only the small supplier join and the final name aggregate move data.
+    The oracle computes the identical result from raw tables;
+    tpch_q21_rawscan keeps the unbucketed twin for the layout receipt."""
+    from .reference_surface import bucketed_order_marts
+
+    ob, li = bucketed_order_marts(spark, sf_dir)
     late = li.filter(F.col("l_shipdate") > "1997-06-01").select(
         "l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o = ob.filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     l1 = late.alias("l1")
     l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
@@ -618,6 +632,31 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
               & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")), "left_anti")
         # supplier scales with sf — AQE decides (see q8)
+        .join(s, s.s_suppkey == F.col("l1.l_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def tpch_q21_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-table twin of tpch_q21_waiting_suppliers (the pre-r9 catalog
+    plan): identical semantics over unbucketed scans for the layout
+    both-numbers receipt and the equivalence pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1997-06-01").select(
+        "l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    return (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")), "left_semi")
+        .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")), "left_anti")
         .join(s, s.s_suppkey == F.col("l1.l_suppkey"))
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))

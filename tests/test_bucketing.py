@@ -209,3 +209,28 @@ def test_two_runners_same_model_name_do_not_clobber(spark, tmp_path):
         assert spark.table(r1.catalog_name("fact_shared_name")).count() == 10
     finally:
         r1.clean()
+
+
+def test_layout_served_tpch_rows_match_rawscan_twins(spark):
+    """The r9 layout decision (VERDICT r8 item 2): the catalog's q3/q18/q21
+    are served from orderkey-bucketed marts; their raw-table twins must
+    produce identical rows at the driver's gate scale — layout (and the
+    q18 aggregate-reuse rewrite) must never change answers.  The DuckDB
+    oracle over raw tables remains the primary gate (test_catalog_parity);
+    this pins the Spark-vs-Spark pair the both-numbers receipt
+    (tools/layout_receipt.py) relies on."""
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.queries.tpch import (tpch_q3_rawscan,
+                                             tpch_q18_rawscan)
+    from dbt_demo_spark.queries.tpch2 import tpch_q21_rawscan
+    from tests.conftest import SF_GATE
+
+    for name, raw in (("tpch_q3_shipping_priority", tpch_q3_rawscan),
+                      ("tpch_q18_large_volume_customer", tpch_q18_rawscan),
+                      ("tpch_q21_waiting_suppliers", tpch_q21_rawscan)):
+        served = CATALOG[name].fn(spark, SF_GATE)
+        twin = raw(spark, SF_GATE)
+        assert served.columns == twin.columns, name
+        a = sorted(map(tuple, served.collect()))
+        b = sorted(map(tuple, twin.collect()))
+        assert a == b, f"{name}: layout-served result diverged from rawscan"

@@ -43,8 +43,9 @@ def test_demoted_queries_still_match_oracle(spark, con):
     tpch_q15 (slot funds events_range_join, r9),
     tpch_q13 (slot funds text_lm_quality, r9),
     tpch_q10 (slot funds events_pivot_daily, r9),
-    tpch_q4 (slot funds events_gapfill_ffill, r9), and
-    tpch_q5 (slot funds dedup_passage_exact, r9)."""
+    tpch_q4 (slot funds events_gapfill_ffill, r9),
+    tpch_q5 (slot funds dedup_passage_exact, r9), and
+    tpch_q16 (slot funds sim_topk_pq_residual, r10)."""
     from dbt_demo_spark.queries.llm_pipeline import (TEXT_TOKEN_COUNT_ORACLE,
                                                      text_token_count)
     from dbt_demo_spark.queries.reference_surface import (STG_ORDERS_ORACLE,
@@ -59,10 +60,11 @@ def test_demoted_queries_still_match_oracle(spark, con):
                                              tpch_q10_returned_items)
     from dbt_demo_spark.queries.tpch2 import (
         TPCH_Q7_ORACLE, TPCH_Q12_ORACLE, TPCH_Q13_ORACLE, TPCH_Q14_ORACLE,
-        TPCH_Q15_ORACLE, TPCH_Q17_ORACLE, TPCH_Q19_ORACLE, TPCH_Q20_ORACLE,
-        TPCH_Q22_ORACLE, tpch_q7_volume_shipping, tpch_q12_priority_shipping,
-        tpch_q13_customer_distribution, tpch_q14_promo_revenue,
-        tpch_q15_top_supplier, tpch_q17_small_quantity_revenue,
+        TPCH_Q15_ORACLE, TPCH_Q16_ORACLE, TPCH_Q17_ORACLE, TPCH_Q19_ORACLE,
+        TPCH_Q20_ORACLE, TPCH_Q22_ORACLE, tpch_q7_volume_shipping,
+        tpch_q12_priority_shipping, tpch_q13_customer_distribution,
+        tpch_q14_promo_revenue, tpch_q15_top_supplier,
+        tpch_q16_supplier_part_counts, tpch_q17_small_quantity_revenue,
         tpch_q19_discounted_revenue, tpch_q20_part_promotion,
         tpch_q22_global_sales_opportunity)
 
@@ -74,6 +76,7 @@ def test_demoted_queries_still_match_oracle(spark, con):
                        (tpch_q22_global_sales_opportunity, TPCH_Q22_ORACLE),
                        (tpch_q14_promo_revenue, TPCH_Q14_ORACLE),
                        (tpch_q17_small_quantity_revenue, TPCH_Q17_ORACLE),
+                       (tpch_q16_supplier_part_counts, TPCH_Q16_ORACLE),
                        (tpch_q7_volume_shipping, TPCH_Q7_ORACLE),
                        (tpch_q15_top_supplier, TPCH_Q15_ORACLE),
                        (tpch_q13_customer_distribution, TPCH_Q13_ORACLE),

@@ -216,3 +216,20 @@ def test_bucketed_mart_join_plans_without_exchange(spark):
         assert plan.count("Exchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_layout_served_tpch_rows_plan_without_fact_shuffle(spark):
+    """The r9 layout decision: q3/q18/q21 serve from orderkey-bucketed
+    marts, so no FACT-side shuffle may survive — q3/q18 plan with zero
+    shuffle exchanges (dims broadcast, group keys contain the bucket key),
+    q21 with at most the one tiny final s_name aggregate exchange."""
+    import re
+
+    for name, max_shuffles in (("tpch_q3_shipping_priority", 0),
+                               ("tpch_q18_large_volume_customer", 0),
+                               ("tpch_q21_waiting_suppliers", 1)):
+        plan = _plan(spark, name)
+        shuffles = len(re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan))
+        assert shuffles <= max_shuffles, (name, shuffles, plan[:2000])
