@@ -222,6 +222,23 @@ class ModelRegistry:
 
         return deco
 
+    def sql_model(self, name: str, sql_text: str, *,
+                  materialized: str = "view", **model_kwargs) -> None:
+        """Register a model from its dbt SQL TEXT — the porting path for
+        existing dbt projects (core/sqlmodel.py): ``{{ ref() }}`` /
+        ``{{ source() }}`` calls become DAG edges, the Jinja-lite macro
+        subset renders to Spark SQL, and the model runs through the same
+        Runner/materialization/test machinery as a Python model.
+
+            registry.sql_model("stg_loans",
+                "select * from {{ ref('raw_loans') }}",
+                materialized="view")
+        """
+        from .sqlmodel import register_sql_model
+
+        register_sql_model(self, name, sql_text,
+                           materialized=materialized, **model_kwargs)
+
     def manifest(self) -> dict:
         """The ``dbt docs generate`` manifest analog [public knowledge:
         dbt-core manifest.json]: one JSON-able node per model with its ref

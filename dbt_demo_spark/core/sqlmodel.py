@@ -1,0 +1,153 @@
+"""SQL-text model authoring — the dbt porting path (VERDICT r8 item 4).
+
+The reference's models are SQL files with ``{{ ref() }}`` Jinja calls
+(`/root/reference/models/staging/stg_loans.sql:1-19`,
+`models/marts/fct_loan_details.sql:1-39`); this engine's native models are
+Python functions over DataFrames (core/model.py).  The adapter here lets a
+user register the SQL text VERBATIM: refs are parsed into DAG edges, the
+Jinja-lite subset dbt demo projects actually use is rendered, and at build
+time the deps are exposed as temp views so ``spark.sql`` runs the model —
+through the exact same Runner/materialization/test machinery as a Python
+model.  A dbt project like the reference ports by pointing
+``register_sql_dir`` at its models/ directory; nothing is hand-translated.
+
+Jinja-lite surface (the reference's complete macro usage, by census):
+
+  * ``{{ ref('name') }}``            -> dep edge + temp-view substitution
+  * ``{{ source('src', 'name') }}``  -> same, dep name is the table name
+  * ``{{ date_trunc('p', 'col') }}`` -> ``date_trunc('p', col)`` (the
+    cross-db date_trunc macro, called with a quoted column at
+    models/marts/agg_monthly_loans.sql:12,24)
+  * ``{{ config(...) }}``            -> stripped (materialization config
+    comes from the registration call / folder policy, as in
+    dbt_project.yml:17-22)
+
+Dialect normalization (what a dbt ADAPTER does when the same model text
+must run on a different engine): ``cast(x as numeric)`` renders to
+Spark ``double`` — the engine's numeric affinity for ratio math (DuckDB
+reads NUMERIC as decimal(18,3), Spark as decimal(10,0); both diverge
+from the reference's intent of exact-enough division, and double is what
+this engine's native Fiction Bank models compute — the equivalence test
+pins SQL-text == DataFrame byte-identically).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+from .model import ModelRegistry
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+_SOURCE_RE = re.compile(
+    r"\{\{\s*source\(\s*'[^']+'\s*,\s*'([^']+)'\s*\)\s*\}\}")
+_DATE_TRUNC_RE = re.compile(
+    r"\{\{\s*date_trunc\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
+_CONFIG_RE = re.compile(r"\{\{\s*config\([^{}]*\)\s*\}\}")
+_NUMERIC_RE = re.compile(r"\bas\s+numeric\b", re.IGNORECASE)
+_LEFTOVER_JINJA_RE = re.compile(r"\{\{.*?\}\}", re.DOTALL)
+
+# unique-per-registration suffix for the temp views a SQL model binds;
+# deterministic (module counter), never wall-clock
+_COUNTER = itertools.count()
+
+
+def parse_deps(sql_text: str) -> tuple[str, ...]:
+    """The model's DAG edges: every distinct ref()/source() target in
+    source order — exactly how dbt compiles the manifest's depends_on."""
+    deps = _REF_RE.findall(sql_text) + _SOURCE_RE.findall(sql_text)
+    return tuple(dict.fromkeys(deps))
+
+
+def render_sql(sql_text: str, view_for: dict[str, str]) -> str:
+    """Render the Jinja-lite template to runnable Spark SQL, substituting
+    each ref/source with its temp-view name.  Unknown ``{{ ... }}``
+    constructs raise instead of silently reaching the SQL parser."""
+    sql = _CONFIG_RE.sub("", sql_text)
+    sql = _DATE_TRUNC_RE.sub(
+        lambda m: f"date_trunc('{m.group(1)}', {m.group(2)})", sql)
+    sql = _REF_RE.sub(lambda m: view_for[m.group(1)], sql)
+    sql = _SOURCE_RE.sub(lambda m: view_for[m.group(1)], sql)
+    sql = _NUMERIC_RE.sub("as double", sql)
+    leftover = _LEFTOVER_JINJA_RE.search(sql)
+    if leftover:
+        raise ValueError(
+            f"unsupported Jinja construct in SQL model: {leftover.group(0)!r}"
+            " — supported: ref, source, date_trunc, config")
+    return sql
+
+
+def sql_model_fn(name: str, sql_text: str):
+    """Build the ``(refs) -> DataFrame`` ModelFn for a SQL-text model.
+
+    At call time each dep DataFrame is registered under a collision-proof
+    temp-view name, ``spark.sql`` analyzes the rendered text (analysis is
+    eager — the returned plan binds the views' resolved children), and the
+    views are dropped immediately: no session-catalog residue outlives the
+    call, so two registries can hold same-named SQL models safely."""
+    deps = parse_deps(sql_text)
+    tag = next(_COUNTER)
+
+    def fn(refs: dict[str, DataFrame]) -> DataFrame:
+        if not deps:
+            raise ValueError(f"SQL model {name}: no ref()/source() calls — "
+                             "a model without deps has no inputs to bind")
+        spark = refs[deps[0]].sparkSession
+        view_for = {d: f"__sqlm_{tag}_{name}_{d}" for d in deps}
+        for d in deps:
+            refs[d].createOrReplaceTempView(view_for[d])
+        try:
+            out = spark.sql(render_sql(sql_text, view_for))
+            out.schema  # force analysis before the views go away
+            return out
+        finally:
+            for v in view_for.values():
+                spark.catalog.dropTempView(v)
+
+    fn.__doc__ = f"SQL-text model {name} (core/sqlmodel.py adapter)"
+    return fn, deps
+
+
+def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
+                       *, materialized: str = "view", **model_kwargs) -> None:
+    """``registry.sql_model(...)`` body: register SQL text as a model.
+    ``model_kwargs`` pass through to ModelDef (partition_by, tests,
+    contract, hooks, ... — the full Python-model surface applies)."""
+    from .model import ModelDef
+
+    fn, deps = sql_model_fn(name, sql_text)
+    registry.register(ModelDef(
+        name=name, deps=deps, materialized=materialized, fn=fn,
+        doc=f"SQL-text model (source length {len(sql_text)} chars)",
+        **{k: tuple(v) if isinstance(v, (list, tuple)) else v
+           for k, v in model_kwargs.items()}))
+
+
+def register_sql_dir(registry: ModelRegistry, models_dir: str,
+                     materialized_by_subdir: dict[str, str] | None = None,
+                     default_materialized: str = "view") -> list[str]:
+    """Port a dbt project's models/ directory wholesale: every ``*.sql``
+    file registers under its stem, materialization chosen by its first
+    subdirectory — the dbt_project.yml folder policy
+    (`/root/reference/dbt_project.yml:17-22`: staging -> view,
+    marts -> table, which is also the default mapping here).  Returns the
+    registered names in walk order."""
+    if materialized_by_subdir is None:
+        materialized_by_subdir = {"staging": "view", "marts": "table"}
+    registered = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(models_dir)):
+        rel = os.path.relpath(dirpath, models_dir)
+        sub = rel.split(os.sep)[0] if rel != "." else ""
+        mat = materialized_by_subdir.get(sub, default_materialized)
+        for f in sorted(filenames):
+            if not f.endswith(".sql"):
+                continue
+            name = f[:-len(".sql")]
+            with open(os.path.join(dirpath, f)) as fh:
+                register_sql_model(registry, name, fh.read(),
+                                   materialized=mat)
+            registered.append(name)
+    return registered

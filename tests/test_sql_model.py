@@ -1,0 +1,121 @@
+"""SQL-text model authoring (core/sqlmodel.py, VERDICT r8 item 4): dbt SQL
+files register verbatim and produce byte-identical results to their
+hand-written DataFrame twins through the same Runner."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_demo_spark.core.model import ModelRegistry
+from dbt_demo_spark.core.runner import Runner
+from dbt_demo_spark.core.sqlmodel import (parse_deps, register_sql_dir,
+                                          render_sql)
+from dbt_demo_spark.models.seeds import load_seed_dataframes
+
+REFERENCE_MODELS = "/root/reference/models"
+
+
+def test_parse_deps_orders_and_dedups():
+    sql = """
+        with a as (select * from {{ ref('up_one') }}),
+        b as (select * from {{ source('raw', 'src_tbl') }})
+        select * from a join b using (k) join {{ ref('up_one') }} using (k)
+    """
+    assert parse_deps(sql) == ("up_one", "src_tbl")
+
+
+def test_render_strips_config_and_expands_macros():
+    sql = ("{{ config(materialized='table') }}\n"
+           "select cast({{ date_trunc('month', 'd') }} as date) as m,\n"
+           "       cast(x as numeric) / cast(y as NUMERIC) as r\n"
+           "from {{ ref('t') }}")
+    out = render_sql(sql, {"t": "v_t"})
+    assert "config" not in out
+    assert "date_trunc('month', d)" in out
+    assert out.count("as double") == 2
+    assert "v_t" in out and "{{" not in out
+
+
+def test_render_rejects_unknown_jinja():
+    with pytest.raises(ValueError, match="unsupported Jinja"):
+        render_sql("select {{ var('x') }} from {{ ref('t') }}", {"t": "v"})
+
+
+def test_inline_sql_model_runs_through_runner(spark, tmp_path):
+    """A CTE-chained SQL model with ref + macro registers via
+    registry.sql_model and materializes through the normal Runner path;
+    no temp-view residue survives the build."""
+    reg = ModelRegistry()
+    reg.sql_model("monthly", """
+        with src as (select * from {{ ref('payments') }})
+        select cast({{ date_trunc('month', 'paid_at') }} as date) as month,
+               sum(amount) as total
+        from src group by 1
+    """, materialized="table")
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    payments = spark.createDataFrame(
+        [(datetime.date(2024, 1, 3), 10.0), (datetime.date(2024, 1, 9), 5.0),
+         (datetime.date(2024, 2, 1), 7.0)], "paid_at date, amount double")
+    runner = Runner(spark, reg, warehouse_dir=str(tmp_path))
+    try:
+        out = runner.run({"payments": payments})["monthly"]
+        rows = {r.month.isoformat(): r.total for r in out.collect()}
+        assert rows == {"2024-01-01": 15.0, "2024-02-01": 7.0}
+        assert reg["monthly"].deps == ("payments",)
+        leftovers = [t.name for t in spark.catalog.listTables()
+                     if t.name.startswith("__sqlm_")]
+        assert not leftovers, leftovers
+    finally:
+        runner.clean()
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_MODELS),
+                    reason="reference repo not mounted")
+def test_reference_project_ports_wholesale_and_matches_dataframe_twins(
+        spark, tmp_path):
+    """THE porting-path proof: the reference's four SQL models register
+    directly from their files (register_sql_dir, folder policy
+    staging->view / marts->table per dbt_project.yml:17-22) and every
+    mart comes out byte-identical to the hand-written DataFrame registry
+    (models/fiction_bank.py) — schema names+types and full sorted row
+    sets."""
+    from dbt_demo_spark.models.fiction_bank import REGISTRY as PY_REGISTRY
+
+    reg = ModelRegistry()
+    names = register_sql_dir(reg, REFERENCE_MODELS)
+    assert sorted(names) == ["agg_monthly_loans", "fct_loan_details",
+                             "stg_loan_payments", "stg_loans"]
+    assert reg["stg_loans"].materialized == "view"
+    assert reg["fct_loan_details"].materialized == "table"
+    assert reg["agg_monthly_loans"].deps == ("fct_loan_details",
+                                             "stg_loan_payments")
+
+    seeds = load_seed_dataframes(spark)
+    sql_runner = Runner(spark, reg, warehouse_dir=str(tmp_path / "sql_wh"))
+    py_runner = Runner(spark, PY_REGISTRY,
+                       warehouse_dir=str(tmp_path / "py_wh"))
+    try:
+        sql_rels = sql_runner.run(seeds)
+        py_rels = py_runner.run(dict(seeds))
+        for name in names:
+            got, want = sql_rels[name], py_rels[name]
+            # name->type must agree exactly; physical column ORDER may not:
+            # the Python agg mart is month-PARTITIONED, and a partitioned
+            # parquet read-back appends partition columns last, so both
+            # sides align by name before the row comparison
+            got_t = {f.name: f.dataType.simpleString()
+                     for f in got.schema.fields}
+            want_t = {f.name: f.dataType.simpleString()
+                      for f in want.schema.fields}
+            assert got_t == want_t, name
+            cols = sorted(got_t)
+            assert sorted(map(tuple, got.select(cols).collect())) == \
+                sorted(map(tuple, want.select(cols).collect())), name
+    finally:
+        sql_runner.clean()
+        py_runner.clean()
