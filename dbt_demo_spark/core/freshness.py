@@ -61,9 +61,17 @@ def check_freshness(relations: dict[str, DataFrame],
             continue
         m = row.m
         if isinstance(m, date) and not isinstance(m, datetime):
-            # DATE-typed loaded_at: a day loaded "on d" is fresh through d
-            m = datetime(m.year, m.month, m.day)
-        age = (now - m).total_seconds()
+            # DATE-typed loaded_at: a day loaded "on d" is fresh through
+            # the END of day d, so age measures from d+1 midnight — at
+            # midnight-of-d the same-day load would already read ~24h old
+            # and any sub-day threshold would warn on a fresh source
+            # (ADVICE r8)
+            from datetime import timedelta
+
+            m = datetime(m.year, m.month, m.day) + timedelta(days=1)
+        # a DATE source checked during day d sits "before" its end-of-day
+        # reference instant; clamp to 0 — fresh, not negative-aged
+        age = max(0.0, (now - m).total_seconds())
         if spec.error_after_s is not None and age > spec.error_after_s:
             status = "error"
         elif age > spec.warn_after_s:

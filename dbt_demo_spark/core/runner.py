@@ -467,6 +467,16 @@ class Runner:
         actual = {f.name: f.dataType.simpleString() for f in df.schema}
         declared = dict(contract)
         problems = []
+        # duplicate output names (e.g. an undisambiguated join) would
+        # collapse into one dict entry and silently pass a single-column
+        # declaration with the LAST field's type winning (ADVICE r8) —
+        # catch them before the per-column checks
+        if len(actual) != len(df.schema):
+            seen: set = set()
+            dups = sorted({f.name for f in df.schema
+                           if f.name in seen or seen.add(f.name)})
+            problems.append(f"duplicate column name(s) {dups} — a "
+                            "contracted schema must name each column once")
         for col, typ in declared.items():
             if col not in actual:
                 problems.append(f"missing column {col} ({typ})")

@@ -23,6 +23,16 @@ append-mode contract; the batch job over the landed table is the
 order-repair path).  State per key: (last_value, next_day_ms, timer_ms)
 — three fixed-width fields, hash-partitioned by user.
 
+OUTPUT CONTRACT (append mode cannot retract): every CLOSED day appears
+exactly once, but the NEWEST observed day is re-emitted with a refined
+value when later observations for it arrive in a subsequent micro-batch
+(the `day == next_day - DAY_MS` branch; within one batch the dedup dict
+collapses them).  Consumers must therefore apply last-write-wins per
+(user, day) — the standard append-stream upsert contract, and exactly
+what the streamed==batch twin tests do.  Suppressing the refinement
+instead would freeze the first value and diverge from the batch twin's
+last-observation-per-day semantics.
+
 Runtime dependency: transformWithState's Python runner protocol needs
 ``protobuf`` (a PySpark extra not shipped in every environment); the
 module imports without it, the query start is what requires it — the
@@ -146,8 +156,11 @@ class DailySpineProcessor(StatefulProcessor):
 def streaming_daily_spine(events: DataFrame,
                           watermark: str = "0 seconds") -> DataFrame:
     """(user_id, ts, event_id, value) observation stream -> the dense
-    (user_id, day, gauge, observed) daily grid, each day emitted exactly
-    once when the watermark closes it.  ``day`` is surfaced as a DATE
+    (user_id, day, gauge, observed) daily grid: each closed day emitted
+    once when the watermark proves it over; the newest observed day may
+    be RE-emitted with a refined value when later observations for it
+    span micro-batches — consumers apply last-write-wins per (user, day)
+    (module docstring, OUTPUT CONTRACT).  ``day`` is surfaced as a DATE
     (state carries epoch-day ms)."""
     import pyspark.sql.functions as F
 

@@ -152,13 +152,24 @@ def test_source_freshness_thresholds(spark):
     assert res["never"].status == "error"
     assert res["never"].max_loaded_at is None
 
-    # DATE-typed loaded_at: fresh through the loaded day's midnight
+    # DATE-typed loaded_at: a day loaded "on d" is fresh through the END
+    # of day d (age measured from d+1 midnight, clamped at 0) — ADVICE r8:
+    # the old midnight-of-d conversion made a same-day load read ~24h old,
+    # so any sub-day threshold warned on a fresh source
     import pyspark.sql.functions as F
     dated = ev.select(F.col("loaded_at").cast("date").alias("loaded_at"))
+    # same-day check (now is during the max loaded day) with a SUB-DAY
+    # threshold: must pass, age 0
     [r] = check_freshness({"d": dated},
                           [FreshnessSpec("d", "loaded_at",
-                                         warn_after_s=36 * 3600)], now)
-    assert r.status == "pass" and r.age_s == 6 * 3600
+                                         warn_after_s=3600)], now)
+    assert r.status == "pass" and r.age_s == 0.0
+    # checked 30h after day d ended: age counts from end of day d
+    late = datetime(2024, 1, 4, 6, 0, 0)
+    [r] = check_freshness({"d": dated},
+                          [FreshnessSpec("d", "loaded_at",
+                                         warn_after_s=24 * 3600)], late)
+    assert r.status == "warn" and r.age_s == 30 * 3600
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +243,24 @@ def test_contract_enforced_at_build_time(spark, src, tmp_path):
     assert "declared string, got bigint" in err     # type drift
     assert "missing column missing_col" in err
     assert "undeclared column extra" in err
+
+
+def test_contract_rejects_duplicate_output_columns(spark, src, tmp_path):
+    """ADVICE r8: a schema carrying the same column name twice (e.g. an
+    undisambiguated join) used to collapse into one dict entry and pass a
+    contract declaring the column once, the later field's type silently
+    winning.  Duplicates are now a contract violation in their own
+    right."""
+    reg = ModelRegistry()
+
+    @reg.model("duped", deps=("src",),
+               contract=(("k", "bigint"), ("v", "bigint")))
+    def duped(refs):
+        return refs["src"].select("k", "v", F.col("k").cast("bigint"))
+
+    res = Runner(spark, reg, str(tmp_path)).build(src)
+    assert res.nodes["duped"].status == "fail"
+    assert "duplicate column name(s) ['k']" in res.nodes["duped"].error
 
 
 def test_fiction_bank_fct_contract_is_green(spark, tmp_path):

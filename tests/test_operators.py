@@ -1531,10 +1531,20 @@ def test_daily_spine_processor_logic_with_fake_runtime():
     assert g2 == {1: (5.0, False), 2: (5.0, False), 3: (8.0, True)}
     assert handle.timers == {day0 + 5 * DAY_MS}     # one timer, end of day 4
 
-    # same-day refinement wins; a LATE row for closed day 1 is dropped
+    # CROSS-BATCH same-day refinement: day 3 already left in g2 (8.0);
+    # this batch re-emits it refined (9.0) — the documented OUTPUT
+    # CONTRACT (append mode cannot retract): downstream applies
+    # last-write-wins per (user, day).  A LATE row for closed day 1 is
+    # dropped.
     g3 = grid(batch([(day0 + 3 * DAY_MS + 120_000, 3, 9.0),
                      (day0 + 1 * DAY_MS + 60_000, 4, 4.0)]))
     assert g3 == {3: (9.0, True)}
+    # LWW over the union of emitted batches == the batch twin's
+    # last-observation-per-day value for day 3
+    merged = {}
+    for g in (g1, g2, g3):
+        merged.update(g)
+    assert merged[3] == (9.0, True)
 
     # watermark to end of day 5: trailing fills for days 4 and 5
     # (the engine removes a fired timer before dispatch — mimic that)
