@@ -1005,22 +1005,8 @@ def edit_distance_near_dups_qchunk(docs: DataFrame, max_dist: int,
                          f"k={max_dist}: need q <= {max_q}")
 
     t = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    n_chunks = F.floor(F.length("_t") / q).cast("int")
-    chunks = t.select(
-        F.col("_id").alias("cb"),
-        n_chunks.alias("m"),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.substring(F.col("_t"), i * q + 1, q)))
-        .alias("cpos", "g"))
-    n_grams = (F.length("_t") - q + 1).cast("int")
-    grams = t.select(
-        F.col("_id").alias("ga"),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.substring(F.col("_t"), i, q))).alias("gpos", "g"))
     pairs = (
-        chunks.join(grams, "g")
+        _qchunk_rows(t, q).join(_qgram_rows(t, q), "g")
         .filter(F.col("cb") != F.col("ga"))
         # POSITION filter (sound): <= k edits shift an untouched chunk's
         # image in `a` by at most k characters, so a chunk at character
@@ -1035,6 +1021,40 @@ def edit_distance_near_dups_qchunk(docs: DataFrame, max_dist: int,
         .select(F.least("cb", "ga").alias("d1"),
                 F.greatest("cb", "ga").alias("d2"))
         .distinct())
+    return _levenshtein_verify(pairs, t, max_dist)
+
+
+def _qchunk_rows(t: DataFrame, q: int) -> DataFrame:
+    """One row per FULL non-overlapping q-chunk of each doc: (cb=doc_id,
+    m=floor(len/q) total chunks, cpos chunk ordinal, g chunk text).
+    Requires every doc's length >= q (the callers' q-validation bound
+    guarantees >= q*(k+1))."""
+    n_chunks = F.floor(F.length("_t") / q).cast("int")
+    return t.select(
+        F.col("_id").alias("cb"),
+        n_chunks.alias("m"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.substring(F.col("_t"), i * q + 1, q)))
+        .alias("cpos", "g"))
+
+
+def _qgram_rows(t: DataFrame, q: int) -> DataFrame:
+    """One row per sliding q-gram of each doc: (ga=doc_id, gpos 1-based
+    character offset, g gram text) — the big side (~len rows/doc)."""
+    n_grams = (F.length("_t") - q + 1).cast("int")
+    return t.select(
+        F.col("_id").alias("ga"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.col("_t"), i, q))).alias("gpos", "g"))
+
+
+def _levenshtein_verify(pairs: DataFrame, t: DataFrame,
+                        max_dist: int) -> DataFrame:
+    """Exact verify shared by the batch and incremental q-chunk paths:
+    sound length prefilter, then thresholded (banded O(k*len)) JVM
+    levenshtein."""
     return (pairs
             .join(t.withColumnRenamed("_id", "d1")
                    .withColumnRenamed("_t", "_t1"), "d1")
@@ -1045,3 +1065,189 @@ def edit_distance_near_dups_qchunk(docs: DataFrame, max_dist: int,
                         F.levenshtein("_t1", "_t2", max_dist))
             .filter(F.col("distance") >= 0)
             .select("d1", "d2", "distance"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch edit-distance dedup (X59): persisted q-chunk index
+# ---------------------------------------------------------------------------
+
+EDIT_INDEX_META = "_meta.json"
+
+
+def read_edit_index(spark, index_dir: str):
+    """The committed (chunks, docs) tables of an edit-distance index —
+    ``batch_*/chunks`` rows (doc_id, m, cpos, g) and ``batch_*/docs``
+    rows (doc_id, text).  Underscore-prefixed staging stays invisible.
+    Empty index -> empty DataFrames with the right schemas."""
+    import os
+
+    chunk_schema = "doc_id long, m int, cpos int, g string"
+    doc_schema = "doc_id long, text string"
+    dirs = sorted(d for d in os.listdir(index_dir)
+                  if d.startswith("batch_")) if os.path.isdir(index_dir) else []
+    if not dirs:
+        return (spark.createDataFrame([], chunk_schema),
+                spark.createDataFrame([], doc_schema))
+    chunks = spark.read.schema(chunk_schema).parquet(
+        *[os.path.join(index_dir, d, "chunks") for d in dirs])
+    docs = spark.read.schema(doc_schema).parquet(
+        *[os.path.join(index_dir, d, "docs") for d in dirs])
+    return chunks, docs
+
+
+def incremental_edit_distance_dedup(new_docs: DataFrame, index_dir: str,
+                                    max_dist: int | None = None,
+                                    q: int | None = None,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    sink=None) -> DataFrame:
+    """Cross-batch edit-distance dedup against a persisted q-chunk index —
+    the X54 family's incremental twin (VERDICT r8 item 6), completing the
+    pattern the doc-level (incremental_minhash_dedup) and passage-level
+    (incremental_passage_dedup) paths established: each ingest batch is
+    deduped against everything ever seen without re-processing history.
+
+    INDEX PARAMETERS ARE FIXED AT CREATION (like the minhash band
+    structure and the frozen IVF quantizer): the first batch records
+    ``(q, max_dist)`` in ``_meta.json`` (q defaults to that batch's
+    largest sound value, floor(minlen/(k+1))); every later batch
+    validates its own minimum length against the stored q — a batch
+    whose shortest doc breaks the pigeonhole bound raises rather than
+    silently losing soundness.  Callers with a known corpus length floor
+    pass an explicit q up front.
+
+    Per batch:
+
+      1. within-batch pairs via the SOUND q-chunk blocking
+         (edit_distance_near_dups_qchunk — position + count filters,
+         thresholded levenshtein verify);
+      2. cross candidates: the INDEX'S chunk rows joined against the
+         batch's broadcast q-gram rows on chunk text — history is
+         SCANNED, never shuffled (the minhash posture; at 100 TB the
+         index dwarfs any batch).  Soundness holds in this single
+         direction: for any pair within k, at least m - k of the OLD
+         doc's chunks appear verbatim (position-windowed) among the NEW
+         doc's grams, because every indexed doc satisfies the q bound;
+      3. exact verify over candidate texts (old text from the index's
+         doc store, new from the batch) with the shared length prefilter
+         + thresholded levenshtein;
+      4. drop a new doc iff it matches ANY indexed doc or a lower-id
+         doc within its own batch (arrival-order semantics: ascending-id
+         batches equal the one-shot pair set exactly — pytest-pinned);
+         a doc_id already indexed is a replay and is dropped
+         unconditionally without re-appending (inert replays);
+      5. ``sink`` (optional) receives the kept rows BEFORE the commit —
+         the exactly-once hook (crash before commit: replay recomputes
+         the identical kept set against an index that never saw the
+         batch; crash after: every id self-identifies as ingested and
+         the empty kept set touches nothing);
+      6. commit = write chunks+docs under one underscore staging dir,
+         then ONE atomic directory rename (dropped docs included:
+         "earlier" covers them, keeping batch-split invariance).
+
+    Index weight: ~len/q chunk rows + the doc text per doc — heavier
+    than minhash fingerprints (text must persist for the levenshtein
+    verify) but q-fold lighter than a gram index; the batch side carries
+    the ~len-rows/doc gram explosion, which is batch-bounded and
+    broadcast."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    spark = new_docs.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    for name in os.listdir(index_dir):
+        if name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+    t_new = new_docs.select(F.col(id_col).cast("long").alias("_id"),
+                            F.col(text_col).alias("_t"))
+    mn = t_new.select(F.min(F.length("_t")).alias("mn")).collect()[0].mn
+    if mn is None:
+        return new_docs  # empty batch: nothing to dedup or commit
+
+    meta_path = os.path.join(index_dir, EDIT_INDEX_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if max_dist is not None and max_dist != meta["max_dist"]:
+            raise ValueError(
+                f"index {index_dir} was created with max_dist="
+                f"{meta['max_dist']}; got {max_dist}")
+        if q is not None and q != meta["q"]:
+            raise ValueError(f"index {index_dir} was created with "
+                             f"q={meta['q']}; got {q}")
+        q, max_dist = meta["q"], meta["max_dist"]
+    else:
+        if max_dist is None:
+            raise ValueError("first batch must declare max_dist")
+        if q is None:
+            q = mn // (max_dist + 1)
+            if q < 1:
+                raise ValueError(
+                    f"no sound q: min text length {mn} with k={max_dist} "
+                    f"needs length >= {max_dist + 1}")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"q": q, "max_dist": max_dist}, fh)
+        os.replace(tmp, meta_path)
+    if mn < q * (max_dist + 1):
+        raise ValueError(
+            f"batch min text length {mn} breaks the index's pigeonhole "
+            f"bound (q={q}, k={max_dist} requires length >= "
+            f"{q * (max_dist + 1)}) — shorter docs need a new index with "
+            "a smaller q")
+
+    old_chunks, old_docs = read_edit_index(spark, index_dir)
+
+    # replay detection: indexed ids in this batch (index scanned, batch
+    # broadcast); materialized before the commit can change the index
+    already = (old_docs.select("doc_id")
+               .join(F.broadcast(t_new.select(F.col("_id").alias("doc_id"))),
+                     "doc_id", "left_semi")
+               .localCheckpoint(eager=True))
+
+    within = edit_distance_near_dups_qchunk(
+        t_new, max_dist, q=q, text_col="_t", id_col="_id")
+
+    cross_cands = (
+        old_chunks.join(F.broadcast(_qgram_rows(t_new, q)), "g")
+        .filter(F.col("doc_id") != F.col("ga"))  # replayed id vs itself
+        .filter(F.abs(F.col("gpos") - F.col("cpos") * q) <= max_dist)
+        .groupBy(F.col("doc_id"), F.col("ga"), F.col("m"))
+        .agg(F.countDistinct("cpos").alias("_hits"))
+        .filter(F.col("_hits") >= F.col("m") - max_dist)
+        .select(F.col("doc_id").alias("d1"), F.col("ga").alias("d2"))
+        .distinct())
+    texts = (old_docs.select(F.col("doc_id").alias("_id"),
+                             F.col("text").alias("_t"))
+             .unionByName(t_new))
+    cross_dups = _levenshtein_verify(cross_cands, texts, max_dist)
+
+    dropped = (within.select(F.col("d2").alias("_id"))
+               .unionByName(cross_dups.select(F.col("d2").alias("_id")))
+               .distinct()
+               .localCheckpoint(eager=True))
+    kept = (new_docs
+            .join(dropped.withColumnRenamed("_id", id_col), id_col,
+                  "left_anti")
+            .join(already.withColumnRenamed("doc_id", id_col), id_col,
+                  "left_anti"))
+    if sink is not None:
+        sink(kept)
+
+    # commit: chunks + docs staged under one dir, filtered to ids not yet
+    # indexed (a replay never duplicates index entries), one atomic rename
+    fresh = t_new.join(F.broadcast(already), t_new._id == already.doc_id,
+                       "left_anti")
+    if fresh.limit(1).count() == 0:
+        return kept  # full replay: nothing to append, no empty batch dir
+    staging = os.path.join(index_dir, f"_staging_{uuid.uuid4().hex}")
+    _qchunk_rows(fresh, q).select(
+        F.col("cb").alias("doc_id"), "m", "cpos", "g") \
+        .write.parquet(os.path.join(staging, "chunks"))
+    fresh.select(F.col("_id").alias("doc_id"), F.col("_t").alias("text")) \
+        .write.parquet(os.path.join(staging, "docs"))
+    os.rename(staging, os.path.join(index_dir, f"batch_{uuid.uuid4().hex}"))
+    return kept

@@ -233,3 +233,79 @@ def test_compact_passage_index_preserves_semantics(spark, tmp_path):
     assert r.clean_text is None          # whole-dup across compaction
 
     assert compact_passage_index(spark, idx, min_dirs=99) == 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch edit-distance dedup (X59)
+# ---------------------------------------------------------------------------
+
+_BASE = ("the quick brown fox jumps over the lazy dog near the old barn "
+         "while the farmer watches from the creaky wooden porch at dusk")
+
+
+def _ocr_corpus(spark):
+    """Planted OCR-noise corpus: templated variants with small character
+    damage (the case token-set measures under-read), plus distinct docs."""
+    rows = [
+        (0, _BASE),
+        (1, _BASE.replace("quick", "qujck")),                # 1 edit of 0
+        (2, _BASE.replace("lazy", "hazy").replace("dusk", "dawn")),  # 4 edits
+        (3, "completely different text about catalyst plans and shuffle "
+            "exchanges in a distributed analytics engine running at scale"),
+        (4, _BASE.replace("brown", "btown").replace("barn", "bam ")),  # 3
+        (5, "another unrelated document describing parquet footers and "
+            "row group statistics used for data skipping during scans!!"),
+        (6, _BASE.replace("farmer", "fanner")),              # 2 edits of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_edit_distance_two_batches_equal_one_shot(
+        spark, tmp_path):
+    docs = _ocr_corpus(spark)
+    k = 6
+    pairs = dedup.edit_distance_near_dups_qchunk(docs, k)
+    oneshot_kept = _ids(docs) - _ids(pairs, "d2")
+    assert len(oneshot_kept) < docs.count()    # planted dups really drop
+
+    idx = str(tmp_path / "ed_index")
+    # q sized for the CORPUS length floor (the documented production
+    # path): the first batch alone would pick a larger q that later,
+    # shorter docs break — the param guard test pins that failure mode
+    k1 = dedup.incremental_edit_distance_dedup(
+        docs.filter("doc_id < 3"), idx, max_dist=k, q=16)
+    k2 = dedup.incremental_edit_distance_dedup(
+        docs.filter("doc_id >= 3"), idx)       # params come from _meta.json
+    assert _ids(k1) | _ids(k2) == oneshot_kept
+
+
+def test_incremental_edit_distance_replay_inert_and_sink_before_commit(
+        spark, tmp_path):
+    docs = _ocr_corpus(spark)
+    idx = str(tmp_path / "ed_index")
+    sunk = []
+    first = dedup.incremental_edit_distance_dedup(
+        docs, idx, max_dist=6, sink=lambda kept: sunk.append(_ids(kept)))
+    assert sunk == [_ids(first)]               # sink saw the kept set
+    n_batches = len([d for d in __import__("os").listdir(idx)
+                     if d.startswith("batch_")])
+    # replay: nothing admitted, nothing re-appended
+    again = dedup.incremental_edit_distance_dedup(docs, idx)
+    assert again.count() == 0
+    assert len([d for d in __import__("os").listdir(idx)
+                if d.startswith("batch_")]) == n_batches
+
+
+def test_incremental_edit_distance_param_guards(spark, tmp_path):
+    docs = _ocr_corpus(spark)
+    idx = str(tmp_path / "ed_index")
+    dedup.incremental_edit_distance_dedup(docs, idx, max_dist=6)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_dist"):
+        dedup.incremental_edit_distance_dedup(docs, idx, max_dist=3)
+    # a later batch whose shortest doc breaks the pigeonhole bound raises
+    shorty = spark.createDataFrame([(99, "tiny doc")],
+                                   "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.incremental_edit_distance_dedup(shorty, idx)
