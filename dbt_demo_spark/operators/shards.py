@@ -53,13 +53,16 @@ class ShardSpec:
     budget: max tokens per packed sequence (the model context length);
     n_shards: packing-parallelism + file fan-out per split;
     cost_model: what the budget is denominated in — ``"whitespace"``
-    (word count, the chunker's own unit) or ``"subword"`` (the BPE-ish
-    per-word ceil(len/4) estimate, functions/text.subword_cost — the unit
-    a trainer's context window is actually measured in).  Under
-    ``"subword"`` every packed row carries ``n_cost`` next to
+    (word count, the chunker's own unit), ``"subword"`` (the BPE-ish
+    per-word ceil(len/4) estimate, functions/text.subword_cost), or
+    ``"bpe"`` (EXACT token counts under the frozen learned merge table,
+    operators/bpe_frozen.py via the pure-JVM regex fold of
+    operators/bpe.bpe_cost_expr — the unit a trainer's context window is
+    actually measured in, measured rather than estimated).  Under
+    ``"subword"``/``"bpe"`` every packed row carries ``n_cost`` next to
     ``n_tokens`` and bins respect the budget in cost units; a chunk whose
-    estimated cost alone exceeds the budget gets a bin of its own (the
-    packer's documented oversize rule — words-to-subwords expansion is
+    cost alone exceeds the budget gets a bin of its own (the packer's
+    documented oversize rule — words-to-subwords expansion is
     data-dependent, so no chunk_tokens bound can preclude it)."""
     chunk_tokens: int
     budget: int
@@ -68,10 +71,10 @@ class ShardSpec:
     cost_model: str = "whitespace"
 
     def __post_init__(self):
-        if self.cost_model not in ("whitespace", "subword"):
+        if self.cost_model not in ("whitespace", "subword", "bpe"):
             raise ValueError(
                 f"unknown cost_model {self.cost_model!r}: "
-                "expected 'whitespace' or 'subword'")
+                "expected 'whitespace', 'subword' or 'bpe'")
         if self.cost_model == "whitespace" and self.budget < self.chunk_tokens:
             raise ValueError(
                 f"budget {self.budget} < chunk_tokens {self.chunk_tokens}: "
@@ -115,6 +118,19 @@ def build_training_shards(docs: DataFrame, spec: ShardSpec,
         cost_col = "n_cost"
         chunks = chunks.withColumn(
             "n_cost", subword_cost(F.col("chunk_text")).cast("int"))
+    elif spec.cost_model == "bpe":
+        # budget in REAL tokenizer units: exact counts under the frozen
+        # learned merges — still row-local JVM expression work, zero
+        # shuffles, zero Python (operators/bpe.py documents why the
+        # rank-order regex fold is exact BPE)
+        from .bpe import bpe_cost_expr
+        from .bpe_frozen import FROZEN_BPE_MERGES
+
+        cost_col = "n_cost"
+        chunks = chunks.withColumn(
+            "n_cost",
+            bpe_cost_expr(F.col("chunk_text"),
+                          FROZEN_BPE_MERGES).cast("int"))
     # the chunk text rides the packing shuffle as a carry column: the
     # layout needs text grouped by bin anyway, so this is the one shuffle
     # the corpus bytes must cross — a join-back alternative would
@@ -128,7 +144,7 @@ def build_training_shards(docs: DataFrame, spec: ShardSpec,
     # the roll-up groups on a superset of the packing keys, riding the
     # packing shuffle's clustering — no extra exchange
     cost_aggs = ([F.sum("n_cost").alias("n_cost")]
-                 if spec.cost_model == "subword" else [])
+                 if spec.cost_model in ("subword", "bpe") else [])
     seq = (
         packed.groupBy(split_col, "shard", "bin_id")
         .agg(
@@ -217,15 +233,26 @@ def shard_census(docs: DataFrame, spec: ShardSpec,
         F.lit(1) + F.floor((n - F.lit(spec.chunk_tokens) + F.lit(stride)
                             - F.lit(1)) / F.lit(stride)).cast("int"))
     cost_sel, cost_aggs = [], []
-    if spec.cost_model == "subword":
-        # packed subword cost, still without exploding chunks: every word's
+    if spec.cost_model in ("subword", "bpe"):
+        # packed cost, still without exploding chunks: every word's
         # cost once, plus the costs of the words each overlap region
         # REPEATS — region i (1-based chunk index) is exactly the word
         # positions [i*stride+1, i*stride+overlap], and the chunker
         # guarantees every tail outlasts the overlap, so the slices never
         # run off the document
         zero = F.lit(0).cast("long")
-        costs = subword_costs(toks)
+        if spec.cost_model == "subword":
+            costs = subword_costs(toks)
+        else:
+            # exact per-word BPE counts under the frozen merges — the
+            # regex fold rides inside ONE transform lambda, so the
+            # 89-replace expression exists once and evaluates per word
+            from .bpe import bpe_cost_expr
+            from .bpe_frozen import FROZEN_BPE_MERGES
+
+            costs = F.transform(
+                toks, lambda t: bpe_cost_expr(t, FROZEN_BPE_MERGES)
+                .cast("int"))
         # fold the costs array already built above — subword_cost(text)
         # would re-tokenize the full text (HOF subtrees are not reliably
         # CSE'd by Catalyst), doubling the census's per-row work
@@ -269,7 +296,7 @@ def packing_utilization(seq: DataFrame, spec: ShardSpec) -> DataFrame:
     bin can be half-empty (two such bins would have been merged by
     first-fit), so ``n_half_empty <= 1`` per (split, shard) — asserted in
     tests/test_shards.py as the composition-survives invariant."""
-    cost = "n_cost" if spec.cost_model == "subword" else "n_tokens"
+    cost = "n_cost" if spec.cost_model in ("subword", "bpe") else "n_tokens"
     fill = F.col(cost) / F.lit(spec.budget)
     return (seq
             .select("split", "shard", F.col(cost).alias("_cost"),
