@@ -7,6 +7,7 @@ from .locf import streaming_locf
 from .spine import streaming_daily_spine
 from .rollup import read_event_stream, session_rollup, streaming_hourly_rollup
 from .sink import rollup_to_warehouse, stream_static_enrich
+from .upsert import lww_upsert_batch, lww_view, spine_lww_view
 
 __all__ = ["clean_ingest", "ingest_batch", "interval_join", "read_document_stream", "read_event_stream", "rollup_to_warehouse",
            "session_rollup", "stream_static_enrich",

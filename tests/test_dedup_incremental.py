@@ -309,3 +309,66 @@ def test_incremental_edit_distance_param_guards(spark, tmp_path):
                                    "doc_id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.incremental_edit_distance_dedup(shorty, idx)
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch SimHash dedup (X63)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_block_pairs_complete_vs_bruteforce(spark):
+    """The block-equality candidate join is COMPLETE for hamming <= k
+    (pigeonhole): batch pair set == brute-force all-pairs hamming."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_GATE, "documents").filter("doc_id < 400")
+    k, n_bits = 3, 32
+    got = {(r.d1, r.d2): r.hamming
+           for r in dedup.simhash_near_dup_pairs(docs, k, n_bits).collect()}
+    fps = dedup.simhash(docs, n_bits=n_bits)
+    a, b = fps.alias("a"), fps.alias("b")
+    want = {(r.d1, r.d2): r.h for r in
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash"))).alias("h"))
+            .filter(F.col("h") <= k).collect()}
+    assert got == want
+    assert want  # planted dups: the corpus really has close fingerprints
+
+
+def test_incremental_simhash_two_batches_equal_one_shot(spark, tmp_path):
+    docs = load_table(spark, SF_GATE, "documents").filter("doc_id < 400")
+    k = 3
+    pairs = dedup.simhash_near_dup_pairs(docs, k)
+    oneshot_kept = _ids(docs) - _ids(pairs, "d2")
+    assert len(oneshot_kept) < docs.count()
+
+    idx = str(tmp_path / "sh_index")
+    k1 = dedup.incremental_simhash_dedup(
+        docs.filter("doc_id < 200"), idx, max_hamming=k)
+    k2 = dedup.incremental_simhash_dedup(
+        docs.filter("doc_id >= 200"), idx)      # params from _meta.json
+    assert _ids(k1) | _ids(k2) == oneshot_kept
+
+
+def test_incremental_simhash_replay_inert_and_guards(spark, tmp_path):
+    import os
+
+    import pytest
+
+    docs = load_table(spark, SF_GATE, "documents").filter("doc_id < 100")
+    idx = str(tmp_path / "sh_index")
+    sunk = []
+    first = dedup.incremental_simhash_dedup(
+        docs, idx, max_hamming=3,
+        sink=lambda kept: sunk.append(_ids(kept)))
+    assert sunk == [_ids(first)]
+    n = len([d for d in os.listdir(idx) if d.startswith("batch_")])
+    again = dedup.incremental_simhash_dedup(docs, idx)
+    assert again.count() == 0
+    assert len([d for d in os.listdir(idx)
+                if d.startswith("batch_")]) == n
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.incremental_simhash_dedup(docs, idx, max_hamming=5)
