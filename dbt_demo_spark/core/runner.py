@@ -316,7 +316,11 @@ class Runner:
                 trs = run_data_tests(list(mdef.tests), rel)
             return df, trs, time.perf_counter() - t0
 
-        pending = list(self.registry.topo_order(select))
+        # a registered model arriving pre-built in ``sources`` (the retry
+        # path seeds prior successes this way) is an artifact to REUSE,
+        # not a node to rebuild — dbt retry's contract
+        pending = [n for n in self.registry.topo_order(select)
+                   if n not in built]
         with ThreadPoolExecutor(max(1, threads)) as ex:
             in_flight: dict = {}
             while pending or in_flight:
@@ -367,6 +371,27 @@ class Runner:
         os.replace(tmp,
                    os.path.join(self.warehouse_dir, "run_results.json"))
         return result
+
+    def retry(self, sources: dict[str, DataFrame], prior: "BuildResult",
+              threads: int = 1) -> "BuildResult":
+        """The ``dbt retry`` analog [public knowledge: dbt retry re-runs
+        the nodes that failed or were skipped in the previous invocation,
+        reusing prior successes instead of rebuilding them]: seed the
+        prior build's successful relations as pre-built artifacts, then
+        build ONLY the failed/skipped set — their deps resolve from the
+        seeds, the skip cascade re-evaluates (a fixed model un-skips its
+        descendants), and the returned run_results covers exactly the
+        re-run nodes, like dbt's.  A prior pass with nothing to redo
+        returns unchanged."""
+        redo = [n for n, r in prior.nodes.items()
+                if r.status in ("fail", "skipped")]
+        if not redo:
+            return prior
+        seeded = dict(sources)
+        for n, r in prior.nodes.items():
+            if r.status == "success" and n in prior.relations:
+                seeded[n] = prior.relations[n]
+        return self.build(seeded, select=redo, threads=threads)
 
     def _fingerprint(self, name: str,
                      relations: dict[str, DataFrame]) -> str | None:

@@ -311,3 +311,47 @@ def test_build_writes_run_results_artifact(spark, src, tmp_path):
     assert man["nodes"]["d"]["columns"] == {"k": [["a", "k"]]}
     assert man["nodes"]["a"]["depends_on"] == ["src"]
     json.dumps(man)
+
+
+def test_retry_reruns_only_failed_and_skipped(spark, src, tmp_path):
+    """dbt retry analog: prior successes are reused (their fn does NOT
+    re-run), the failed node and its skip cascade rebuild, and the new
+    run_results covers exactly the re-run set."""
+    calls = {"a": 0, "b": 0, "c": 0}
+    flaky = {"broken": True}
+    reg = ModelRegistry()
+
+    @reg.model("a", deps=("src",))
+    def a(refs):
+        calls["a"] += 1
+        return refs["src"]
+
+    @reg.model("b", deps=("a",))
+    def b(refs):
+        calls["b"] += 1
+        if flaky["broken"]:
+            raise RuntimeError("transient upstream outage")
+        return refs["a"]
+
+    @reg.model("c", deps=("b",))
+    def c(refs):
+        calls["c"] += 1
+        return refs["b"]
+
+    r = Runner(spark, reg, str(tmp_path))
+    first = r.build(src)
+    assert first.nodes["a"].status == "success"
+    assert first.nodes["b"].status == "fail"
+    assert first.nodes["c"].status == "skipped"
+    assert calls == {"a": 1, "b": 1, "c": 0}
+
+    flaky["broken"] = False
+    second = r.retry(src, first)
+    assert set(second.nodes) == {"b", "c"}          # only the redo set
+    assert all(n.status == "success" for n in second.nodes.values())
+    assert calls == {"a": 1, "b": 2, "c": 1}        # a reused, not rebuilt
+
+    # an all-green prior returns unchanged, no work
+    third = r.retry(src, second)
+    assert third is second
+    assert calls == {"a": 1, "b": 2, "c": 1}
