@@ -186,7 +186,8 @@ class Runner:
             exclude: str | None = None,
             threads: int = 1,
             cache_sources: bool = False,
-            refresh: str = "full") -> dict[str, DataFrame]:
+            refresh: str = "full",
+            state: dict | None = None) -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
@@ -239,10 +240,12 @@ class Runner:
 
             if isinstance(select, list):
                 # legacy exact-name list, narrowed by the exclude grammar
-                keep = set(select_nodes(self.registry, None, exclude))
+                keep = set(select_nodes(self.registry, None, exclude,
+                                        state=state))
                 select = [n for n in select if n in keep]
             else:
-                select = select_nodes(self.registry, select, exclude)
+                select = select_nodes(self.registry, select, exclude,
+                                      state=state)
         self._refresh_changed = refresh == "changed"
         self._fp_memo: dict[str, str | None] = {}
         self.last_refresh_report = {"built": [], "skipped": []}
@@ -265,7 +268,8 @@ class Runner:
               select: list[str] | str | None = None,
               exclude: str | None = None,
               threads: int = 1,
-              refresh: str = "full") -> BuildResult:
+              refresh: str = "full",
+              state: dict | None = None) -> BuildResult:
         """The ``dbt build`` analog [public knowledge: dbt build runs
         models and their tests interleaved in DAG order]: materialize each
         model, IMMEDIATELY run its attached ``tests`` (ModelDef.tests),
@@ -292,10 +296,12 @@ class Runner:
             from .selection import select_nodes
 
             if isinstance(select, list):
-                keep = set(select_nodes(self.registry, None, exclude))
+                keep = set(select_nodes(self.registry, None, exclude,
+                                        state=state))
                 select = [n for n in select if n in keep]
             else:
-                select = select_nodes(self.registry, select, exclude)
+                select = select_nodes(self.registry, select, exclude,
+                                      state=state)
         self._refresh_changed = refresh == "changed"
         self._fp_memo = {}
         self.last_refresh_report = {"built": [], "skipped": []}
@@ -418,6 +424,9 @@ class Runner:
                  ",".join("=".join(c) for c in mdef.contract)]
         try:
             parts.append(inspect.getsource(mdef.fn))
+            # SQL-text models share the adapter factory's Python source;
+            # their actual code is the SQL text stashed on the fn
+            parts.append(getattr(mdef.fn, "__sql_text__", ""))
             # hooks are part of the materialization: a changed hook must
             # rebuild; an unsourceable hook callable is unknowable
             for h in (*mdef.pre_hook, *mdef.post_hook):

@@ -16,6 +16,15 @@ Supported grammar (the dbt core subset):
   * ``tag:nightly``       — models carrying the tag (wildcards allowed)
   * ``source:raw_loans``  — models reading the source directly (graph
                             suffixes allowed: ``source:raw_loans+``)
+  * ``state:modified``    — models whose CODE changed vs a saved state
+                            (new models count as modified, like dbt);
+                            ``state:new`` — only the new ones.  The dbt
+                            slim-CI workflow [public knowledge: dbt
+                            state method / defer]: save the green
+                            build's state (``save_state``), select
+                            ``state:modified+`` on the next run.
+                            Requires ``state=`` (a ``load_state`` dict);
+                            graph suffixes compose (``state:modified+``)
   * ``a b``               — union of specs
   * ``a,b``               — intersection of specs
   * ``--exclude``         — same grammar, subtracted after selection
@@ -32,12 +41,60 @@ silently running zero models is how production refreshes get skipped.
 
 from __future__ import annotations
 
+import hashlib
+import inspect
+import json
 import re
 from fnmatch import fnmatchcase
 
 from .model import ModelRegistry
 
 _ATOM = re.compile(r"^(?P<up>(?:\d+)?\+)?(?P<base>@?[^+@]+?)(?P<down>\+(?:\d+)?)?$")
+
+
+def node_code_state(registry: ModelRegistry) -> dict[str, str | None]:
+    """CODE-level fingerprint per model — what ``state:modified`` compares
+    (dbt's manifest diff): fn source (SQL text for sql_model nodes),
+    materialization params, contract, hooks, deps, tags.  No data stamps —
+    this is "did the project change", not "did the inputs change" (that
+    is refresh='changed').  ``None`` = unsourceable fn — always treated
+    as modified, never guessed."""
+    out: dict[str, str | None] = {}
+    for name in registry.names():
+        m = registry[name]
+        parts = [name, m.materialized, ",".join(m.partition_by),
+                 ",".join(m.bucket_by), str(m.n_buckets), m.watermark_col,
+                 m.incremental_strategy, ",".join(m.unique_key),
+                 ",".join(m.zorder_by), str(m.zorder_files),
+                 ",".join("=".join(c) for c in m.contract),
+                 ",".join(m.deps), ",".join(sorted(m.tags))]
+        try:
+            parts.append(inspect.getsource(m.fn))
+            parts.append(getattr(m.fn, "__sql_text__", ""))
+            for h in (*m.pre_hook, *m.post_hook):
+                parts.append("hook:" + (h if isinstance(h, str)
+                                        else inspect.getsource(h)))
+        except (OSError, TypeError):
+            out[name] = None
+            continue
+        out[name] = hashlib.sha1("\x1e".join(parts).encode()).hexdigest()
+    return out
+
+
+def save_state(registry: ModelRegistry, path: str) -> None:
+    """Persist the project's code state (atomic replace) — run after a
+    green build; the next CI run selects ``state:modified+`` against it."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"nodes": node_code_state(registry)}, fh, indent=1)
+    os.replace(tmp, path)
+
+
+def load_state(path: str) -> dict[str, str | None]:
+    with open(path) as fh:
+        return json.load(fh)["nodes"]
 
 
 def _children(registry: ModelRegistry) -> dict[str, set[str]]:
@@ -63,7 +120,8 @@ def _walk(start: set[str], edges: dict[str, set[str]],
     return seen
 
 
-def _match_base(registry: ModelRegistry, base: str) -> set[str]:
+def _match_base(registry: ModelRegistry, base: str,
+                state: dict[str, str | None] | None = None) -> set[str]:
     """Resolve a non-graph atom body to a model set."""
     if base.startswith("tag:"):
         pat = base[4:]
@@ -74,12 +132,28 @@ def _match_base(registry: ModelRegistry, base: str) -> set[str]:
         return {n for n in registry.names()
                 if any(d not in registry and fnmatchcase(d, pat)
                        for d in registry[n].deps)}
+    if base.startswith("state:"):
+        method = base[6:]
+        if method not in ("modified", "new"):
+            raise ValueError(f"unknown state method {base!r}: "
+                             "expected state:modified or state:new")
+        if state is None:
+            raise ValueError(f"selector {base!r} needs state= (a saved "
+                             "node-state dict, selection.load_state)")
+        now = node_code_state(registry)
+        new = {n for n in now if n not in state}
+        if method == "new":
+            return new
+        # modified = new, hash-diverged, or unsourceable on either side
+        return new | {n for n, h in now.items() if n in state
+                      and (h is None or state[n] is None or h != state[n])}
     return {n for n in registry.names() if fnmatchcase(n, base)}
 
 
 def _eval_atom(registry: ModelRegistry, atom: str,
                parents: dict[str, set[str]],
-               kids: dict[str, set[str]]) -> set[str]:
+               kids: dict[str, set[str]],
+               state: dict[str, str | None] | None = None) -> set[str]:
     m = _ATOM.match(atom)
     if not m:
         raise ValueError(f"unparseable selector atom: {atom!r}")
@@ -87,10 +161,10 @@ def _eval_atom(registry: ModelRegistry, atom: str,
     if base.startswith("@"):
         if m.group("up") or m.group("down"):
             raise ValueError(f"@ cannot combine with +: {atom!r}")
-        hit = _match_base(registry, base[1:])
+        hit = _match_base(registry, base[1:], state)
         down = _walk(hit, kids, None)
         return _walk(down, parents, None)
-    hit = _match_base(registry, base)
+    hit = _match_base(registry, base, state)
     out = set(hit)
     if m.group("up"):
         d = m.group("up")[:-1]
@@ -103,20 +177,24 @@ def _eval_atom(registry: ModelRegistry, atom: str,
 
 def _eval_spec(registry: ModelRegistry, spec: str,
                parents: dict[str, set[str]],
-               kids: dict[str, set[str]]) -> set[str]:
+               kids: dict[str, set[str]],
+               state: dict[str, str | None] | None = None) -> set[str]:
     """One space-separated spec: comma-intersection of atoms."""
     out: set[str] | None = None
     for atom in spec.split(","):
-        got = _eval_atom(registry, atom.strip(), parents, kids)
+        got = _eval_atom(registry, atom.strip(), parents, kids, state)
         out = got if out is None else out & got
     return out or set()
 
 
 def select_nodes(registry: ModelRegistry, select: str | None,
-                 exclude: str | None = None) -> list[str]:
+                 exclude: str | None = None,
+                 state: dict[str, str | None] | None = None) -> list[str]:
     """Evaluate a selection string against the registry's DAG; returns the
     selected model names in registry order.  ``select=None`` starts from
-    every model (the ``dbt run`` default) — useful with ``exclude``."""
+    every model (the ``dbt run`` default) — useful with ``exclude``.
+    ``state`` feeds ``state:modified`` / ``state:new`` atoms
+    (``load_state``'s dict)."""
     kids = _children(registry)
     parents = {n: {d for d in registry[n].deps if d in registry}
                for n in registry.names()}
@@ -125,13 +203,17 @@ def select_nodes(registry: ModelRegistry, select: str | None,
     else:
         chosen = set()
         for spec in select.split():
-            got = _eval_spec(registry, spec, parents, kids)
-            if not got:
+            got = _eval_spec(registry, spec, parents, kids, state)
+            if not got and "state:" not in spec:
+                # a typo'd selector silently running zero models is how
+                # production refreshes get skipped; an EMPTY state
+                # selection is the opposite — slim CI's "nothing
+                # changed, build nothing" success case
                 raise ValueError(
                     f"selector {spec!r} matched no models "
                     f"(registry: {sorted(registry.names())})")
             chosen |= got
     if exclude:
         for spec in exclude.split():
-            chosen -= _eval_spec(registry, spec, parents, kids)
+            chosen -= _eval_spec(registry, spec, parents, kids, state)
     return [n for n in registry.names() if n in chosen]

@@ -108,6 +108,10 @@ def sql_model_fn(name: str, sql_text: str):
                 spark.catalog.dropTempView(v)
 
     fn.__doc__ = f"SQL-text model {name} (core/sqlmodel.py adapter)"
+    # every SQL model shares this factory's Python source, so code-level
+    # fingerprints (Runner._fingerprint, selection.node_code_state) must
+    # hash the SQL TEXT itself — stashed on the fn for them to read
+    fn.__sql_text__ = sql_text
     return fn, deps
 
 

@@ -98,3 +98,119 @@ def test_runner_select_string(spark, tmp_path):
     rels3 = r3.run(seeds, select="tag:mart", exclude="tag:nightly")
     assert "fct_loan_details" in rels3
     assert "agg_monthly_loans" not in rels3
+
+
+# ---------------------------------------------------------------------------
+# state:modified / state:new — the slim-CI workflow
+# ---------------------------------------------------------------------------
+
+
+def _proj(beta_body: int, extra: bool = False):
+    from dbt_demo_spark.core.model import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("alpha", deps=("src",))
+    def alpha(refs):
+        return refs["src"]
+
+    if beta_body == 1:
+        @reg.model("beta", deps=("alpha",))
+        def beta(refs):
+            return refs["alpha"]
+    else:
+        @reg.model("beta", deps=("alpha",))
+        def beta(refs):
+            return refs["alpha"].limit(10)
+
+    @reg.model("gamma", deps=("beta",))
+    def gamma(refs):
+        return refs["beta"]
+
+    if extra:
+        @reg.model("delta", deps=("src",))
+        def delta(refs):
+            return refs["src"]
+
+    return reg
+
+
+def test_state_modified_and_new(tmp_path):
+    from dbt_demo_spark.core.selection import (load_state, save_state,
+                                               select_nodes)
+
+    state_file = str(tmp_path / "state.json")
+    save_state(_proj(1), state_file)
+    state = load_state(state_file)
+
+    # nothing changed: empty selection is the slim-CI success case
+    assert select_nodes(_proj(1), "state:modified", state=state) == []
+
+    # beta's body changed; delta is new
+    reg2 = _proj(2, extra=True)
+    assert select_nodes(reg2, "state:modified", state=state) == \
+        ["beta", "delta"]
+    assert select_nodes(reg2, "state:new", state=state) == ["delta"]
+    # graph suffix composes: modified plus descendants
+    assert select_nodes(reg2, "state:modified+", state=state) == \
+        ["beta", "gamma", "delta"]
+
+
+def test_state_selector_requires_state():
+    import pytest
+
+    from dbt_demo_spark.core.selection import select_nodes
+
+    with pytest.raises(ValueError, match="needs state="):
+        select_nodes(_proj(1), "state:modified")
+    with pytest.raises(ValueError, match="state method"):
+        select_nodes(_proj(1), "state:nonsense", state={})
+
+
+def test_sql_model_text_change_is_modified(tmp_path):
+    """The adapter blind spot: all SQL models share the factory's Python
+    source, so the SQL TEXT itself must drive the fingerprint."""
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.selection import node_code_state
+
+    def reg_with(sql):
+        reg = ModelRegistry()
+        reg.sql_model("m", sql)
+        return reg
+
+    a = node_code_state(reg_with("select 1 as x from {{ ref('s') }}"))
+    b = node_code_state(reg_with("select 2 as x from {{ ref('s') }}"))
+    same = node_code_state(reg_with("select 1 as x from {{ ref('s') }}"))
+    assert a["m"] == same["m"]
+    assert a["m"] != b["m"]
+
+
+def test_slim_ci_build_flow(spark, tmp_path):
+    """End-to-end: green build -> save state -> edit one model -> build
+    select='state:modified+' runs exactly the edited node and its
+    descendants."""
+    from dbt_demo_spark.core.runner import Runner
+    from dbt_demo_spark.core.selection import load_state, save_state
+
+    src = {"src": spark.range(5).selectExpr("id as k")}
+    state_file = str(tmp_path / "state.json")
+    r1 = Runner(spark, _proj(1), str(tmp_path / "wh1"))
+    assert r1.build(src).ok
+    save_state(_proj(1), state_file)
+
+    reg2 = _proj(2)
+    r2 = Runner(spark, reg2, str(tmp_path / "wh2"))
+    res = r2.build(src, select="state:modified+",
+                   state=load_state(state_file))
+    # unselected ancestors rebuild by default (in-memory view layer)
+    assert set(res.nodes) == {"alpha", "beta", "gamma"}
+    assert res.ok
+
+    # dbt --defer: seed the unmodified ancestor's PRIOR relation as a
+    # pre-built artifact — only the modified node and its descendants run
+    prior = Runner(spark, _proj(1), str(tmp_path / "wh3")).build(src)
+    r3 = Runner(spark, reg2, str(tmp_path / "wh4"))
+    res = r3.build({**src, "alpha": prior.relations["alpha"]},
+                   select="state:modified+", state=load_state(state_file))
+    assert set(res.nodes) == {"beta", "gamma"}
+    assert res.ok
