@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
+
 from dbt_demo_spark.operators.semdedup import (semantic_dedup,
                                                semantic_dedup_report)
 from dbt_demo_spark.operators.similarity import embedding_near_dups
@@ -73,6 +75,58 @@ def test_semantic_dedup_matches_python_reference(spark):
     kept_ids = {r.vec_id for r in
                 semantic_dedup(emb, threshold=THRESHOLD).collect()}
     assert kept_ids == set(vecs) - losers
+
+
+def test_semantic_dedup_broadcast_guard_high_dup_corpus(spark):
+    """VERDICT r9 #1: at web-scale dup rates (30-50%) the component-label
+    and loser sets are corpus-sized, so forcing their broadcast is the
+    scale-killer.  Planted high-dup-rate corpus (every doc clustered):
+    with ``broadcast_row_cap=0`` the plan must contain NO broadcast join
+    anywhere (auto-broadcast disabled so only a forced hint could plant
+    one), and the keep/loser sets must be identical to both the default
+    broadcast path and the pure-Python union-find reference."""
+    base = (load_table(spark, SF_GATE, "embeddings")
+            .filter("vec_id < 200").select("vec_id", "embedding"))
+    # plant: every doc has a near-exact-direction copy (scaled + a 0.01
+    # nudge on dim 0 — cosine ~1-2e-5, so the pair clusters at 0.99 but
+    # the two members have DISTINCT centroid scores; an exact tie would
+    # let float summation-order noise pick different winners across the
+    # two join plans under comparison): dup rate ~50%, the regime where
+    # forced broadcasts are corpus-scale
+    copies = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.lit(1.5)
+            + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)))
+        .alias("embedding"))
+    emb = base.unionByName(copies)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    pairs = [(r.d1, r.d2) for r in
+             embedding_near_dups(emb, threshold=0.99).collect()]
+    keep, losers = _python_reference(vecs, pairs)
+    # multi-probe recall is bucket-or-1-bit-adjacent; the 0.01 nudge may
+    # push a handful of copies two bits away — high dup rate is what the
+    # guard needs, not perfection
+    assert len(keep) + len(losers) >= len(vecs) * 0.9
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = semantic_dedup(emb, threshold=0.99, broadcast_row_cap=0)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        guarded_ids = {r.vec_id for r in guarded.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    hinted = semantic_dedup(emb, threshold=0.99)
+    hplan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in hplan  # small corpus: hint still applies
+    assert guarded_ids == {r.vec_id for r in hinted.collect()}
+    assert guarded_ids == set(vecs) - losers
 
 
 def test_semantic_dedup_keeps_centroid_nearest(spark):
