@@ -204,14 +204,28 @@ def select_nodes(registry: ModelRegistry, select: str | None,
         chosen = set()
         for spec in select.split():
             got = _eval_spec(registry, spec, parents, kids, state)
-            if not got and "state:" not in spec:
+            if not got:
                 # a typo'd selector silently running zero models is how
                 # production refreshes get skipped; an EMPTY state
                 # selection is the opposite — slim CI's "nothing
-                # changed, build nothing" success case
-                raise ValueError(
-                    f"selector {spec!r} matched no models "
-                    f"(registry: {sorted(registry.names())})")
+                # changed, build nothing" success case.  Empty is only
+                # OK when attributable to a state atom: every NON-state
+                # atom must still match something on its own (ADVICE r9 —
+                # 'typo_model,state:modified' must raise, not skip).
+                atoms = [a.strip() for a in spec.split(",")]
+                for atom in atoms:
+                    if "state:" in atom:
+                        continue
+                    if not _eval_atom(registry, atom, parents, kids,
+                                      state):
+                        raise ValueError(
+                            f"selector atom {atom!r} in {spec!r} matched "
+                            f"no models "
+                            f"(registry: {sorted(registry.names())})")
+                if not any("state:" in a for a in atoms):
+                    raise ValueError(
+                        f"selector {spec!r} matched no models "
+                        f"(registry: {sorted(registry.names())})")
             chosen |= got
     if exclude:
         for spec in exclude.split():

@@ -47,7 +47,24 @@ _SOURCE_RE = re.compile(
 _DATE_TRUNC_RE = re.compile(
     r"\{\{\s*date_trunc\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _CONFIG_RE = re.compile(r"\{\{\s*config\([^{}]*\)\s*\}\}")
-_NUMERIC_RE = re.compile(r"\bas\s+numeric\b", re.IGNORECASE)
+# anchored to cast syntax (ADVICE r9): only `as numeric[(p,s)]` that the
+# cast's closing paren immediately follows rewrites — a bare
+# `select x as numeric` alias (followed by `,`/FROM, never `)`) survives
+# untouched, and works with arbitrarily nested cast expressions because
+# only the RIGHT context is inspected
+_NUMERIC_RE = re.compile(
+    r"\bas\s+numeric\s*(\(\s*\d+\s*,\s*\d+\s*\))?(?=\s*\))",
+    re.IGNORECASE)
+
+
+def _rewrite_numeric(sql: str) -> str:
+    """DuckDB `cast(x as numeric)` → Spark double (the engine's ratio
+    affinity — module docstring); `cast(x as numeric(p,s))` → the exact
+    decimal(p,s) the precision spells out, not a silent double."""
+    return _NUMERIC_RE.sub(
+        lambda m: "as " + (f"decimal{m.group(1)}" if m.group(1)
+                           else "double"),
+        sql)
 _LEFTOVER_JINJA_RE = re.compile(r"\{\{.*?\}\}", re.DOTALL)
 
 # unique-per-registration suffix for the temp views a SQL model binds;
@@ -71,7 +88,7 @@ def render_sql(sql_text: str, view_for: dict[str, str]) -> str:
         lambda m: f"date_trunc('{m.group(1)}', {m.group(2)})", sql)
     sql = _REF_RE.sub(lambda m: view_for[m.group(1)], sql)
     sql = _SOURCE_RE.sub(lambda m: view_for[m.group(1)], sql)
-    sql = _NUMERIC_RE.sub("as double", sql)
+    sql = _rewrite_numeric(sql)
     leftover = _LEFTOVER_JINJA_RE.search(sql)
     if leftover:
         raise ValueError(

@@ -112,8 +112,11 @@ def wav_frame_decoder(data: bytes) -> list[bytes]:
     channel-interleaved PCM as the frame sequence (last window ragged)."""
     samples, _rate = decode_wav(data)
     flat = samples.reshape(-1)
+    # a valid zero-sample WAV has zero frames, not one empty frame —
+    # n_frames metadata (0) must equal len(frames) for consumers that
+    # cross-check (ADVICE r9)
     return [flat[i:i + FRAME_WINDOW * samples.shape[1]].tobytes()
-            for i in range(0, flat.size or 1,
+            for i in range(0, flat.size,
                            FRAME_WINDOW * max(samples.shape[1], 1))]
 
 

@@ -61,7 +61,18 @@ def lww_upsert_batch(batch_df: DataFrame, store_dir: str,
                  .agg(F.max_by(F.struct(*others), tb).alias("_r"))
                  .select(*keys, *[F.col(f"_r.{c}") for c in others]))
     else:
-        batch = batch_df.dropDuplicates(keys)
+        # actually enforce the contract (ADVICE r9): dropDuplicates would
+        # pick an arbitrary survivor per key, and a replay could pick a
+        # DIFFERENT one — breaking replay convergence silently.  With no
+        # tiebreak declared, duplicate keys in a batch are an error.
+        counts = batch_df.groupBy(*keys).count().filter("count > 1")
+        dup = counts.select(*keys).first()
+        if dup is not None:
+            raise ValueError(
+                f"batch has duplicate rows for key {tuple(dup)!r} and no "
+                "tiebreak_cols — declare tiebreak_cols so last-write-wins "
+                "is deterministic under replay")
+        batch = batch_df
     batch = batch.localCheckpoint(eager=True)  # pin: read before overwrite
 
     affected = [r[0] for r in

@@ -156,6 +156,23 @@ def test_state_modified_and_new(tmp_path):
         ["beta", "gamma", "delta"]
 
 
+def test_state_intersection_with_typo_atom_fails_loud(tmp_path):
+    """ADVICE r9: 'typo,state:modified' must raise on the typo'd atom,
+    not silently select zero models — only an empty set attributable to
+    the STATE atom itself is the slim-CI success case."""
+    from dbt_demo_spark.core.selection import (load_state, save_state,
+                                               select_nodes)
+
+    state_file = str(tmp_path / "state.json")
+    save_state(_proj(1), state_file)
+    state = load_state(state_file)
+
+    with pytest.raises(ValueError, match="typo_model"):
+        select_nodes(_proj(1), "typo_model,state:modified", state=state)
+    # a real atom intersected with nothing-changed stays the success case
+    assert select_nodes(_proj(1), "alpha,state:modified", state=state) == []
+
+
 def test_state_selector_requires_state():
     import pytest
 

@@ -38,6 +38,19 @@ def test_render_strips_config_and_expands_macros():
     assert "v_t" in out and "{{" not in out
 
 
+def test_numeric_rewrite_is_cast_anchored():
+    """ADVICE r9: only cast targets rewrite — numeric(p,s) keeps its
+    exactness as decimal(p,s), and a column ALIASED 'numeric' survives."""
+    out = render_sql(
+        "select cast(round(x, 2) as numeric(10,2)) as exact,\n"
+        "       cast((a + b) / c as numeric) as ratio,\n"
+        "       x as numeric\n"
+        "from {{ ref('t') }}", {"t": "v_t"})
+    assert "as decimal(10,2)" in out
+    assert "cast((a + b) / c as double)" in out
+    assert "x as numeric" in out  # the alias is untouched
+
+
 def test_render_rejects_unknown_jinja():
     with pytest.raises(ValueError, match="unsupported Jinja"):
         render_sql("select {{ var('x') }} from {{ ref('t') }}", {"t": "v"})

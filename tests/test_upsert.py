@@ -111,3 +111,19 @@ def test_lww_without_tiebreak_dedups_keys(spark, tmp_path):
     assert _store(spark, store) == {(1, D(2024, 1, 1)): (2.0, True)}
     with pytest.raises(ValueError, match="partition_col"):
         lww_upsert_batch(b.drop("day"), store, ("user_id",), "day")
+
+
+def test_lww_without_tiebreak_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r9: with no tiebreak_cols, a duplicate-key batch must raise
+    — dropDuplicates would pick an arbitrary survivor, and a replay could
+    pick a DIFFERENT one, silently breaking replay convergence."""
+    store = str(tmp_path / "store")
+    dup = spark.createDataFrame(
+        [(1, D(2024, 1, 1), 2.0, True), (1, D(2024, 1, 1), 3.0, False)],
+        SCHEMA)
+    with pytest.raises(ValueError, match="tiebreak_cols"):
+        lww_upsert_batch(dup, store, ("user_id", "day"), "day")
+    # the same batch is fine once a tiebreak makes the winner explicit
+    lww_upsert_batch(dup, store, ("user_id", "day"), "day",
+                     tiebreak_cols=("gauge",))
+    assert _store(spark, store) == {(1, D(2024, 1, 1)): (3.0, False)}

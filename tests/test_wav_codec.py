@@ -26,6 +26,14 @@ def test_roundtrip_mono_and_stereo():
         assert wav.wav_info(data) == (ch, 8000, 16, 3000)
 
 
+def test_zero_sample_wav_has_zero_frames():
+    """ADVICE r9: a valid zero-sample WAV decodes to [] frames, so the
+    n_frames metadata (0) and len(frames) cross-check agree."""
+    data = wav.encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    assert wav.wav_metadata_decoder(data)[2] == 0
+    assert wav.wav_frame_decoder(data) == []
+
+
 def test_eight_bit_widens_and_malformed_raises():
     import struct
 
