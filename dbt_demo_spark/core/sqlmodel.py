@@ -46,7 +46,14 @@ _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*'[^']+'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _DATE_TRUNC_RE = re.compile(
     r"\{\{\s*date_trunc\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
-_CONFIG_RE = re.compile(r"\{\{\s*config\([^{}]*\)\s*\}\}")
+_CONFIG_RE = re.compile(r"\{\{\s*config\(([^{}]*)\)\s*\}\}")
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_INCR_BLOCK_RE = re.compile(
+    r"\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)\{%-?\s*endif\s*-?%\}",
+    re.DOTALL)
+_VAR_RE = re.compile(
+    r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*(.+?)\s*)?\)\s*\}\}")
+_LEFTOVER_BLOCK_RE = re.compile(r"\{%.*?%\}", re.DOTALL)
 # anchored to cast syntax (ADVICE r9): only `as numeric[(p,s)]` that the
 # cast's closing paren immediately follows rewrites — a bare
 # `select x as numeric` alias (followed by `,`/FROM, never `)`) survives
@@ -74,101 +81,206 @@ _COUNTER = itertools.count()
 
 def parse_deps(sql_text: str) -> tuple[str, ...]:
     """The model's DAG edges: every distinct ref()/source() target in
-    source order — exactly how dbt compiles the manifest's depends_on."""
+    source order — exactly how dbt compiles the manifest's depends_on.
+    Refs inside ``{% if is_incremental() %}`` blocks count regardless of
+    branch, as dbt's manifest compilation does."""
     deps = _REF_RE.findall(sql_text) + _SOURCE_RE.findall(sql_text)
     return tuple(dict.fromkeys(deps))
 
 
-def render_sql(sql_text: str, view_for: dict[str, str]) -> str:
+def parse_config(sql_text: str) -> dict:
+    """The in-file ``{{ config(...) }}`` kwargs as a plain dict — dbt's
+    highest-precedence materialization config (overrides the
+    dbt_project.yml folder policy).  Only literal kwargs are accepted
+    (strings/numbers/bools/lists), which is the entire public config
+    surface a SQL file uses; anything dynamic raises."""
+    import ast
+
+    m = _CONFIG_RE.search(sql_text)
+    if not m or not m.group(1).strip():
+        return {}
+    try:
+        call = ast.parse(f"f({m.group(1)})", mode="eval").body
+        out = {}
+        for kw in call.keywords:
+            if kw.arg is None:
+                raise ValueError("**kwargs")
+            out[kw.arg] = ast.literal_eval(kw.value)
+        return out
+    except (SyntaxError, ValueError) as e:
+        raise ValueError(
+            f"unparseable config() in SQL model: {m.group(0)!r} "
+            f"({e}) — only literal kwargs are supported") from None
+
+
+def render_vars(sql_text: str, vars: dict | None) -> str:
+    """Substitute ``{{ var('name'[, default]) }}`` from the project vars
+    (dbt_project.yml ``vars:`` / CLI ``--vars``).  The default renders
+    verbatim when the var is undeclared; an undeclared var with no
+    default raises — dbt's compilation error, not a silent empty."""
+    vars = vars or {}
+
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if name in vars:
+            v = vars[name]
+            return f"'{v}'" if isinstance(v, str) else str(v)
+        if default is not None:
+            return default
+        raise ValueError(
+            f"undeclared var {name!r} with no default — declare it in "
+            "the project vars or give the call a default")
+
+    return _VAR_RE.sub(sub, sql_text)
+
+
+def render_sql(sql_text: str, view_for: dict[str, str], *,
+               incremental: bool = False,
+               this_view: str | None = None) -> str:
     """Render the Jinja-lite template to runnable Spark SQL, substituting
-    each ref/source with its temp-view name.  Unknown ``{{ ... }}``
-    constructs raise instead of silently reaching the SQL parser."""
+    each ref/source with its temp-view name.  ``{% if is_incremental() %}``
+    blocks keep their body only on an incremental refresh, and
+    ``{{ this }}`` binds to ``this_view`` — the model's EXISTING relation
+    (dbt's incremental idiom: ``where ts > (select max(ts) from
+    {{ this }})`` bounds the refresh to O(new)).  Unknown ``{{ ... }}`` /
+    ``{% ... %}`` constructs raise instead of silently reaching the SQL
+    parser."""
     sql = _CONFIG_RE.sub("", sql_text)
+    sql = _INCR_BLOCK_RE.sub(
+        lambda m: m.group(1) if incremental else "", sql)
+    if _THIS_RE.search(sql):
+        if this_view is None:
+            raise ValueError(
+                "{{ this }} outside an is_incremental() block has no "
+                "existing relation to bind on a first build — guard it "
+                "with {% if is_incremental() %}")
+        sql = _THIS_RE.sub(this_view, sql)
     sql = _DATE_TRUNC_RE.sub(
         lambda m: f"date_trunc('{m.group(1)}', {m.group(2)})", sql)
     sql = _REF_RE.sub(lambda m: view_for[m.group(1)], sql)
     sql = _SOURCE_RE.sub(lambda m: view_for[m.group(1)], sql)
     sql = _rewrite_numeric(sql)
-    leftover = _LEFTOVER_JINJA_RE.search(sql)
+    leftover = (_LEFTOVER_JINJA_RE.search(sql)
+                or _LEFTOVER_BLOCK_RE.search(sql))
     if leftover:
         raise ValueError(
             f"unsupported Jinja construct in SQL model: {leftover.group(0)!r}"
-            " — supported: ref, source, date_trunc, config")
+            " — supported: ref, source, date_trunc, config, var, this,"
+            " {% if is_incremental() %}")
     return sql
 
 
 def sql_model_fn(name: str, sql_text: str):
-    """Build the ``(refs) -> DataFrame`` ModelFn for a SQL-text model.
+    """Build the ``(refs[, ctx]) -> DataFrame`` ModelFn for a SQL-text
+    model.
 
     At call time each dep DataFrame is registered under a collision-proof
     temp-view name, ``spark.sql`` analyzes the rendered text (analysis is
     eager — the returned plan binds the views' resolved children), and the
     views are dropped immediately: no session-catalog residue outlives the
-    call, so two registries can hold same-named SQL models safely."""
+    call, so two registries can hold same-named SQL models safely.
+
+    A model using ``is_incremental()`` / ``{{ this }}`` is marked
+    ``__wants_incremental_ctx__`` so the Runner hands it the
+    IncrementalContext; ``ctx.this`` (the existing relation) binds behind
+    a temp view like any other dep."""
     deps = parse_deps(sql_text)
     tag = next(_COUNTER)
+    wants_ctx = bool(_INCR_BLOCK_RE.search(sql_text)
+                     or _THIS_RE.search(sql_text))
 
-    def fn(refs: dict[str, DataFrame]) -> DataFrame:
+    def fn(refs: dict[str, DataFrame], ctx=None) -> DataFrame:
         if not deps:
             raise ValueError(f"SQL model {name}: no ref()/source() calls — "
                              "a model without deps has no inputs to bind")
         spark = refs[deps[0]].sparkSession
+        incremental = ctx is not None and ctx.is_incremental
         view_for = {d: f"__sqlm_{tag}_{name}_{d}" for d in deps}
+        this_view = None
+        if incremental and getattr(ctx, "this", None) is not None:
+            this_view = f"__sqlm_{tag}_{name}__this"
+            ctx.this.createOrReplaceTempView(this_view)
         for d in deps:
             refs[d].createOrReplaceTempView(view_for[d])
         try:
-            out = spark.sql(render_sql(sql_text, view_for))
+            out = spark.sql(render_sql(sql_text, view_for,
+                                       incremental=incremental,
+                                       this_view=this_view))
             out.schema  # force analysis before the views go away
             return out
         finally:
             for v in view_for.values():
                 spark.catalog.dropTempView(v)
+            if this_view is not None:
+                spark.catalog.dropTempView(this_view)
 
     fn.__doc__ = f"SQL-text model {name} (core/sqlmodel.py adapter)"
     # every SQL model shares this factory's Python source, so code-level
     # fingerprints (Runner._fingerprint, selection.node_code_state) must
     # hash the SQL TEXT itself — stashed on the fn for them to read
     fn.__sql_text__ = sql_text
+    fn.__wants_incremental_ctx__ = wants_ctx
     return fn, deps
 
 
 def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
-                       *, materialized: str = "view", **model_kwargs) -> None:
+                       *, materialized: str = "view",
+                       vars: dict | None = None, **model_kwargs) -> None:
     """``registry.sql_model(...)`` body: register SQL text as a model.
     ``model_kwargs`` pass through to ModelDef (partition_by, tests,
-    contract, hooks, ... — the full Python-model surface applies)."""
+    contract, hooks, ... — the full Python-model surface applies).
+
+    dbt config precedence: an in-file ``{{ config(...) }}`` overrides
+    both the ``materialized`` argument (the folder policy) and any
+    same-named ``model_kwargs``.  ``vars`` substitute before parsing, so
+    a var change re-fingerprints the model like any text edit."""
     from .model import ModelDef
 
+    sql_text = render_vars(sql_text, vars)
+    cfg = parse_config(sql_text)
+    materialized = cfg.pop("materialized", materialized)
+    model_kwargs = {**model_kwargs, **cfg}
     fn, deps = sql_model_fn(name, sql_text)
     registry.register(ModelDef(
         name=name, deps=deps, materialized=materialized, fn=fn,
         doc=f"SQL-text model (source length {len(sql_text)} chars)",
-        **{k: tuple(v) if isinstance(v, (list, tuple)) else v
+        **{k: tuple(v) if isinstance(v, (list, tuple))
+           else ((v,) if k in ("partition_by", "bucket_by", "unique_key",
+                               "tags", "zorder_by") and isinstance(v, str)
+                 else v)
            for k, v in model_kwargs.items()}))
 
 
 def register_sql_dir(registry: ModelRegistry, models_dir: str,
                      materialized_by_subdir: dict[str, str] | None = None,
-                     default_materialized: str = "view") -> list[str]:
+                     default_materialized: str = "view",
+                     vars: dict | None = None) -> list[str]:
     """Port a dbt project's models/ directory wholesale: every ``*.sql``
-    file registers under its stem, materialization chosen by its first
-    subdirectory — the dbt_project.yml folder policy
+    file registers under its stem, materialization chosen by the DEEPEST
+    matching policy path — the dbt_project.yml folder policy
     (`/root/reference/dbt_project.yml:17-22`: staging -> view,
-    marts -> table, which is also the default mapping here).  Returns the
-    registered names in walk order."""
+    marts -> table, which is also the default mapping here; nested
+    folders may use '/'-joined keys like 'marts/finance').  An in-file
+    ``{{ config(materialized=...) }}`` overrides the folder policy, as
+    in dbt.  Returns the registered names in walk order."""
     if materialized_by_subdir is None:
         materialized_by_subdir = {"staging": "view", "marts": "table"}
     registered = []
     for dirpath, _dirnames, filenames in sorted(os.walk(models_dir)):
         rel = os.path.relpath(dirpath, models_dir)
-        sub = rel.split(os.sep)[0] if rel != "." else ""
-        mat = materialized_by_subdir.get(sub, default_materialized)
+        parts = [] if rel == "." else rel.split(os.sep)
+        mat = default_materialized
+        for depth in range(len(parts), 0, -1):
+            key = "/".join(parts[:depth])
+            if key in materialized_by_subdir:
+                mat = materialized_by_subdir[key]
+                break
         for f in sorted(filenames):
             if not f.endswith(".sql"):
                 continue
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
                 register_sql_model(registry, name, fh.read(),
-                                   materialized=mat)
+                                   materialized=mat, vars=vars)
             registered.append(name)
     return registered

@@ -328,6 +328,62 @@ def test_watermark_refresh_lookback_repairs_late_rows(spark, tmp_path):
     assert got == {1: 10, 2: 25, 3: 30}
 
 
+def test_sql_text_incremental_this_guard_refreshes_o_new(spark, tmp_path):
+    """VERDICT r9 item 3's done-criterion: a SQL-text incremental model
+    with the dbt-verbatim ``where day > (select max(day) from
+    {{ this }})`` guard refreshes O(new) — pre-watermark partitions stay
+    byte-untouched on disk, blocks strip on the first build, and the
+    refreshed table equals a from-scratch build over the full source."""
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.sqlmodel import register_sql_model
+
+    sql = """
+    {{ config(materialized='incremental', partition_by='day') }}
+    select day, sum(v) as total, count(*) as n
+    from {{ ref('events_src') }}
+    {% if is_incremental() %}
+    where day > (select max(day) from {{ this }})
+    {% endif %}
+    group by day
+    """
+    reg = ModelRegistry()
+    register_sql_model(reg, "sql_rollup", sql)
+    assert reg["sql_rollup"].materialized == "incremental"  # from config()
+    assert reg["sql_rollup"].partition_by == ("day",)
+
+    def events(days):
+        return spark.createDataFrame(
+            [(d, d * 10 + i) for d in days for i in range(3)],
+            "day int, v long")
+
+    wh = str(tmp_path / "wh_sql_incr")
+    Runner(spark, reg, wh).run({"events_src": events([1, 2, 3])})
+    path = os.path.join(wh, "sql_rollup")
+    dirs = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert dirs == {"day=1", "day=2", "day=3"}
+    mtimes = {d: max(os.path.getmtime(os.path.join(path, d, f))
+                     for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet"))
+              for d in dirs}
+
+    # refresh fed the FULL source: the {{ this }} watermark subquery, not
+    # the caller, bounds the work to day 4
+    out = Runner(spark, reg, wh).run(
+        {"events_src": events([1, 2, 3, 4])})["sql_rollup"]
+    after = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert after == {"day=1", "day=2", "day=3", "day=4"}
+    for d in dirs:
+        got = max(os.path.getmtime(os.path.join(path, d, f))
+                  for f in os.listdir(os.path.join(path, d))
+                  if f.endswith(".parquet"))
+        assert got == mtimes[d], f"{d} was rewritten on an incremental run"
+
+    full = Runner(spark, reg, str(tmp_path / "wh_sql_full")).run(
+        {"events_src": events([1, 2, 3, 4])})["sql_rollup"]
+    assert ({(r.day, r.total, r.n) for r in out.collect()}
+            == {(r.day, r.total, r.n) for r in full.collect()})
+
+
 def test_watermark_col_validation():
     from dbt_demo_spark.core.model import ModelRegistry
     import pytest

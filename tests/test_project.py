@@ -1,0 +1,284 @@
+"""Wholesale dbt-project porting (core/project.py): dbt_project.yml is
+the single source of policy — model-paths, seed-paths, +materialized
+folder tree, vars — plus schema.yml properties attachment (tests /
+contracts / exposures) onto registered models."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import textwrap
+
+import pytest
+
+from dbt_demo_spark.core.model import ModelRegistry
+from dbt_demo_spark.core.project import (attach_properties,
+                                         port_dbt_project,
+                                         read_seed_csv_inferred)
+from dbt_demo_spark.core.runner import Runner
+from dbt_demo_spark.core.sqlmodel import register_sql_model
+
+REFERENCE = "/root/reference"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "models")),
+    reason="reference repo not mounted")
+
+
+# ------------------------------------------------------------- seeds ----
+
+def test_seed_inference_ladder(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "flag,n,x,d,s,gap\n"
+        'true,10,1.5,2024-01-31,"a, quoted",\n'
+        "false,20,2,2024-02-29,plain,9\n")
+    df = read_seed_csv_inferred(spark, str(p))
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"flag": "boolean", "n": "bigint", "x": "double",
+                     "d": "date", "s": "string", "gap": "bigint"}
+    rows = sorted(df.collect(), key=lambda r: r.n)
+    assert rows[0].flag is True and rows[0].gap is None  # empty -> NULL
+    assert rows[0].s == "a, quoted"                      # quoted comma
+    assert rows[0].d == datetime.date(2024, 1, 31)
+    assert rows[1].x == 2.0  # whole-column vote: one float -> double
+
+
+# ----------------------------------------------- reference wholesale ----
+
+@needs_reference
+def test_port_reference_project_from_its_yaml_alone(spark, tmp_path):
+    """VERDICT r9 item 2's done-criterion: the reference checkout ports
+    end-to-end from dbt_project.yml alone — folder policy, seed CSVs,
+    models — and every relation is byte-identical to the hand-written
+    DataFrame twins (models/fiction_bank.py)."""
+    from dbt_demo_spark.models.fiction_bank import REGISTRY as PY_REGISTRY
+
+    p = port_dbt_project(spark, REFERENCE)
+    assert p.name == "fiction_bank"
+    assert sorted(p.model_names) == ["agg_monthly_loans",
+                                     "fct_loan_details",
+                                     "stg_loan_payments", "stg_loans"]
+    # the policy came from dbt_project.yml:17-22, not a Python restatement
+    assert p.registry["stg_loans"].materialized == "view"
+    assert p.registry["stg_loan_payments"].materialized == "view"
+    assert p.registry["fct_loan_details"].materialized == "table"
+    assert p.registry["agg_monthly_loans"].materialized == "table"
+    assert p.clean_targets == ("target", "dbt_packages")
+
+    # seeds from seeds/*.csv with dbt-seed semantics
+    assert sorted(p.seeds) == ["loan_types", "raw_loan_payments",
+                               "raw_loans"]
+    loans = p.seeds["raw_loans"].collect()
+    assert len(loans) == 10
+    l004 = next(r for r in loans if r.loan_id == "L004")
+    assert l004.property_address is None          # empty -> NULL
+    assert l004.property_value is None
+    l001 = next(r for r in loans if r.loan_id == "L001")
+    assert l001.property_address == "123 Main St, Austin TX"
+    assert len(p.seeds["loan_types"].collect()) == 3
+    assert len(p.seeds["raw_loan_payments"].collect()) == 15
+
+    ported = Runner(spark, p.registry,
+                    warehouse_dir=str(tmp_path / "port_wh"))
+    twins = Runner(spark, PY_REGISTRY,
+                   warehouse_dir=str(tmp_path / "twin_wh"))
+    try:
+        got_rels = ported.run(dict(p.seeds))
+        from dbt_demo_spark.models.seeds import load_seed_dataframes
+        want_rels = twins.run(load_seed_dataframes(spark))
+        for name in p.model_names:
+            got, want = got_rels[name], want_rels[name]
+            got_t = {f.name: f.dataType.simpleString()
+                     for f in got.schema.fields}
+            want_t = {f.name: f.dataType.simpleString()
+                      for f in want.schema.fields}
+            assert got_t == want_t, name
+            cols = sorted(got_t)
+            assert sorted(map(tuple, got.select(cols).collect())) == \
+                sorted(map(tuple, want.select(cols).collect())), name
+    finally:
+        ported.clean()
+        twins.clean()
+
+
+# ------------------------------------- synthetic: policy/config/vars ----
+
+def _write_project(root, yml: str, files: dict[str, str]) -> None:
+    (root / "dbt_project.yml").write_text(textwrap.dedent(yml))
+    for rel, text in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(textwrap.dedent(text))
+
+
+def test_port_nested_policy_config_override_and_vars(spark, tmp_path):
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        vars:
+          proj:
+            cutoff: 15
+        models:
+          proj:
+            +materialized: table
+            deep:
+              nested:
+                +materialized: view
+        """, {
+        "s/nums.csv": "k,v\n1,10\n2,20\n3,30\n",
+        "m/top_model.sql": "select * from {{ ref('nums') }}",
+        "m/deep/nested/leaf.sql":
+            "select * from {{ ref('top_model') }} "
+            "where v > {{ var('cutoff') }}",
+        "m/deep/other.sql":
+            "{{ config(materialized='ephemeral') }}\n"
+            "select v + {{ var('missing', 0) }} as v2 "
+            "from {{ ref('top_model') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    # nested folder policy: deepest prefix wins; config() beats both
+    assert p.registry["top_model"].materialized == "table"
+    assert p.registry["leaf"].materialized == "view"
+    assert p.registry["other"].materialized == "ephemeral"
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        # var('cutoff') resolved from the project-scoped vars block
+        assert {r.v for r in rels["leaf"].collect()} == {20, 30}
+        assert {r.v2 for r in rels["other"].collect()} == {10, 20, 30}
+    finally:
+        runner.clean()
+
+
+def test_undeclared_var_without_default_raises(spark, tmp_path):
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        """, {
+        "s/nums.csv": "k\n1\n",
+        "m/bad.sql": "select {{ var('nope') }} from {{ ref('nums') }}",
+    })
+    with pytest.raises(ValueError, match="nope"):
+        port_dbt_project(spark, str(tmp_path))
+
+
+# --------------------------------------------------------- schema.yml ---
+
+_FIXED_ROLLUP_SQL = """
+-- bug-analysis.md:161-174 Option 1: the aggregation stays pure — no
+-- loan-level join, grain exactly (month, loan_type_name)
+with monthly_originations as (
+    select
+        cast({{ date_trunc('month', 'loan_start_date') }} as date)
+            as month_start,
+        loan_type_name,
+        count(distinct loan_id) as loans_originated
+    from {{ ref('fct_loan_details') }}
+    group by 1, 2
+),
+monthly_payments as (
+    select
+        cast({{ date_trunc('month', 'payment_date') }} as date)
+            as month_start,
+        count(distinct payment_id) as total_payments
+    from {{ ref('stg_loan_payments') }}
+    group by 1
+)
+select
+    coalesce(orig.month_start, pay.month_start) as month,
+    orig.loan_type_name,
+    coalesce(orig.loans_originated, 0) as new_loans,
+    coalesce(pay.total_payments, 0) as payments_received
+from monthly_originations orig
+full outer join monthly_payments pay
+    on orig.month_start = pay.month_start
+"""
+
+_PROPERTIES_YML = """
+models:
+  - name: agg_monthly_loans
+    description: reference-faithful monthly rollup (fan-out bug intact)
+    tests:
+      - unique:
+          combination_of_columns: [month, loan_type_name]
+  - name: agg_monthly_loans_fixed
+    tests:
+      - unique:
+          combination_of_columns: [month, loan_type_name]
+    columns:
+      - name: month
+        tests: [not_null]
+  - name: stg_loans
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: loan_id
+        data_type: string
+        tests: [unique, not_null]
+      - name: customer_id
+        data_type: string
+      - name: loan_type_id
+        data_type: bigint
+        tests:
+          - relationships:
+              to: ref('loan_types')
+              field: loan_type_id
+      - name: loan_amount
+        data_type: bigint
+      - name: interest_rate
+        data_type: double
+      - name: loan_start_date
+        data_type: date
+      - name: loan_term_months
+        data_type: bigint
+      - name: property_address
+        data_type: string
+      - name: property_value
+        data_type: bigint
+exposures:
+  - name: loan_dashboard
+    type: dashboard
+    owner:
+      name: fiction-bank-bi
+    depends_on:
+      - ref('agg_monthly_loans_fixed')
+"""
+
+
+@needs_reference
+def test_schema_yml_grain_test_fails_buggy_passes_fixed(spark, tmp_path):
+    """VERDICT r9 item 7's done-criterion: the bug-analysis grain test
+    (docs/bug-analysis.md:139-157) declared in standard schema.yml form
+    fails on the reference-faithful agg_monthly_loans and passes on the
+    fixed variant, through Runner.build."""
+    p = port_dbt_project(spark, REFERENCE)
+    register_sql_model(p.registry, "agg_monthly_loans_fixed",
+                       _FIXED_ROLLUP_SQL, materialized="table")
+    applied = attach_properties(p.registry, _PROPERTIES_YML)
+    assert "unique__agg_monthly_loans__month_loan_type_name" \
+        in applied["tests"]
+    assert applied["exposures"] == ["loan_dashboard"]
+    # contract landed on stg_loans from the YAML columns
+    assert ("loan_id", "string") in p.registry["stg_loans"].contract
+
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        res = runner.build(dict(p.seeds))
+        assert res.nodes["agg_monthly_loans"].status == "fail"
+        failed = [t.name for t in res.nodes["agg_monthly_loans"].tests
+                  if not t.passed]
+        assert failed == ["unique__agg_monthly_loans__month_loan_type_name"]
+        assert res.nodes["agg_monthly_loans_fixed"].status == "success"
+        assert res.nodes["stg_loans"].status == "success"
+    finally:
+        runner.clean()
+
+
+def test_attach_properties_unknown_model_or_test_raises():
+    reg = ModelRegistry()
+    with pytest.raises(ValueError, match="unknown model"):
+        attach_properties(reg, "models:\n  - name: ghost\n")
