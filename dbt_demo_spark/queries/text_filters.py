@@ -217,17 +217,20 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All corpus token-bigrams with frequency >= 1/HEAVY_DENOM — the
     boilerplate-phrase census a dedup guard or stop-phrase filter feeds on.
 
-    EXACT output via the two-pass algorithm (operators/heavy.py): a
-    map-side Misra-Gries pass bounds the candidate set (the corpus's long
-    tail never shuffles), then a broadcast-semi-joined exact count applies
-    the integer threshold ``cnt * denom >= N``.  The oracle is the naive
-    GROUP BY + scalar-subquery HAVING — identical results because the
-    threshold arithmetic is all-integer and the MG pass guarantees no
+    EXACT output, size-routed (operators/heavy.py): at gate/bench scale
+    the one-job naive aggregation answers directly; past the byte
+    threshold the two-pass algorithm takes over — a map-side Misra-Gries
+    pass bounds the candidate set (the corpus's long tail never
+    shuffles), then a broadcast-semi-joined exact count applies the
+    integer threshold ``cnt * denom >= N``.  Both routes are exact, so
+    the oracle (naive GROUP BY + scalar-subquery HAVING) matches either
+    way: all-integer threshold arithmetic, and the MG pass guarantees no
     false negatives (reference has no frequency operator; this is the
-    §2-extension X43 row)."""
+    §2-extension X43 row).  The scan is ``spread`` so the CPU-bound
+    tokenize+explode isn't serialized on the test files' one row group."""
     from ..operators.heavy import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     grams = docs.select(
         F.explode(_ngrams(toks, F.size(toks), 2)).alias("bigram"))

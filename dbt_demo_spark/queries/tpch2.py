@@ -787,52 +787,39 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set-ops", "union", "intersect", "except"),
 )
 def cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer retention cohorts via the three set operators (the family
-    the reference never uses, SURVEY.md §2.7): year-over-year INTERSECT
-    (retained), EXCEPT both ways (churned / new), UNION ALL to stack the
-    counts.
+    """Customer retention cohorts — the INTERSECT / EXCEPT-both-ways /
+    UNION ALL family (SURVEY.md §2.7) collapsed to its algebraic core.
 
-    Exchange sharing (r5): the naive form — each year's cohort as its own
-    filter->distinct — plans SIX independent orders shuffles (each set-op
-    leg re-derives both sides).  Instead, ONE aggregation computes a
-    membership BITMASK per customer (1=active '95, 2=active '96); each
-    cohort is a filter over the mask.  The mask must be a single column:
-    with separate in95/in96 flag columns, per-leg column pruning narrows
-    each side's aggregate to just the flag it uses, the aggregate subtrees
-    stop being equal, and ReuseExchange can no longer dedupe them
-    (observed: 6 live Exchanges).  With the mask, every leg's
-    Exchange(o_custkey) subtree is IDENTICAL, so ReuseExchange collapses
-    them to ONE physical shuffle of the fact table; the set-op legs above
-    it are broadcast semi/anti joins of already-distinct cohort keys.  At
-    100 TB this turns 6 fact-table shuffles into 1."""
+    Plan history: the naive per-leg form shuffles orders SIX times; r5
+    rewrote it to one membership-bitmask aggregation whose Exchange every
+    set-op leg shared (ReuseExchange), leaving the legs as semi/anti
+    joins.  This round (VERDICT r9 item 5) finishes the job: with the
+    mask in hand the three set operations ARE mask values — INTERSECT is
+    mask=3, the two EXCEPTs are mask=1 and mask=2 — so the legs reduce to
+    three conditional sums in one global aggregate, unpivoted by
+    ``stack`` into the cohort rows.  ONE fact-table shuffle
+    (hashpartitioning on o_custkey) and a metadata-sized SinglePartition
+    gather; no joins at all (plan-asserted in test_plan_quality.py).  At
+    100 TB the only data motion is the customer-key aggregation every
+    variant needs anyway."""
     o = load_table(spark, sf_dir, "orders")
 
-    flags = (
+    mask = (
         o.filter((F.col("o_orderdate") >= "1995-01-01")
                  & (F.col("o_orderdate") < "1997-01-01"))
         .groupBy("o_custkey")
-        .agg(F.max(F.when(F.col("o_orderdate") < "1996-01-01", 1).otherwise(0))
-             .alias("m95"),
-             F.max(F.when(F.col("o_orderdate") >= "1996-01-01", 2).otherwise(0))
-             .alias("m96"))
-        .select("o_custkey", (F.col("m95") + F.col("m96")).alias("mask"))
+        .agg((F.max(F.when(F.col("o_orderdate") < "1996-01-01", 1)
+                    .otherwise(0))
+              + F.max(F.when(F.col("o_orderdate") >= "1996-01-01", 2)
+                      .otherwise(0))).alias("mask"))
     )
-    y95 = flags.filter(F.col("mask").isin(1, 3)).select("o_custkey")
-    y96 = flags.filter(F.col("mask") >= 2).select("o_custkey")
-
-    def counted(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
-            F.lit(label).alias("cohort"), "n_customers")
-
-    # inputs are distinct by construction (one row per customer), so SQL
-    # EXCEPT (set semantics, `subtract`) == EXCEPT ALL here — and subtract
-    # plans as a straight anti join where exceptAll builds a
-    # sum-of-multiplicity plan with an extra aggregate
-    return (
-        counted(y95.intersect(y96), "retained")
-        .unionAll(counted(y95.subtract(y96), "churned"))
-        .unionAll(counted(y96.subtract(y95), "new"))
-    )
+    counts = mask.agg(
+        F.count(F.when(F.col("mask") == 3, 1)).alias("retained"),
+        F.count(F.when(F.col("mask") == 1, 1)).alias("churned"),
+        F.count(F.when(F.col("mask") == 2, 1)).alias("new"))
+    return counts.select(F.expr(
+        "stack(3, 'retained', retained, 'churned', churned, 'new', new) "
+        "as (cohort, n_customers)"))
 
 
 # Demoted from the 50-entry catalog in round 7: the anti join is gated by

@@ -35,7 +35,7 @@ def test_matches_naive_exact_under_eviction_and_partitioning(spark, k, parts):
     df = _skewed(spark, parts)
     denom = 100  # threshold ~81 rows -> item_0..item_4 qualify
     got = {(r.w, r.cnt) for r in
-           heavy_hitters(df, "w", denom=denom, k=k).collect()}
+           heavy_hitters(df, "w", denom=denom, k=k, naive_max_bytes=0).collect()}
     assert got == _exact(df, "w", denom)
     assert len(got) == 5
 
@@ -44,16 +44,16 @@ def test_candidate_bound_is_superset_not_equality(spark):
     """With k barely above denom the candidate set may include non-heavy
     items — the exact pass must strip them (no false positives leak)."""
     df = _skewed(spark, 3)
-    got = {r.w for r in heavy_hitters(df, "w", denom=100, k=128).collect()}
+    got = {r.w for r in heavy_hitters(df, "w", denom=100, k=128, naive_max_bytes=0).collect()}
     assert got == {f"item_{i}" for i in range(5)}
 
 
 def test_empty_and_all_light_inputs(spark):
     empty = spark.createDataFrame([], "w string")
-    assert heavy_hitters(empty, "w", denom=10).count() == 0
+    assert heavy_hitters(empty, "w", denom=10, naive_max_bytes=0).count() == 0
     # 1000 singletons, threshold 1% -> nothing qualifies
     light = spark.createDataFrame([(f"t{i}",) for i in range(1000)], ["w"])
-    assert heavy_hitters(light, "w", denom=100, k=32).count() == 0
+    assert heavy_hitters(light, "w", denom=100, k=32, naive_max_bytes=0).count() == 0
 
 
 def test_threshold_boundary_is_exact_integer(spark):
@@ -62,7 +62,7 @@ def test_threshold_boundary_is_exact_integer(spark):
     rows = [("hot",)] * 10 + [(f"t{i}",) for i in range(90)]
     df = spark.createDataFrame(rows, ["w"])
     got = {(r.w, r.cnt) for r in
-           heavy_hitters(df, "w", denom=10, k=8).collect()}
+           heavy_hitters(df, "w", denom=10, k=8, naive_max_bytes=0).collect()}
     assert got == {("hot", 10)}
 
 
@@ -98,11 +98,31 @@ def test_mg_merge_bound():
             f"undercount bound violated for {it}"
 
 
+def test_small_input_routes_to_one_job_naive_path(spark, tmp_path):
+    """VERDICT r9 item 4: under the size threshold the plan is the naive
+    single-aggregation (no Arrow boundary, no broadcast-semi pass 2) and
+    the answer is bit-equal to both the forced-MG route and the exact
+    oracle.  Parquet-backed like the real corpus: an RDD-backed plan has
+    no usable size statistic (Catalyst estimates it at Long.Max, which
+    correctly routes unknown-size inputs down the scale-safe MG road)."""
+    _skewed(spark, 5).write.parquet(str(tmp_path / "w"))
+    df = spark.read.parquet(str(tmp_path / "w"))
+    routed = heavy_hitters(df, "w", denom=100)  # default threshold: tiny
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower().replace(" ", "")
+    assert "BroadcastHashJoin" not in plan
+    got = {(r.w, r.cnt) for r in routed.collect()}
+    forced = {(r.w, r.cnt) for r in
+              heavy_hitters(df, "w", denom=100, k=64,
+                            naive_max_bytes=0).collect()}
+    assert got == forced == _exact(df, "w", 100)
+
+
 def test_output_plan_owns_no_cache_state(spark):
     """The returned DataFrame must not reference InMemoryRelation — the
     operator's summary cache is internal and unpersisted before return."""
     df = _skewed(spark, 4)
-    out = heavy_hitters(df, "w", denom=100, k=64)
+    out = heavy_hitters(df, "w", denom=100, k=64, naive_max_bytes=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryRelation" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -53,6 +53,26 @@ def test_dim_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_cohort_setops_is_one_shuffle_no_joins(spark):
+    """VERDICT r9 item 5: the set-op family reduced to its algebraic core
+    — exactly ONE fact-table Exchange (hashpartitioning on o_custkey), a
+    metadata-sized SinglePartition gather for the global counts, and no
+    join operators at all."""
+    plan = _plan(spark, "cohort_setops")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2  # + the SinglePartition gather
+    assert "Join" not in plan
+
+
+def test_heavy_hitters_small_route_has_no_arrow_pass(spark):
+    """VERDICT r9 item 4: at gate scale text_heavy_hitters routes to the
+    one-job naive aggregation — no mapInPandas (Arrow) boundary, no
+    broadcast-semi candidate join in the plan."""
+    plan = _plan(spark, "text_heavy_hitters")
+    assert "MapInPandas" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_partitioned_mart_prunes(spark, tmp_path):
     """Month-partitioned marts must show PartitionFilters on filtered reads
     (also covered in test_incremental; kept here as the plan-audit home)."""
