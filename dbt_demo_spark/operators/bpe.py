@@ -40,6 +40,19 @@ parallel, ~n_merges regex passes over ~2x the text bytes).  The Zipf
 path for corpus-scale scoring is ``bpe_costs_by_vocab`` — tokenize each
 DISTINCT word once, broadcast the per-word costs back — so the regex
 fold runs over the vocabulary, not the corpus.
+
+Byte-level floor (``byte_level=True``, VERDICT r9 item 9): the
+production norm [public knowledge: GPT-2's byte-level BPE, Radford et
+al. 2019] trains over UTF-8 BYTES, so the base vocabulary is a fixed
+256 symbols and every string — OOV scripts included — is tokenizable
+with no <unk> and no unbounded character table.  Implementation: a
+bijective re-coding ``utf8-bytes -> ISO-8859-1 chars`` (codepoints
+0-255) turns the byte sequence into a string the EXISTING char-level
+trainer and regex fold consume unchanged — in the JVM that re-coding is
+``decode(encode(text,'UTF-8'),'ISO-8859-1')``, two built-in calls.  An
+unmerged multibyte char costs its byte length (the floor); merges then
+compress exactly as in char mode.  UTF-8 never uses byte 0x20 inside a
+multibyte sequence, so the space-exclusion arithmetic is unchanged.
 """
 
 from __future__ import annotations
@@ -70,11 +83,22 @@ def _merge_word(sym: tuple, pair: tuple) -> tuple:
     return tuple(out)
 
 
+def byte_symbols(s: str) -> str:
+    """The byte-level re-coding: UTF-8 bytes as ISO-8859-1 chars — a
+    bijection onto codepoints 0-255, so char-level machinery operates on
+    bytes without knowing it."""
+    return s.encode("utf-8").decode("latin-1")
+
+
 def train_bpe(word_counts: dict[str, int],
-              n_merges: int) -> list[tuple[str, str]]:
+              n_merges: int, byte_level: bool = False
+              ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merges from a word-frequency dict (greedy
     highest total pair count; ties break on the lexicographically
-    smallest pair — fully deterministic)."""
+    smallest pair — fully deterministic).  ``byte_level`` trains over
+    UTF-8 byte symbols (fixed 256-base vocabulary, the OOV floor)."""
+    if byte_level:
+        word_counts = {byte_symbols(w): c for w, c in word_counts.items()}
     vocab = {tuple(w): c for w, c in word_counts.items() if w}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -90,9 +114,12 @@ def train_bpe(word_counts: dict[str, int],
     return merges
 
 
-def tokenize_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Reference BPE application: every merge once, in rank order."""
-    sym: tuple = tuple(word)
+def tokenize_word(word: str, merges: list[tuple[str, str]],
+                  byte_level: bool = False) -> list[str]:
+    """Reference BPE application: every merge once, in rank order.
+    ``byte_level`` segments the word's UTF-8 bytes (as ISO-8859-1
+    chars) — an unmerged multibyte char yields one token per byte."""
+    sym: tuple = tuple(byte_symbols(word) if byte_level else word)
     for pair in merges:
         if len(sym) == 1:
             break
@@ -100,9 +127,10 @@ def tokenize_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return list(sym)
 
 
-def bpe_token_count(text: str, merges: list[tuple[str, str]]) -> int:
+def bpe_token_count(text: str, merges: list[tuple[str, str]],
+                    byte_level: bool = False) -> int:
     """Reference whole-text subword count (spaces are not tokens)."""
-    return sum(len(tokenize_word(w, merges))
+    return sum(len(tokenize_word(w, merges, byte_level))
                for w in text.split(" ") if w)
 
 
@@ -116,7 +144,8 @@ def _java_repl(s: str) -> str:
 
 
 def bpe_cost_expr(text: Column,
-                  merges: list[tuple[str, str]]) -> Column:
+                  merges: list[tuple[str, str]],
+                  byte_level: bool = False) -> Column:
     """EXACT BPE token count of ``text`` as one JVM expression.
 
     Encoding: strip any stray \\x1f, then put a separator before every
@@ -127,7 +156,15 @@ def bpe_cost_expr(text: Column,
     separators = symbols + 1, and spaces stay single symbols, so
 
         tokens = (separators - 1) - n_space_chars
+
+    ``byte_level``: the text is first re-coded UTF-8 bytes -> ISO-8859-1
+    chars (two built-ins), after which every "char" below IS one byte —
+    merges must come from a ``byte_level`` trainer.  Space is byte 0x20,
+    which UTF-8 never uses inside a multibyte sequence, so the space
+    exclusion is unchanged.
     """
+    if byte_level:
+        text = F.decode(F.encode(text, "UTF-8"), "ISO-8859-1")
     enc = F.concat(
         F.lit(SEP),
         F.regexp_replace(F.regexp_replace(text, SEP, ""),
@@ -142,7 +179,8 @@ def bpe_cost_expr(text: Column,
 
 def bpe_costs_by_vocab(docs: DataFrame, merges: list[tuple[str, str]],
                        text_col: str = "text",
-                       out_col: str = "n_bpe") -> DataFrame:
+                       out_col: str = "n_bpe",
+                       byte_level: bool = False) -> DataFrame:
     """Corpus-scale scoring: run the regex fold over the DISTINCT word
     vocabulary (Zipf: orders of magnitude smaller than the corpus), then
     broadcast the per-word costs back into an exploded-word sum.  Output:
@@ -152,7 +190,8 @@ def bpe_costs_by_vocab(docs: DataFrame, merges: list[tuple[str, str]],
 
     words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
              .filter(F.col("w") != "").distinct())
-    costs = words.select("w", bpe_cost_expr(F.col("w"), merges).alias("c"))
+    costs = words.select(
+        "w", bpe_cost_expr(F.col("w"), merges, byte_level).alias("c"))
     exploded = docs.select(
         F.col("*"), F.explode_outer(
             F.filter(tokens(F.col(text_col)), lambda t: t != ""))
