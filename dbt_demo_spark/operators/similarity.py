@@ -180,9 +180,11 @@ def _with_norm_bucket_arrow(vectors: DataFrame, id_col: str, vec_col: str,
               f"{norm_alias} double, {bucket_alias} long")
     from ..sources.parquet import spread
 
+    # Arrow-overhead-bound pass: ~128 KB/task keeps the numpy work per
+    # task above the task+Arrow fixed cost (0.65s -> 0.35s at sf0.1)
     src = spread(
         vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)),
-        id_col)
+        id_col, bytes_per_task=128 << 10)
     return src.mapInPandas(run, schema)
 
 

@@ -60,7 +60,8 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
 
-def spread(df: DataFrame, key: str) -> DataFrame:
+def spread(df: DataFrame, key: str,
+           bytes_per_task: int | None = None) -> DataFrame:
     """Hash-repartition a narrow scan across the worker pool before a
     compute-heavy per-row operator (Arrow pass, HOF fold).
 
@@ -92,7 +93,24 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     only merges ADJACENT repartitions (ADVICE r6).  The analyzed logical
     plan (already built at construction) is string-scanned for a
     Repartition node; only such frames pay the accurate RDD-width check."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # ``bytes_per_task``: optional SIZE-AWARE width (r10).  Blindly
+    # targeting shuffle.partitions turns a 2 000-row frame into 32 Arrow
+    # round-trips of ~60 rows each — the per-task fixed cost IS the
+    # runtime (measured: the LSH bucketize pass 0.65s at width 32, 0.35s
+    # at width 8).  Callers whose per-byte work is Arrow-overhead-bound
+    # pass a bytes/task budget and the target scales with Catalyst's
+    # size estimate; callers whose work is CPU-heavy per byte (the lm
+    # char fold: 1.6s -> 2.6s when narrowed) keep the default full
+    # width.  Unknown-size plans (RDD-backed: estimate Long.Max) keep
+    # full width either way, and at 100 TB the estimate blows past the
+    # cap so both modes behave identically.
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if bytes_per_task:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+        target = min(cap, max(2, est // bytes_per_task))
+    else:
+        target = cap
     files = df.inputFiles()
     if files and "Repartition" in df._jdf.queryExecution().analyzed().toString():
         files = []  # derived past a repartition: trust the RDD width below

@@ -116,6 +116,13 @@ def test_range_join_property(spark, prows, irows, width):
             if pk == ik and s <= p < s + (dur % 97)}
     assert got == want
 
+    # auto width (bucket_width=None): grid from avg interval length —
+    # same answer as every explicit width (r9's bucket-width heuristic)
+    auto = {(r.pid, r.iid) for r in asof.range_join(
+        points, intervals, on="k", point_col="p", start_col="s",
+        end_col="e").collect()}
+    assert auto == want
+
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
