@@ -33,13 +33,15 @@ import os
 import re
 from dataclasses import dataclass, replace
 
+import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (BooleanType, DateType, DoubleType, LongType,
                                StringType, StructField, StructType)
 
 from . import datatests
 from .model import ModelRegistry
-from .sqlmodel import register_sql_dir
+from .sqlmodel import register_sql_dir, register_test_dir
 
 
 # --------------------------------------------------------------- seeds --
@@ -115,13 +117,16 @@ def _walk_policy(tree: dict, prefix: str, out: dict[str, str]) -> None:
 @dataclass
 class PortedProject:
     """What `port_dbt_project` hands back: run it with
-    ``Runner(spark, p.registry).run(p.seeds)``."""
+    ``Runner(spark, p.registry, on_run_start=p.on_run_start,
+    on_run_end=p.on_run_end).run(p.seeds)``."""
     name: str
     registry: ModelRegistry
     seeds: dict[str, DataFrame]
     model_names: list[str]
     clean_targets: tuple[str, ...]
     vars: dict
+    on_run_start: tuple[str, ...] = ()
+    on_run_end: tuple[str, ...] = ()
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
@@ -154,19 +159,164 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                     os.path.join(mdir, "**", "*.yml"), recursive=True)):
                 attach_properties(registry, props)
 
+    for tp in cfg.get("test-paths", ["tests"]):
+        tdir = os.path.join(project_dir, tp)
+        if os.path.isdir(tdir):
+            model_names += register_test_dir(registry, tdir, vars=vars_)
+
     seeds = load_seeds(
         spark, [os.path.join(project_dir, sp)
                 for sp in cfg.get("seed-paths", ["seeds"])])
+    def _hooklist(key: str) -> tuple[str, ...]:
+        v = cfg.get(key, ())
+        return (v,) if isinstance(v, str) else tuple(v or ())
+
     return PortedProject(
         name=name, registry=registry, seeds=seeds,
         model_names=model_names,
-        clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_)
+        clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_,
+        on_run_start=_hooklist("on-run-start"),
+        on_run_end=_hooklist("on-run-end"))
 
 
 # ------------------------------------------------------- schema.yml ----
 
 _GENERIC = {"unique", "not_null", "accepted_values", "relationships"}
 _REF_IN_TO = re.compile(r"ref\(\s*'([^']+)'\s*\)")
+_SOURCE_IN_TO = re.compile(r"source\(\s*'[^']+'\s*,\s*'([^']+)'\s*\)")
+
+
+def _dep_name(token: str) -> str:
+    """'ref(\\'x\\')' / 'source(\\'s\\',\\'x\\')' / bare 'x' -> the dep key."""
+    m = _REF_IN_TO.search(token) or _SOURCE_IN_TO.search(token)
+    return m.group(1) if m else token
+
+
+# -------------------------------------------------------- unit tests ----
+
+@dataclass
+class UnitTestResult:
+    """One dbt-style unit test outcome; ``detail`` explains a failure."""
+    name: str
+    model: str
+    passed: bool
+    detail: str = ""
+
+    def __bool__(self) -> bool:
+        return self.passed
+
+
+def _mock_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Mocked input rows -> DataFrame.  Column set is the union across
+    rows (dbt: unmocked columns are NULL); an all-empty mock needs at
+    least the columns the model touches, so rows=[] yields a zero-row
+    single-NULL-column frame only if no columns are derivable — callers
+    should mock one row or give ``format: empty_with_columns``-style
+    hints via a dict row of all-None values."""
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    if not cols:
+        raise ValueError(
+            "empty unit-test mock needs at least one all-None row to "
+            "carry the column names the model reads")
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(pd.DataFrame(data, columns=cols))
+
+
+def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
+                   path_or_text: str) -> list[UnitTestResult]:
+    """dbt unit tests [public knowledge: dbt-core 1.8 ``unit_tests:``
+    properties — run a single model's LOGIC against mocked ref/source
+    inputs and compare to expected rows, no warehouse involved]:
+
+    .. code-block:: yaml
+
+        unit_tests:
+          - name: rollup_handles_empty_payments
+            model: agg_monthly_loans_fixed
+            given:
+              - input: ref('fct_loan_details')
+                rows: [{loan_id: L1, ...}]
+              - input: ref('stg_loan_payments')
+                rows: [{payment_id: null, loan_id: null, ...}]
+            expect:
+              rows: [{month: 2024-01-01, new_loans: 1}]
+
+    Semantics mirrored from dbt: every dep of the model must be given
+    (unmocked deps are an error, not silently-real data); the expect
+    comparison projects the ACTUAL output onto exactly the expected
+    columns and compares full sorted row multisets; an incremental
+    model's fn runs with a first-build context (``is_incremental() ->
+    false``) unless ``overrides: {is_incremental: true}``, which also
+    requires a ``given`` entry for ``this``."""
+    import yaml
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            doc = yaml.safe_load(fh)
+    else:
+        doc = yaml.safe_load(path_or_text)
+    results: list[UnitTestResult] = []
+    for ut in (doc or {}).get("unit_tests", []) or []:
+        name, model = ut["name"], ut["model"]
+        mdef = registry[model]
+        given = {_dep_name(g["input"]): g.get("rows") or []
+                 for g in ut.get("given", []) or []}
+        missing = [d for d in mdef.deps if d not in given]
+        if missing:
+            raise ValueError(
+                f"unit test {name!r}: deps {missing} of model {model!r} "
+                "have no given: mock — every input must be mocked")
+        refs = {d: _mock_frame(spark, given[d]) for d in mdef.deps}
+        overrides = ut.get("overrides", {}) or {}
+        wants_ctx = bool(mdef.watermark_col) or getattr(
+            mdef.fn, "__wants_incremental_ctx__", False)
+        try:
+            if mdef.materialized == "incremental" and wants_ctx:
+                from .model import IncrementalContext
+
+                if overrides.get("is_incremental"):
+                    if "this" not in given:
+                        raise ValueError(
+                            f"unit test {name!r}: is_incremental override "
+                            "needs a given: entry for 'this'")
+                    this = _mock_frame(spark, given["this"])
+                    wm = (this.agg(
+                        F.max(mdef.watermark_col)).first()[0]
+                        if mdef.watermark_col else None)
+                    ctx = IncrementalContext(is_incremental=True,
+                                             watermark=wm, this=this)
+                else:
+                    ctx = IncrementalContext(is_incremental=False)
+                actual = mdef.fn(refs, ctx)
+            else:
+                actual = mdef.fn(refs)
+            expect_rows = (ut.get("expect", {}) or {}).get("rows")
+            if expect_rows is None:
+                raise ValueError(f"unit test {name!r}: no expect.rows")
+            cols: list[str] = []
+            for r in expect_rows:
+                for k in r:
+                    if k not in cols:
+                        cols.append(k)
+            got = sorted(
+                (tuple(str(v) for v in row)
+                 for row in actual.select(*cols).collect()))
+            want = sorted(
+                tuple(str(r.get(c)) for c in cols) for r in expect_rows)
+            if got == want:
+                results.append(UnitTestResult(name, model, True))
+            else:
+                results.append(UnitTestResult(
+                    name, model, False,
+                    f"columns {cols}: got {got[:5]} != want {want[:5]}"))
+        except Exception as exc:  # noqa: BLE001 — per-test report, like build
+            results.append(UnitTestResult(
+                name, model, False, f"{type(exc).__name__}: {exc}"))
+    return results
 
 
 def _build_test(model: str, column: str | None, spec) -> "datatests.DataTest":

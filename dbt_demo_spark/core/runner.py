@@ -108,9 +108,18 @@ class BuildResult:
 class Runner:
     def __init__(self, spark: SparkSession, registry: ModelRegistry,
                  warehouse_dir: str | None = None,
-                 catalog_namespace: str | None = None) -> None:
+                 catalog_namespace: str | None = None,
+                 on_run_start: tuple = (),
+                 on_run_end: tuple = ()) -> None:
         self.spark = spark
         self.registry = registry
+        # dbt's project-level on-run-start / on-run-end hooks [public
+        # knowledge: dbt_project.yml on-run-start/on-run-end] — SQL
+        # strings or (spark, relations) callables, run once around every
+        # run()/build() pass; on_run_end runs even when nodes failed
+        # (dbt's behavior — audit hooks must see failures too)
+        self.on_run_start = tuple(on_run_start)
+        self.on_run_end = tuple(on_run_end)
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
         # Catalog-table namespace: the session catalog is GLOBAL, so two
         # runners materializing a same-named bucketed model would silently
@@ -253,16 +262,24 @@ class Runner:
         if cache_sources:
             for df in sources.values():
                 caches.append(df.persist())
+        self._run_hooks(self.on_run_start, "run", dict(sources))
+        out: dict[str, DataFrame] | None = None
         try:
             if threads <= 1:
                 relations: dict[str, DataFrame] = dict(sources)
                 for name in self.registry.topo_order(select):
                     relations[name] = self._build_model(name, relations)
-                return relations
-            return self._run_parallel(sources, select, threads)
+                out = relations
+            else:
+                out = self._run_parallel(sources, select, threads)
+            return out
         finally:
             for df in caches:
                 df.unpersist()
+            # on_run_end sees whatever completed (dbt passes results);
+            # it runs even when the pass raised, like dbt's
+            self._run_hooks(self.on_run_end, "run",
+                            out if out is not None else dict(sources))
 
     def build(self, sources: dict[str, DataFrame],
               select: list[str] | str | None = None,
@@ -325,6 +342,7 @@ class Runner:
         # a registered model arriving pre-built in ``sources`` (the retry
         # path seeds prior successes this way) is an artifact to REUSE,
         # not a node to rebuild — dbt retry's contract
+        self._run_hooks(self.on_run_start, "run", dict(sources))
         pending = [n for n in self.registry.topo_order(select)
                    if n not in built]
         with ThreadPoolExecutor(max(1, threads)) as ex:
@@ -368,6 +386,10 @@ class Runner:
                         nodes[name] = NodeResult(name, "fail", tests=trs,
                                                  seconds=secs)
                         poisoned.add(name)
+        # runs even with failed nodes in ``nodes`` — audit hooks must see
+        # failures (the loop captures per-node errors, so reaching here
+        # is the normal path either way)
+        self._run_hooks(self.on_run_end, "run", dict(relations))
         result = BuildResult(relations=relations, nodes=nodes)
         # the dbt run_results.json artifact, refreshed per invocation
         os.makedirs(self.warehouse_dir, exist_ok=True)

@@ -251,6 +251,43 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
            for k, v in model_kwargs.items()}))
 
 
+def register_test_dir(registry: ModelRegistry, tests_dir: str,
+                      vars: dict | None = None) -> list[str]:
+    """Port a dbt project's ``test-paths`` directory: every ``*.sql``
+    file is a SINGULAR data test [public knowledge: dbt singular tests —
+    a SELECT returning violating rows; any row is a failure]
+    (reference: `dbt_project.yml:8` declares tests/, shipped empty; the
+    intended grain test lives as prose in docs/bug-analysis.md:139-157
+    and runs VERBATIM through this path).
+
+    dbt compiles each singular test to a NODE depending on every
+    ``ref()`` it names; same here — the test registers as an ephemeral
+    model (computed, never stored) whose one attached DataTest returns
+    the model's own relation, so ``Runner.build`` runs it exactly when
+    all referenced models are built and fails the node (poisoning
+    descendants) when the query yields rows."""
+    from .datatests import DataTest
+    from .model import ModelDef
+
+    registered = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(tests_dir)):
+        for f in sorted(filenames):
+            if not f.endswith(".sql"):
+                continue
+            name = f[:-len(".sql")]
+            with open(os.path.join(dirpath, f)) as fh:
+                sql_text = render_vars(fh.read(), vars)
+            fn, deps = sql_model_fn(name, sql_text)
+            registry.register(ModelDef(
+                name=name, deps=deps, materialized="ephemeral", fn=fn,
+                tests=(DataTest(name, lambda rel, n=name: rel[n]),),
+                tags=("singular-test",),
+                doc=f"singular data test (source length {len(sql_text)}"
+                    " chars)"))
+            registered.append(name)
+    return registered
+
+
 def register_sql_dir(registry: ModelRegistry, models_dir: str,
                      materialized_by_subdir: dict[str, str] | None = None,
                      default_materialized: str = "view",

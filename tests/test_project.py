@@ -278,6 +278,209 @@ def test_schema_yml_grain_test_fails_buggy_passes_fixed(spark, tmp_path):
         runner.clean()
 
 
+# docs/bug-analysis.md:139-157 VERBATIM — the reference specifies its
+# intended data test as prose SQL; the singular-test path runs it as-is
+_BUG_ANALYSIS_SINGULAR_SQL = """
+-- Test: Row count should match expected monthly periods
+with expected_months as (
+    select distinct
+        date_trunc('month', loan_start_date)::date as month,
+        loan_type_name
+    from {{ ref('fct_loan_details') }}
+),
+actual_months as (
+    select distinct month, loan_type_name
+    from {{ ref('agg_monthly_loans') }}
+)
+select
+    count(*) as expected_rows,
+    (select count(*) from actual_months) as actual_rows,
+    (select count(*) from actual_months) - count(*) as extra_rows
+from expected_months
+having (select count(*) from actual_months) != count(*)
+"""
+
+
+@needs_reference
+def test_singular_sql_test_runs_verbatim_through_build(spark, tmp_path):
+    """dbt singular tests (test-paths/*.sql, SELECT-returning-violations):
+    the reference's prose-specified grain test (docs/bug-analysis.md:
+    139-157) registers VERBATIM as a test node and fails the
+    reference-faithful rollup through Runner.build; its twin over the
+    fixed variant passes."""
+    from dbt_demo_spark.core.sqlmodel import register_test_dir
+
+    p = port_dbt_project(spark, REFERENCE)
+    register_sql_model(p.registry, "agg_monthly_loans_fixed",
+                       _FIXED_ROLLUP_SQL, materialized="table")
+    tdir = tmp_path / "tests"
+    tdir.mkdir()
+    (tdir / "grain_months_match.sql").write_text(
+        _BUG_ANALYSIS_SINGULAR_SQL)
+    # NOTE: the verbatim count-comparison test would fail even the truly
+    # fixed rollup — payment-only months carry a NULL loan_type_name row
+    # that expected_months (origination-derived) never has; the reference
+    # prose overlooks it.  The passing twin is the grain-UNIQUENESS form
+    # (what the bug actually violates).
+    (tdir / "grain_months_match_fixed.sql").write_text("""
+        select month, loan_type_name, count(*) as row_count
+        from {{ ref('agg_monthly_loans_fixed') }}
+        group by month, loan_type_name
+        having count(*) > 1
+    """)
+    names = register_test_dir(p.registry, str(tdir))
+    assert names == ["grain_months_match", "grain_months_match_fixed"]
+    assert p.registry["grain_months_match"].deps == \
+        ("fct_loan_details", "agg_monthly_loans")
+    assert p.registry["grain_months_match"].materialized == "ephemeral"
+
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        res = runner.build(dict(p.seeds))
+        assert res.nodes["grain_months_match"].status == "fail"
+        assert not res.nodes["grain_months_match"].tests[0].passed
+        assert res.nodes["grain_months_match_fixed"].status == "success"
+    finally:
+        runner.clean()
+
+
+def test_unit_tests_mock_inputs_and_compare_expected_rows(spark):
+    """dbt 1.8-style unit_tests: the model's LOGIC runs against mocked
+    ref inputs (no warehouse), expected rows compared on exactly the
+    expected columns; a wrong expectation fails with a diff, an
+    unmocked dep raises."""
+    from dbt_demo_spark.core.project import run_unit_tests
+
+    reg = ModelRegistry()
+    register_sql_model(reg, "monthly", """
+        select cast(substr(d, 1, 7) || '-01' as date) as month,
+               sum(v) as total
+        from {{ ref('payments') }}
+        where status = 'ok'
+        group by 1
+    """)
+    results = run_unit_tests(spark, reg, """
+unit_tests:
+  - name: sums_only_ok_rows
+    model: monthly
+    given:
+      - input: ref('payments')
+        rows:
+          - {d: "2024-01-03", v: 5, status: ok}
+          - {d: "2024-01-20", v: 7, status: bad}
+          - {d: "2024-02-01", v: 2, status: ok}
+    expect:
+      rows:
+        - {month: "2024-01-01", total: 5}
+        - {month: "2024-02-01", total: 2}
+  - name: wrong_expectation_fails_with_diff
+    model: monthly
+    given:
+      - input: ref('payments')
+        rows: [{d: "2024-01-03", v: 5, status: ok}]
+    expect:
+      rows: [{month: "2024-01-01", total: 999}]
+""")
+    assert [(r.name, r.passed) for r in results] == [
+        ("sums_only_ok_rows", True),
+        ("wrong_expectation_fails_with_diff", False)]
+    assert "999" in results[1].detail
+
+    with pytest.raises(ValueError, match="must be mocked"):
+        run_unit_tests(spark, reg, """
+unit_tests:
+  - name: missing_mock
+    model: monthly
+    expect: {rows: []}
+""")
+
+
+def test_unit_tests_incremental_override(spark):
+    """overrides: {is_incremental: true} runs the incremental branch
+    against a mocked {{ this }}."""
+    from dbt_demo_spark.core.project import run_unit_tests
+
+    reg = ModelRegistry()
+    register_sql_model(reg, "incr_rollup", """
+        {{ config(materialized='incremental', partition_by='day') }}
+        select day, sum(v) as total from {{ ref('src') }}
+        {% if is_incremental() %}
+        where day > (select max(day) from {{ this }})
+        {% endif %}
+        group by day
+    """)
+    yaml_text = """
+unit_tests:
+  - name: first_build_takes_everything
+    model: incr_rollup
+    given:
+      - input: ref('src')
+        rows: [{day: 1, v: 2}, {day: 2, v: 3}]
+    expect:
+      rows: [{day: 1, total: 2}, {day: 2, total: 3}]
+  - name: refresh_only_past_watermark
+    model: incr_rollup
+    overrides: {is_incremental: true}
+    given:
+      - input: ref('src')
+        rows: [{day: 1, v: 2}, {day: 2, v: 3}]
+      - input: this
+        rows: [{day: 1, total: 2}]
+    expect:
+      rows: [{day: 2, total: 3}]
+"""
+    results = run_unit_tests(spark, reg, yaml_text)
+    assert all(r.passed for r in results), [
+        (r.name, r.detail) for r in results]
+
+
+def test_project_level_run_hooks(spark, tmp_path):
+    """dbt on-run-start / on-run-end: run once around the pass; the end
+    hook fires even when a node fails (audit hooks must see failures)."""
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        on-run-start: "select 'start' as phase"
+        on-run-end:
+          - "select 'end' as phase"
+        """, {
+        "s/nums.csv": "k,v\n1,10\n",
+        "m/ok.sql": "select * from {{ ref('nums') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.on_run_start == ("select 'start' as phase",)
+    calls = []
+    runner = Runner(
+        spark, p.registry, str(tmp_path / "wh"),
+        on_run_start=p.on_run_start + (
+            lambda s, rel: calls.append(("start", sorted(rel))),),
+        on_run_end=p.on_run_end + (
+            lambda s, rel: calls.append(("end", sorted(rel))),))
+    try:
+        runner.run(dict(p.seeds))
+        assert calls == [("start", ["nums"]), ("end", ["nums", "ok"])]
+        calls.clear()
+        runner.build(dict(p.seeds))
+        assert [c[0] for c in calls] == ["start", "end"]
+    finally:
+        runner.clean()
+
+    # end hook still fires when a model raises mid-build
+    reg = ModelRegistry()
+    register_sql_model(reg, "boom", "select undefined_col "
+                                    "from {{ ref('nums') }}")
+    calls.clear()
+    r2 = Runner(spark, reg, str(tmp_path / "wh2"),
+                on_run_end=(lambda s, rel: calls.append("end"),))
+    try:
+        res = r2.build(dict(p.seeds))
+        assert res.nodes["boom"].status == "fail"
+        assert calls == ["end"]
+    finally:
+        r2.clean()
+
+
 def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
