@@ -237,3 +237,40 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     c = _with_norm_bucket_arrow(corpus, id_col, vec_col,
                                 "neighbor_id", "cv", "cn", "bucket")
     return _ranked_topk(_score(qprobes.join(c, "bucket")), k)
+
+
+def build_lsh_index(corpus: DataFrame, path: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Persist the bucketized corpus — (neighbor_id, cv, cn, bucket) —
+    the bucket-on-write half of the LSH contract (module docstring:
+    "bucket once, write partitioned by bucket").  At 100 TB the corpus
+    bucketize pass belongs to ingestion, not to every query; this is the
+    LSH twin of ivf.build_index / pq.build_pq_index (same persisted
+    train-once / serve-many lifecycle, here with data-INDEPENDENT
+    buckets so there is nothing to train).  Files cluster by bucket
+    (repartition on it) rather than directory-partition: 2^N_PLANES =
+    65 536 buckets as directories would be a small-files disaster;
+    parquet min/max stats on the sorted bucket column give scan pruning
+    instead.  Returns the reread handle."""
+    out = _with_norm_bucket_arrow(corpus, id_col, vec_col,
+                                  "neighbor_id", "cv", "cn", "bucket")
+    (out.repartition(F.col("bucket")).sortWithinPartitions("bucket")
+        .write.mode("overwrite").parquet(path))
+    return corpus.sparkSession.read.parquet(path)
+
+
+def lsh_topk_indexed(queries: DataFrame, index: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """``lsh_topk`` served from a ``build_lsh_index`` table: the query
+    side still bucketizes (it's the small side by contract), the corpus
+    side is a plain scan of precomputed (id, vec, norm, bucket) rows.
+    Identical results to the inline form (pytest-pinned) — only where
+    the corpus pass runs moved."""
+    q = _with_norm_bucket_arrow(queries, id_col, vec_col,
+                                "query_id", "qv", "qn", "bucket0")
+    qprobes = q.select(
+        "query_id", "qv", "qn",
+        F.explode(probe_buckets(F.col("bucket0"))).alias("bucket"))
+    return _ranked_topk(_score(qprobes.join(index, "bucket")), k)

@@ -190,6 +190,24 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
     assert all(bf[(p.query_id, p.neighbor_id)] == p.score for p in hits)
 
 
+def test_lsh_indexed_serving_equals_inline(spark, tmp_path):
+    """build_lsh_index + lsh_topk_indexed (bucket-on-write, the 100 TB
+    serving shape — the LSH twin of the IVF/PQ persisted indexes) returns
+    row-identical results to the inline lsh_topk, and the serving plan
+    carries no mapInPandas over the corpus side (only the small query
+    side bucketizes at query time)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id % 100 = 0")
+    idx = similarity.build_lsh_index(emb, str(tmp_path / "lsh"))
+    served = similarity.lsh_topk_indexed(q, idx, k=5)
+    inline = similarity.lsh_topk(q, emb, k=5)
+    assert sorted(map(tuple, served.collect()), key=lambda t: t[:2]) == \
+        sorted(map(tuple, inline.collect()), key=lambda t: t[:2])
+    plan = (served._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("MapInPandas") == 1  # query side only
+
+
 def test_multiprobe_expands_single_probe_candidates(spark):
     """Multi-probe (Hamming-1) candidate pairs are a strict superset of the
     same-bucket pairs, and still a small fraction of the full cross
