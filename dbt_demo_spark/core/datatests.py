@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame
 class DataTest:
     name: str
     fn: Callable[[dict[str, DataFrame]], DataFrame]   # relations -> violations
+    # dbt test severity [public knowledge: dbt test config severity]:
+    # "error" (default) fails the node on violations; "warn" records the
+    # violation count without poisoning the build
+    severity: str = "error"
 
 
 @dataclass
@@ -32,12 +36,19 @@ class DataTestResult:
     name: str
     passed: bool
     violations: int
+    severity: str = "error"
+
+    @property
+    def gating(self) -> bool:
+        """Does this result fail the node?  warn-severity never gates."""
+        return self.passed or self.severity == "warn"
 
     def __bool__(self) -> bool:
         return self.passed
 
 
-def unique(relation: str, columns: Sequence[str]) -> DataTest:
+def unique(relation: str, columns: Sequence[str],
+           severity: str = "error") -> DataTest:
     """dbt `unique` (multi-column = grain uniqueness): violating rows are the
     key groups appearing more than once.  One shuffle on the key.
 
@@ -62,10 +73,12 @@ def unique(relation: str, columns: Sequence[str]) -> DataTest:
             .filter(F.col("n_rows") > 1)
         )
 
-    return DataTest(f"unique__{relation}__{'_'.join(cols)}", fn)
+    return DataTest(f"unique__{relation}__{'_'.join(cols)}", fn,
+                    severity=severity)
 
 
-def not_null(relation: str, columns: Sequence[str]) -> DataTest:
+def not_null(relation: str, columns: Sequence[str],
+             severity: str = "error") -> DataTest:
     """dbt `not_null` over one or more columns: violations are rows where
     any listed column is NULL.  Pure scan-side filter."""
     cols = list(columns)
@@ -75,11 +88,13 @@ def not_null(relation: str, columns: Sequence[str]) -> DataTest:
             operator.or_, [F.col(c).isNull() for c in cols])
         return rel[relation].filter(cond)
 
-    return DataTest(f"not_null__{relation}__{'_'.join(cols)}", fn)
+    return DataTest(f"not_null__{relation}__{'_'.join(cols)}", fn,
+                    severity=severity)
 
 
 def accepted_values(relation: str, column: str,
-                    values: Sequence[str]) -> DataTest:
+                    values: Sequence[str],
+                    severity: str = "error") -> DataTest:
     """dbt `accepted_values`: violations are non-NULL values outside the
     allowed set (dbt's version ignores NULLs — that's not_null's job)."""
 
@@ -87,11 +102,13 @@ def accepted_values(relation: str, column: str,
         c = F.col(column)
         return rel[relation].filter(c.isNotNull() & ~c.isin(*values))
 
-    return DataTest(f"accepted_values__{relation}__{column}", fn)
+    return DataTest(f"accepted_values__{relation}__{column}", fn,
+                    severity=severity)
 
 
 def relationships(relation: str, column: str,
-                  to_relation: str, to_column: str) -> DataTest:
+                  to_relation: str, to_column: str,
+                  severity: str = "error") -> DataTest:
     """dbt `relationships` (referential integrity): violations are child
     rows whose non-NULL key has no parent — a LEFT ANTI join, which AQE
     broadcasts when the parent key set is small."""
@@ -102,7 +119,8 @@ def relationships(relation: str, column: str,
         return child.join(parent, column, "left_anti")
 
     return DataTest(
-        f"relationships__{relation}__{column}__{to_relation}", fn)
+        f"relationships__{relation}__{column}__{to_relation}", fn,
+        severity=severity)
 
 
 def run_data_tests(tests: list[DataTest],
@@ -112,5 +130,5 @@ def run_data_tests(tests: list[DataTest],
         # limit(1).count() would be cheaper, but the violation count is the
         # useful diagnostic and these are assertion-sized queries.
         n = t.fn(relations).count()
-        results.append(DataTestResult(t.name, n == 0, n))
+        results.append(DataTestResult(t.name, n == 0, n, t.severity))
     return results

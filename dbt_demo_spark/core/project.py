@@ -31,7 +31,7 @@ import datetime
 import glob
 import os
 import re
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -127,6 +127,8 @@ class PortedProject:
     vars: dict
     on_run_start: tuple[str, ...] = ()
     on_run_end: tuple[str, ...] = ()
+    # compiled (never-run) analyses: name -> runnable Spark SQL text
+    analyses: dict = field(default_factory=dict)
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
@@ -171,12 +173,53 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         v = cfg.get(key, ())
         return (v,) if isinstance(v, str) else tuple(v or ())
 
+    analyses: dict[str, str] = {}
+    for apath in cfg.get("analysis-paths", ["analyses"]):
+        adir = os.path.join(project_dir, apath)
+        if os.path.isdir(adir):
+            analyses.update(compile_analyses(
+                registry, adir, vars=vars_,
+                extra_relations=set(seeds)))
+
     return PortedProject(
         name=name, registry=registry, seeds=seeds,
         model_names=model_names,
         clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_,
         on_run_start=_hooklist("on-run-start"),
-        on_run_end=_hooklist("on-run-end"))
+        on_run_end=_hooklist("on-run-end"),
+        analyses=analyses)
+
+
+def compile_analyses(registry: ModelRegistry, analyses_dir: str,
+                     vars: dict | None = None,
+                     extra_relations: set[str] = frozenset()
+                     ) -> dict[str, str]:
+    """dbt analyses [public knowledge: analysis-paths — SQL that compiles
+    with the project's context but is NEVER run or materialized; the
+    reference declares analyses/ at dbt_project.yml:7 and ships none]:
+    each ``*.sql`` renders with vars and refs substituted by the bare
+    relation name (a ported project's models register temp views under
+    their own names, so the compiled text runs as-is via spark.sql once
+    the DAG is built).  Unknown refs raise at compile time — the same
+    manifest validation dbt does."""
+    from .sqlmodel import parse_deps, render_sql, render_vars
+
+    out: dict[str, str] = {}
+    for dirpath, _dirnames, filenames in sorted(os.walk(analyses_dir)):
+        for f in sorted(filenames):
+            if not f.endswith(".sql"):
+                continue
+            name = f[:-len(".sql")]
+            with open(os.path.join(dirpath, f)) as fh:
+                text = render_vars(fh.read(), vars)
+            deps = parse_deps(text)
+            known = set(registry.names()) | set(extra_relations)
+            unknown = [d for d in deps if d not in known]
+            if unknown:
+                raise ValueError(
+                    f"analysis {name!r}: unknown refs {unknown}")
+            out[name] = render_sql(text, {d: d for d in deps})
+    return out
 
 
 # ------------------------------------------------------- schema.yml ----
@@ -330,21 +373,25 @@ def _build_test(model: str, column: str | None, spec) -> "datatests.DataTest":
     else:
         raise ValueError(f"model {model}: unparseable test spec {spec!r}")
     col = kw.pop("column_name", column)
+    # dbt severity config: either `severity: warn` or nested under config
+    severity = (kw.pop("config", {}) or {}).get(
+        "severity", kw.pop("severity", "error"))
     if kind not in _GENERIC:
         raise ValueError(
             f"model {model}: unknown generic test {kind!r} — "
             f"supported: {sorted(_GENERIC)}")
     if kind == "unique":
         cols = kw.pop("combination_of_columns", None) or [col]
-        return datatests.unique(model, cols)
+        return datatests.unique(model, cols, severity=severity)
     if kind == "not_null":
-        return datatests.not_null(model, [col])
+        return datatests.not_null(model, [col], severity=severity)
     if kind == "accepted_values":
-        return datatests.accepted_values(model, col, kw.pop("values"))
+        return datatests.accepted_values(model, col, kw.pop("values"),
+                                         severity=severity)
     to, field = kw.pop("to"), kw.pop("field")
     m = _REF_IN_TO.search(to)
     return datatests.relationships(
-        model, col, m.group(1) if m else to, field)
+        model, col, m.group(1) if m else to, field, severity=severity)
 
 
 def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:

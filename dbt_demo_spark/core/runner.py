@@ -98,7 +98,8 @@ class BuildResult:
                     "error": n.error,
                     "seconds": round(n.seconds, 3),
                     "tests": [{"name": t.name, "passed": t.passed,
-                               "violations": t.violations}
+                               "violations": t.violations,
+                               "severity": t.severity}
                               for t in n.tests],
                 } for n in self.nodes.values()
             },
@@ -120,6 +121,7 @@ class Runner:
         # (dbt's behavior — audit hooks must see failures too)
         self.on_run_start = tuple(on_run_start)
         self.on_run_end = tuple(on_run_end)
+        self._full_refresh = False
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
         # Catalog-table namespace: the session catalog is GLOBAL, so two
         # runners materializing a same-named bucketed model would silently
@@ -196,7 +198,8 @@ class Runner:
             threads: int = 1,
             cache_sources: bool = False,
             refresh: str = "full",
-            state: dict | None = None) -> dict[str, DataFrame]:
+            state: dict | None = None,
+            full_refresh: bool = False) -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
@@ -256,6 +259,7 @@ class Runner:
                 select = select_nodes(self.registry, select, exclude,
                                       state=state)
         self._refresh_changed = refresh == "changed"
+        self._full_refresh = full_refresh
         self._fp_memo: dict[str, str | None] = {}
         self.last_refresh_report = {"built": [], "skipped": []}
         caches = []
@@ -286,7 +290,8 @@ class Runner:
               exclude: str | None = None,
               threads: int = 1,
               refresh: str = "full",
-              state: dict | None = None) -> BuildResult:
+              state: dict | None = None,
+              full_refresh: bool = False) -> BuildResult:
         """The ``dbt build`` analog [public knowledge: dbt build runs
         models and their tests interleaved in DAG order]: materialize each
         model, IMMEDIATELY run its attached ``tests`` (ModelDef.tests),
@@ -320,6 +325,7 @@ class Runner:
                 select = select_nodes(self.registry, select, exclude,
                                       state=state)
         self._refresh_changed = refresh == "changed"
+        self._full_refresh = full_refresh
         self._fp_memo = {}
         self.last_refresh_report = {"built": [], "skipped": []}
 
@@ -378,7 +384,9 @@ class Runner:
                         poisoned.add(name)
                         continue
                     relations[name] = df
-                    if all(t.passed for t in trs):
+                    # warn-severity test failures record but never gate
+                    # (dbt severity: warn [public knowledge])
+                    if all(t.gating for t in trs):
                         nodes[name] = NodeResult(name, "success", tests=trs,
                                                  seconds=secs)
                         built.add(name)
@@ -581,7 +589,15 @@ class Runner:
         wants_ctx = bool(mdef.watermark_col) or getattr(
             mdef.fn, "__wants_incremental_ctx__", False)
         if mdef.materialized == "incremental" and wants_ctx:
-            df = mdef.fn(refs, self._incremental_context(name, mdef))
+            from .model import IncrementalContext
+
+            # dbt --full-refresh [public knowledge]: the model rebuilds
+            # from scratch — is_incremental() is false and the existing
+            # table is replaced below, not partition-patched
+            ctx = (IncrementalContext(is_incremental=False)
+                   if self._full_refresh
+                   else self._incremental_context(name, mdef))
+            df = mdef.fn(refs, ctx)
         else:
             df = mdef.fn(refs)
         if mdef.contract:
@@ -591,6 +607,10 @@ class Runner:
                                          mdef.bucket_by, mdef.n_buckets,
                                          mdef.zorder_by, mdef.zorder_files)
         elif mdef.materialized == "incremental":
+            if self._full_refresh:
+                path = os.path.join(self.warehouse_dir, name)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
             if mdef.incremental_strategy == "merge":
                 df = self._materialize_merge(name, df, mdef.partition_by,
                                              mdef.unique_key,

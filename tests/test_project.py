@@ -481,6 +481,129 @@ def test_project_level_run_hooks(spark, tmp_path):
         r2.clean()
 
 
+def test_warn_severity_records_without_gating(spark, tmp_path):
+    """dbt test severity: a failing warn-severity test records its
+    violations but the node stays success and descendants build; the
+    same test at error severity poisons."""
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        """, {
+        "s/dups.csv": "k,v\n1,a\n1,b\n",
+        "m/keyed.sql": "select * from {{ ref('dups') }}",
+        "m/downstream.sql": "select count(*) as n from {{ ref('keyed') }}",
+        "m/keyed.yml": """
+models:
+  - name: keyed
+    columns:
+      - name: k
+        tests:
+          - unique:
+              config: {severity: warn}
+""",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        res = runner.build(dict(p.seeds))
+        assert res.nodes["keyed"].status == "success"
+        t = res.nodes["keyed"].tests[0]
+        assert not t.passed and t.severity == "warn" and t.violations == 1
+        assert res.nodes["downstream"].status == "success"
+    finally:
+        runner.clean()
+
+    from dbt_demo_spark.core.datatests import unique
+    from dbt_demo_spark.core.project import attach_properties as _  # noqa
+    reg2 = ModelRegistry()
+    register_sql_model(reg2, "keyed", "select * from {{ ref('dups') }}",
+                       tests=(unique("keyed", ["k"]),))
+    register_sql_model(reg2, "downstream",
+                       "select count(*) as n from {{ ref('keyed') }}")
+    r2 = Runner(spark, reg2, str(tmp_path / "wh2"))
+    try:
+        res2 = r2.build(dict(p.seeds))
+        assert res2.nodes["keyed"].status == "fail"
+        assert res2.nodes["downstream"].status == "skipped"
+    finally:
+        r2.clean()
+
+
+def test_full_refresh_rebuilds_incremental_from_scratch(spark, tmp_path):
+    """dbt --full-refresh: the incremental model runs its first-build
+    branch (is_incremental() false) and the EXISTING table is replaced
+    whole — every partition rewritten, stale partitions gone."""
+    import os as _os
+
+    from dbt_demo_spark.core.sqlmodel import register_sql_model as _reg
+
+    reg = ModelRegistry()
+    _reg(reg, "rollup", """
+        {{ config(materialized='incremental', partition_by='day') }}
+        select day, sum(v) as total from {{ ref('src') }}
+        {% if is_incremental() %}
+        where day > (select max(day) from {{ this }})
+        {% endif %}
+        group by day
+    """)
+
+    def events(days):
+        return spark.createDataFrame(
+            [(d, d * 10 + i) for d in days for i in range(2)],
+            "day int, v long")
+
+    wh = str(tmp_path / "wh")
+    Runner(spark, reg, wh).run({"src": events([1, 2, 3])})
+    path = _os.path.join(wh, "rollup")
+    mtimes = {d: _os.path.getmtime(_os.path.join(path, d))
+              for d in _os.listdir(path) if d.startswith("day=")}
+    assert set(mtimes) == {"day=1", "day=2", "day=3"}
+
+    # full refresh fed a DIFFERENT source slice: day=3 must disappear
+    # (whole-table replace), days 1-2 must be rewritten bytes
+    out = Runner(spark, reg, wh).run({"src": events([1, 2])},
+                                     full_refresh=True)["rollup"]
+    dirs = {d for d in _os.listdir(path) if d.startswith("day=")}
+    assert dirs == {"day=1", "day=2"}
+    assert {(r.day, r.total) for r in out.collect()} == \
+        {(1, 10 * 1 * 2 + 1), (2, 2 * 10 * 2 + 1)}
+
+
+def test_analyses_compile_but_never_run(spark, tmp_path):
+    """dbt analysis-paths: SQL compiles with refs validated and vars
+    substituted, is returned as runnable text, and no model node is
+    registered for it."""
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        vars: {floor: 5}
+        """, {
+        "s/nums.csv": "k,v\n1,10\n2,3\n",
+        "m/base.sql": "select * from {{ ref('nums') }}",
+        "analyses/big_rows.sql":
+            "select k from {{ ref('base') }} where v > {{ var('floor') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert list(p.analyses) == ["big_rows"]
+    assert "big_rows" not in p.registry.names()
+    assert "{{" not in p.analyses["big_rows"]
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        runner.run(dict(p.seeds))  # registers base as a temp view
+        assert [r.k for r in spark.sql(p.analyses["big_rows"]).collect()] \
+            == [1]
+    finally:
+        runner.clean()
+
+    # unknown ref fails at port time, like dbt's manifest validation
+    (tmp_path / "analyses" / "bad.sql").write_text(
+        "select * from {{ ref('ghost') }}")
+    with pytest.raises(ValueError, match="ghost"):
+        port_dbt_project(spark, str(tmp_path))
+
+
 def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
