@@ -1,0 +1,229 @@
+"""Semantic-layer-lite — dbt metrics in the MetricFlow YAML shape
+[public knowledge: dbt-core semantic_models / metrics specs; MetricFlow
+queries compile metrics + dimensions + time grain into SQL].
+
+The reference ships no metrics (it predates the semantic layer), but a
+porting user's project grows one immediately; this is the subset that
+covers the overwhelmingly common shapes:
+
+  * ``semantic_models``: name, ``model: ref('x')``, measures
+    (sum / count / count_distinct / avg / min / max over an ``expr``,
+    default the measure name), dimensions (categorical, or time with a
+    grain), optional ``agg_time_dimension`` default.
+  * ``metrics``: ``type: simple`` (one measure, optional ``filter`` —
+    a SQL predicate applied pre-aggregation to THAT metric's rows only)
+    and ``type: derived`` (an ``expr`` over other metric names).
+  * ``MetricLayer.query(relations, metrics, group_by, grain)`` —
+    compiles to ONE Spark aggregation over the owning model: grouped by
+    the requested dimensions (time dims truncated to ``grain``),
+    filtered measures via conditional aggregation (CASE WHEN inside the
+    agg — no per-metric scans), derived metrics as column expressions
+    over the aggregated frame.  At 100 TB this is exactly the one
+    shuffle the question needs; nothing materializes per metric.
+
+Lite scope (raise, never guess): every requested metric must resolve to
+measures of ONE semantic model (cross-model joins are MetricFlow's
+entity graph — out of scope here), and derived metrics may reference
+only simple metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_AGGS = {
+    "sum": F.sum, "count": F.count, "avg": F.avg,
+    "min": F.min, "max": F.max,
+    "count_distinct": F.countDistinct,
+}
+
+_REF_RE = re.compile(r"ref\(\s*'([^']+)'\s*\)")
+
+
+@dataclass(frozen=True)
+class Measure:
+    name: str
+    agg: str
+    expr: str  # SQL expression over the model's columns
+
+
+@dataclass(frozen=True)
+class Dimension:
+    name: str
+    type: str          # "categorical" | "time"
+    expr: str
+    grain: str = ""    # declared default granularity (time dims)
+
+
+@dataclass(frozen=True)
+class SemanticModel:
+    name: str
+    model: str         # relation name the measures aggregate over
+    measures: dict[str, Measure]
+    dimensions: dict[str, Dimension]
+
+
+@dataclass(frozen=True)
+class Metric:
+    name: str
+    type: str                   # "simple" | "derived"
+    measure: str = ""           # simple
+    filter: str = ""            # simple: pre-agg SQL predicate
+    expr: str = ""              # derived: over other metric names
+    label: str = ""
+
+
+@dataclass
+class MetricLayer:
+    semantic_models: dict[str, SemanticModel] = field(default_factory=dict)
+    metrics: dict[str, Metric] = field(default_factory=dict)
+
+    # -- resolution ------------------------------------------------------
+
+    def _owner(self, measure: str) -> SemanticModel:
+        owners = [sm for sm in self.semantic_models.values()
+                  if measure in sm.measures]
+        if not owners:
+            raise ValueError(f"unknown measure {measure!r}")
+        return owners[0]
+
+    def _simple_closure(self, names: list[str]) -> list[Metric]:
+        """The simple metrics a request needs, derived metrics expanded
+        one level (dbt: derived metrics reference METRICS)."""
+        out: dict[str, Metric] = {}
+        for n in names:
+            m = self.metrics.get(n)
+            if m is None:
+                raise ValueError(f"unknown metric {n!r} "
+                                 f"(defined: {sorted(self.metrics)})")
+            if m.type == "simple":
+                out[n] = m
+            else:
+                for dep in _metric_names(m.expr, self.metrics):
+                    d = self.metrics[dep]
+                    if d.type != "simple":
+                        raise ValueError(
+                            f"derived metric {n!r} references derived "
+                            f"{dep!r} — lite scope is one level")
+                    out[dep] = d
+        return list(out.values())
+
+    # -- the query -------------------------------------------------------
+
+    def query(self, relations: dict[str, DataFrame], metrics: list[str],
+              group_by: list[str] = (), grain: str | None = None
+              ) -> DataFrame:
+        """One aggregation answering the metric question; column names
+        are the metric / dimension names."""
+        simples = self._simple_closure(list(metrics))
+        owners = {self._owner(m.measure).name for m in simples}
+        if len(owners) != 1:
+            raise ValueError(
+                f"metrics span semantic models {sorted(owners)} — the "
+                "lite layer answers one-model questions")
+        sm = self.semantic_models[next(iter(owners))]
+        if sm.model not in relations:
+            raise KeyError(
+                f"semantic model {sm.name!r} needs relation {sm.model!r}")
+        df = relations[sm.model]
+
+        dims = []
+        for g in group_by:
+            d = sm.dimensions.get(g)
+            if d is None:
+                raise ValueError(
+                    f"unknown dimension {g!r} on {sm.name!r} "
+                    f"(defined: {sorted(sm.dimensions)})")
+            col = F.expr(d.expr)
+            if d.type == "time":
+                g_grain = grain or d.grain
+                if g_grain:
+                    col = F.date_trunc(g_grain, col).cast("date")
+            elif grain:
+                pass  # grain only applies to time dimensions
+            dims.append(col.alias(g))
+
+        aggs = []
+        for m in simples:
+            meas = sm.measures[m.measure]
+            expr = F.expr(meas.expr)
+            if m.filter:
+                # conditional aggregation: the filter narrows THIS
+                # metric's rows without a second scan of the model
+                expr = F.when(F.expr(m.filter), expr)
+            aggs.append(_AGGS[meas.agg](expr).alias(m.name))
+
+        out = (df.groupBy(*dims).agg(*aggs) if dims
+               else df.agg(*aggs))
+        final = [F.col(g) for g in group_by]
+        for n in metrics:
+            m = self.metrics[n]
+            final.append((F.col(n) if m.type == "simple"
+                          else F.expr(m.expr)).alias(n))
+        return out.select(*final)
+
+
+def _metric_names(expr: str, metrics: dict[str, Metric]) -> list[str]:
+    """Metric names appearing as identifiers in a derived expr."""
+    idents = re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)
+    return [i for i in dict.fromkeys(idents) if i in metrics]
+
+
+def parse_metric_layer(path_or_text: str) -> MetricLayer:
+    """The dbt semantic-layer YAML shapes -> a MetricLayer."""
+    import yaml
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            doc = yaml.safe_load(fh)
+    else:
+        doc = yaml.safe_load(path_or_text)
+    doc = doc or {}
+    layer = MetricLayer()
+    for s in doc.get("semantic_models", []) or []:
+        measures = {}
+        for m in s.get("measures", []) or []:
+            measures[m["name"]] = Measure(
+                name=m["name"], agg=m["agg"],
+                expr=str(m.get("expr", m["name"])))
+            if m["agg"] not in _AGGS:
+                raise ValueError(
+                    f"measure {m['name']!r}: unsupported agg {m['agg']!r}"
+                    f" — supported: {sorted(_AGGS)}")
+        dims = {}
+        for d in s.get("dimensions", []) or []:
+            dims[d["name"]] = Dimension(
+                name=d["name"], type=d.get("type", "categorical"),
+                expr=str(d.get("expr", d["name"])),
+                grain=((d.get("type_params", {}) or {})
+                       .get("time_granularity", "")))
+        model_token = s.get("model", s["name"])
+        m = _REF_RE.search(model_token)
+        layer.semantic_models[s["name"]] = SemanticModel(
+            name=s["name"], model=m.group(1) if m else model_token,
+            measures=measures, dimensions=dims)
+    for m in doc.get("metrics", []) or []:
+        tp = m.get("type_params", {}) or {}
+        layer.metrics[m["name"]] = Metric(
+            name=m["name"], type=m.get("type", "simple"),
+            measure=(tp.get("measure", {}).get("name")
+                     if isinstance(tp.get("measure"), dict)
+                     else tp.get("measure", "")) or "",
+            filter=str(m.get("filter") or ""),
+            expr=str(tp.get("expr") or ""),
+            label=m.get("label", ""))
+    for m in layer.metrics.values():
+        if m.type == "simple" and not m.measure:
+            raise ValueError(f"simple metric {m.name!r} needs a measure")
+        if m.type == "derived" and not m.expr:
+            raise ValueError(f"derived metric {m.name!r} needs an expr")
+        if m.type not in ("simple", "derived"):
+            raise ValueError(
+                f"metric {m.name!r}: unsupported type {m.type!r} — "
+                "lite scope is simple | derived")
+    return layer
