@@ -124,11 +124,24 @@ def relationships(relation: str, column: str,
 
 
 def run_data_tests(tests: list[DataTest],
-                   relations: dict[str, DataFrame]) -> list[DataTestResult]:
+                   relations: dict[str, DataFrame],
+                   store_failures_dir: str | None = None
+                   ) -> list[DataTestResult]:
+    """Run each test; with ``store_failures_dir``, a failing test's
+    violating rows are persisted to ``<dir>/<test_name>`` — dbt's
+    ``store_failures`` config [public knowledge: dbt stores test
+    failures as warehouse tables for debugging], so the diagnostic
+    SURVIVES the run instead of being recomputed by hand."""
     results = []
     for t in tests:
+        violations = t.fn(relations)
         # limit(1).count() would be cheaper, but the violation count is the
         # useful diagnostic and these are assertion-sized queries.
-        n = t.fn(relations).count()
+        n = violations.count()
+        if n > 0 and store_failures_dir:
+            import os
+
+            (violations.write.mode("overwrite")
+             .parquet(os.path.join(store_failures_dir, t.name)))
         results.append(DataTestResult(t.name, n == 0, n, t.severity))
     return results

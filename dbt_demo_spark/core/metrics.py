@@ -78,10 +78,21 @@ class Metric:
     label: str = ""
 
 
+@dataclass(frozen=True)
+class SavedQuery:
+    """dbt saved_queries [public knowledge: dbt saved queries name a
+    reusable metric request]: the (metrics, group_by, grain) triple."""
+    name: str
+    metrics: tuple[str, ...]
+    group_by: tuple[str, ...] = ()
+    grain: str = ""
+
+
 @dataclass
 class MetricLayer:
     semantic_models: dict[str, SemanticModel] = field(default_factory=dict)
     metrics: dict[str, Metric] = field(default_factory=dict)
+    saved_queries: dict[str, SavedQuery] = field(default_factory=dict)
 
     # -- resolution ------------------------------------------------------
 
@@ -167,6 +178,17 @@ class MetricLayer:
                           else F.expr(m.expr)).alias(n))
         return out.select(*final)
 
+    def run_saved(self, name: str,
+                  relations: dict[str, DataFrame]) -> DataFrame:
+        """Execute a saved query by name."""
+        sq = self.saved_queries.get(name)
+        if sq is None:
+            raise ValueError(f"unknown saved query {name!r} "
+                             f"(defined: {sorted(self.saved_queries)})")
+        return self.query(relations, list(sq.metrics),
+                          group_by=list(sq.group_by),
+                          grain=sq.grain or None)
+
 
 def _metric_names(expr: str, metrics: dict[str, Metric]) -> list[str]:
     """Metric names appearing as identifiers in a derived expr."""
@@ -217,6 +239,12 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             filter=str(m.get("filter") or ""),
             expr=str(tp.get("expr") or ""),
             label=m.get("label", ""))
+    for sq in doc.get("saved_queries", []) or []:
+        qp = sq.get("query_params", {}) or {}
+        layer.saved_queries[sq["name"]] = SavedQuery(
+            name=sq["name"], metrics=tuple(qp.get("metrics", ()) or ()),
+            group_by=tuple(qp.get("group_by", ()) or ()),
+            grain=qp.get("grain", "") or "")
     for m in layer.metrics.values():
         if m.type == "simple" and not m.measure:
             raise ValueError(f"simple metric {m.name!r} needs a measure")

@@ -440,6 +440,40 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
             # name -> same DAG node, so no registry invariant moves)
             registry._models[name] = replace(mdef, **changes)
 
+    applied["freshness"] = []
+    for src in doc.get("sources", []) or []:
+        # dbt sources: YAML [public knowledge: source freshness config —
+        # warn_after/error_after {count, period} on the source or per
+        # table, loaded_at_field inherited downward]
+        src_fresh = src.get("freshness", {}) or {}
+        src_loaded = src.get("loaded_at_field", "")
+        for tbl in src.get("tables", []) or []:
+            fresh = tbl.get("freshness", src_fresh) or {}
+            loaded = tbl.get("loaded_at_field", src_loaded)
+            if not fresh:
+                continue
+            if not loaded:
+                raise ValueError(
+                    f"source table {tbl['name']!r}: freshness declared "
+                    "but no loaded_at_field")
+            from .freshness import FreshnessSpec
+
+            def _secs(block) -> float | None:
+                if not block:
+                    return None
+                per = {"minute": 60, "hour": 3600, "day": 86400}
+                return block["count"] * per[block["period"]]
+
+            warn = _secs(fresh.get("warn_after"))
+            if warn is None:
+                raise ValueError(
+                    f"source table {tbl['name']!r}: freshness needs "
+                    "warn_after")
+            applied["freshness"].append(FreshnessSpec(
+                source=tbl["name"], loaded_at_col=loaded,
+                warn_after_s=warn,
+                error_after_s=_secs(fresh.get("error_after"))))
+
     for e in doc.get("exposures", []) or []:
         depends = tuple(
             _REF_IN_TO.search(d).group(1) if _REF_IN_TO.search(d) else d

@@ -111,7 +111,8 @@ class Runner:
                  warehouse_dir: str | None = None,
                  catalog_namespace: str | None = None,
                  on_run_start: tuple = (),
-                 on_run_end: tuple = ()) -> None:
+                 on_run_end: tuple = (),
+                 store_failures: bool = False) -> None:
         self.spark = spark
         self.registry = registry
         # dbt's project-level on-run-start / on-run-end hooks [public
@@ -121,6 +122,9 @@ class Runner:
         # (dbt's behavior — audit hooks must see failures too)
         self.on_run_start = tuple(on_run_start)
         self.on_run_end = tuple(on_run_end)
+        # dbt store_failures [public knowledge]: persist each failing
+        # test's violating rows under <warehouse>/_test_failures/<name>
+        self.store_failures = store_failures
         self._full_refresh = False
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
         # Catalog-table namespace: the session catalog is GLOBAL, so two
@@ -342,7 +346,11 @@ class Runner:
             if mdef.tests:
                 rel = dict(relations)
                 rel[name] = df
-                trs = run_data_tests(list(mdef.tests), rel)
+                trs = run_data_tests(
+                    list(mdef.tests), rel,
+                    store_failures_dir=(
+                        os.path.join(self.warehouse_dir, "_test_failures")
+                        if self.store_failures else None))
             return df, trs, time.perf_counter() - t0
 
         # a registered model arriving pre-built in ``sources`` (the retry

@@ -113,6 +113,25 @@ semantic_models:
         parse_metric_layer("metrics: [{name: x, type: simple}]")
 
 
+def test_saved_query_names_a_reusable_request(spark):
+    layer = parse_metric_layer(LAYER_YAML + """
+saved_queries:
+  - name: monthly_kpis
+    query_params:
+      metrics: [revenue_units, order_count]
+      group_by: [order_month]
+      grain: month
+""")
+    rels = {"orders": load_table(spark, SF_GATE, "orders")}
+    saved = layer.run_saved("monthly_kpis", rels)
+    direct = layer.query(rels, ["revenue_units", "order_count"],
+                         group_by=["order_month"], grain="month")
+    assert sorted(map(tuple, saved.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    with pytest.raises(ValueError, match="unknown saved query"):
+        layer.run_saved("ghost", rels)
+
+
 def test_one_shuffle_plan(spark, layer):
     """The compiled question is ONE aggregation: a single hash exchange
     (plus AQE bookkeeping), no joins, no per-metric scans."""

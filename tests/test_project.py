@@ -604,6 +604,90 @@ def test_analyses_compile_but_never_run(spark, tmp_path):
         port_dbt_project(spark, str(tmp_path))
 
 
+def test_store_failures_persists_violating_rows(spark, tmp_path):
+    """dbt store_failures: a failing test's violating rows land under
+    <warehouse>/_test_failures/<test_name> for post-mortem reads."""
+    import os as _os
+
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        """, {
+        "s/dups.csv": "k,v\n7,a\n7,b\n8,c\n",
+        "m/keyed.sql": "select * from {{ ref('dups') }}",
+        "m/keyed.yml": """
+models:
+  - name: keyed
+    columns:
+      - name: k
+        tests: [unique]
+""",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    wh = str(tmp_path / "wh")
+    runner = Runner(spark, p.registry, wh, store_failures=True)
+    try:
+        res = runner.build(dict(p.seeds))
+        assert res.nodes["keyed"].status == "fail"
+        stored = spark.read.parquet(
+            _os.path.join(wh, "_test_failures", "unique__keyed__k"))
+        assert [(r.k, r.n_rows) for r in stored.collect()] == [(7, 2)]
+    finally:
+        runner.clean()
+
+
+def test_sources_yaml_freshness_specs(spark, tmp_path):
+    """dbt sources: YAML freshness -> FreshnessSpec list, loaded_at_field
+    inherited from the source block, per-table override wins."""
+    import datetime as _dt
+
+    from dbt_demo_spark.core.freshness import check_freshness
+
+    reg = ModelRegistry()
+    applied = attach_properties(reg, """
+sources:
+  - name: raw
+    loaded_at_field: loaded_at
+    freshness:
+      warn_after: {count: 1, period: hour}
+      error_after: {count: 1, period: day}
+    tables:
+      - name: payments
+      - name: loans
+        loaded_at_field: updated_at
+        freshness:
+          warn_after: {count: 30, period: minute}
+""")
+    specs = {s.source: s for s in applied["freshness"]}
+    assert specs["payments"].loaded_at_col == "loaded_at"
+    assert specs["payments"].warn_after_s == 3600
+    assert specs["payments"].error_after_s == 86400
+    assert specs["loans"].loaded_at_col == "updated_at"
+    assert specs["loans"].warn_after_s == 1800
+    assert specs["loans"].error_after_s is None
+
+    now = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rels = {
+        "payments": spark.createDataFrame(
+            [(now - _dt.timedelta(hours=2),)], "loaded_at timestamp"),
+        "loans": spark.createDataFrame(
+            [(now - _dt.timedelta(minutes=5),)], "updated_at timestamp"),
+    }
+    results = {r.source: r.status
+               for r in check_freshness(rels, applied["freshness"], now)}
+    assert results == {"payments": "warn", "loans": "pass"}
+
+    with pytest.raises(ValueError, match="loaded_at_field"):
+        attach_properties(reg, """
+sources:
+  - name: raw
+    tables:
+      - name: t
+        freshness: {warn_after: {count: 1, period: hour}}
+""")
+
+
 def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
