@@ -165,9 +165,21 @@ def generate_docs_site(manifest: dict, out_dir: str,
         f"{len(manifest.get('exposures', {}))} exposures · execution "
         f"order: {e(' → '.join(manifest.get('execution_order', [])))}</p>")
     dag = "<h2>Lineage</h2>" + _dag_svg(manifest)
-    cards = "<h2>Models</h2>" + "\n".join(
-        _node_card(n, nodes[n], run_results)
-        for n in manifest.get("execution_order", sorted(nodes)))
+    # client-side search/filter: each card carries its searchable facets
+    # as data attributes; the filter box hides non-matching cards (name,
+    # tag, or materialization substring) with ~10 lines of vanilla JS —
+    # the site stays a single self-contained file
+    cards = (
+        "<h2>Models</h2>"
+        "<p><input id='q' placeholder='filter models: name, tag, or "
+        "materialization\u2026' size='48'> "
+        "<span class='meta' id='qn'></span></p>"
+        + "\n".join(
+            "<section class='card' data-search='"
+            + e(" ".join([n, nodes[n].get("materialized", "")]
+                         + list(nodes[n].get("tags", ()))).lower())
+            + "'>" + _node_card(n, nodes[n], run_results) + "</section>"
+            for n in manifest.get("execution_order", sorted(nodes))))
     expo = ""
     if manifest.get("exposures"):
         expo = "<h2>Exposures</h2>" + "".join(
@@ -180,8 +192,21 @@ def generate_docs_site(manifest: dict, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "index.html")
     tmp = path + ".tmp"
+    script = (
+        "<script>(function(){"
+        "var q=document.getElementById('q'),"
+        "n=document.getElementById('qn'),"
+        "cards=document.querySelectorAll('section.card');"
+        "q.addEventListener('input',function(){"
+        "var t=q.value.toLowerCase().trim(),shown=0;"
+        "cards.forEach(function(c){"
+        "var hit=!t||c.dataset.search.indexOf(t)>=0;"
+        "c.style.display=hit?'':'none';if(hit)shown++;});"
+        "n.textContent=t?shown+' / '+cards.length+' models':'';});"
+        "})()</script>")
     with open(tmp, "w") as fh:
-        fh.write(head + summary + dag + cards + expo + "</body></html>")
+        fh.write(head + summary + dag + cards + expo + script
+                 + "</body></html>")
     os.replace(tmp, path)
     # machine-readable copy next to the page, like dbt's target/ dir
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:

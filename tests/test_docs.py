@@ -11,7 +11,7 @@ class _Checker(html.parser.HTMLParser):
     def __init__(self):
         super().__init__()
         self.stack, self.errors = [], []
-        self.void = {"meta", "br", "path", "rect", "img", "hr"}
+        self.void = {"meta", "br", "path", "rect", "img", "hr", "input"}
 
     def handle_starttag(self, tag, attrs):
         if tag not in self.void:
@@ -64,6 +64,47 @@ def test_docs_site_renders_fiction_bank(spark, tmp_path):
     man2 = json.load(open(os.path.join(os.path.dirname(path),
                                        "manifest.json")))
     assert set(man2["nodes"]) == set(man["nodes"])
+    # search/filter: every card carries its lowercase facets; the filter
+    # box + script ship in the single self-contained file
+    assert "id='q'" in page and "section.card" in page
+    for name, node in man["nodes"].items():
+        assert f"data-search='{name.lower()}" in page or \
+            name.lower() in page  # facet string leads with the name
+    assert "data-search='" in page
+    # a tag facet is searchable (fiction bank marts carry tags)
+    assert any(f"data-search='{n.lower()} "
+               f"{man['nodes'][n]['materialized']}" in page
+               for n in man["nodes"])
+
+
+def test_docs_site_for_ported_project(spark, tmp_path):
+    """The docs pipeline works on a registry ported wholesale from
+    dbt_project.yml — no hand-written models anywhere."""
+    import os
+
+    from dbt_demo_spark.core.docs import generate_docs_site
+    from dbt_demo_spark.core.lineage import manifest_with_lineage
+    from dbt_demo_spark.core.project import port_dbt_project
+    from dbt_demo_spark.core.runner import Runner
+
+    if not os.path.isdir("/root/reference/models"):
+        import pytest
+        pytest.skip("reference repo not mounted")
+    p = port_dbt_project(spark, "/root/reference")
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        res = runner.build(dict(p.seeds))
+        man = manifest_with_lineage(p.registry, p.seeds)
+        path = generate_docs_site(man, str(tmp_path / "site"),
+                                  run_results=res.to_json())
+    finally:
+        runner.clean()
+    page = open(path).read()
+    checker = _Checker()
+    checker.feed(page)
+    assert not checker.errors and not checker.stack
+    for name in ("stg_loans", "fct_loan_details", "agg_monthly_loans"):
+        assert f"id='model-{name}'" in page
 
 
 def test_docs_site_escapes_html(tmp_path):
