@@ -129,6 +129,9 @@ class PortedProject:
     on_run_end: tuple[str, ...] = ()
     # compiled (never-run) analyses: name -> runnable Spark SQL text
     analyses: dict = field(default_factory=dict)
+    # ported snapshot blocks: name -> (SnapshotDef, source_fn, deps);
+    # run one with SnapshotRunner.run(sdef, fn({d: relations[d] ...}))
+    snapshots: dict = field(default_factory=dict)
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
@@ -173,6 +176,20 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         v = cfg.get(key, ())
         return (v,) if isinstance(v, str) else tuple(v or ())
 
+    snapshots: dict = {}
+    for spath in cfg.get("snapshot-paths", ["snapshots"]):
+        sdir = os.path.join(project_dir, spath)
+        if os.path.isdir(sdir):
+            from .sqlmodel import parse_snapshot_sql
+
+            for dirpath, _dn, fns in sorted(os.walk(sdir)):
+                for f in sorted(fns):
+                    if f.endswith(".sql"):
+                        with open(os.path.join(dirpath, f)) as fh:
+                            sdef, fn, deps = parse_snapshot_sql(
+                                fh.read(), vars=vars_)
+                        snapshots[sdef.name] = (sdef, fn, deps)
+
     analyses: dict[str, str] = {}
     for apath in cfg.get("analysis-paths", ["analyses"]):
         adir = os.path.join(project_dir, apath)
@@ -187,7 +204,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_,
         on_run_start=_hooklist("on-run-start"),
         on_run_end=_hooklist("on-run-end"),
-        analyses=analyses)
+        analyses=analyses, snapshots=snapshots)
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,

@@ -288,6 +288,43 @@ def register_test_dir(registry: ModelRegistry, tests_dir: str,
     return registered
 
 
+_SNAPSHOT_BLOCK_RE = re.compile(
+    r"\{%-?\s*snapshot\s+([A-Za-z_][A-Za-z0-9_]*)\s*-?%\}(.*?)"
+    r"\{%-?\s*endsnapshot\s*-?%\}", re.DOTALL)
+
+
+def parse_snapshot_sql(sql_text: str, vars: dict | None = None):
+    """One dbt ``snapshots/*.sql`` file -> (SnapshotDef, source_fn, deps)
+    [public knowledge: dbt snapshot blocks — `{% snapshot name %}` +
+    config(strategy/unique_key/updated_at/check_cols) + a SELECT].
+    The body registers through the same sql_model_fn machinery as any
+    model text; the config maps onto core/snapshot.SnapshotDef, so a
+    ported snapshot runs through SnapshotRunner unchanged.
+    ``check_cols='all'`` raises (the lite scope wants the columns named
+    — 'all' silently re-versions on any new column, usually a bug)."""
+    from .snapshot import SnapshotDef
+
+    m = _SNAPSHOT_BLOCK_RE.search(sql_text)
+    if not m:
+        raise ValueError("not a snapshot file: no "
+                         "{% snapshot name %} ... {% endsnapshot %} block")
+    name, body = m.group(1), render_vars(m.group(2), vars)
+    cfg = parse_config(body)
+    check_cols = cfg.get("check_cols", ())
+    if check_cols == "all":
+        raise ValueError(
+            f"snapshot {name}: check_cols='all' is not supported — "
+            "name the columns (an 'all' snapshot re-versions on any "
+            "schema change)")
+    sdef = SnapshotDef(
+        name=name, unique_key=cfg["unique_key"],
+        strategy=cfg.get("strategy", "timestamp"),
+        updated_at=cfg.get("updated_at"),
+        check_cols=tuple(check_cols) if check_cols else ())
+    fn, deps = sql_model_fn(name, body)
+    return sdef, fn, deps
+
+
 def register_sql_dir(registry: ModelRegistry, models_dir: str,
                      materialized_by_subdir: dict[str, str] | None = None,
                      default_materialized: str = "view",

@@ -688,6 +688,68 @@ sources:
 """)
 
 
+def test_snapshot_sql_files_port_and_capture_changes(spark, tmp_path):
+    """dbt snapshots/*.sql blocks port through the project file and run
+    through SnapshotRunner: two runs over a mutated source capture the
+    SCD2 change; check_cols='all' refuses."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.snapshot import SnapshotRunner
+    from dbt_demo_spark.core.sqlmodel import parse_snapshot_sql
+
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        snapshot-paths: ["snaps"]
+        """, {
+        "s/items.csv": "id,amount,updated_at\n"
+                       "1,10,2024-01-01\n2,20,2024-01-01\n",
+        "m/stg_items.sql": "select * from {{ ref('items') }}",
+        "snaps/items_snapshot.sql": """
+{% snapshot items_snapshot %}
+{{ config(strategy='timestamp', unique_key='id',
+          updated_at='updated_at') }}
+select * from {{ ref('stg_items') }}
+{% endsnapshot %}
+""",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert list(p.snapshots) == ["items_snapshot"]
+    sdef, fn, deps = p.snapshots["items_snapshot"]
+    assert (sdef.strategy, sdef.unique_key, sdef.updated_at) == \
+        ("timestamp", "id", "updated_at")
+    assert deps == ("stg_items",)
+
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    srunner = SnapshotRunner(spark, str(tmp_path / "snap_wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        srunner.run(sdef, fn({"stg_items": rels["stg_items"]}))
+        # second run: item 1 mutated with a later updated_at
+        changed = (rels["stg_items"]
+                   .withColumn("amount", F.when(F.col("id") == 1, 99)
+                               .otherwise(F.col("amount")))
+                   .withColumn("updated_at",
+                               F.when(F.col("id") == 1,
+                                      F.lit(datetime.date(2024, 2, 1)))
+                               .otherwise(F.col("updated_at"))))
+        snap = srunner.run(sdef, changed)
+        one = sorted(((r.amount, r.dbt_is_current)
+                      for r in snap.filter("id = 1").collect()))
+        assert one == [(10, 0), (99, 1)]  # history + current
+    finally:
+        runner.clean()
+
+    with pytest.raises(ValueError, match="check_cols='all'"):
+        parse_snapshot_sql("""
+{% snapshot s %}
+{{ config(strategy='check', unique_key='id', check_cols='all') }}
+select 1 as id from {{ ref('x') }}
+{% endsnapshot %}
+""")
+
+
 def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
