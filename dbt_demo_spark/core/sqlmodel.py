@@ -54,24 +54,44 @@ _INCR_BLOCK_RE = re.compile(
 _VAR_RE = re.compile(
     r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*(.+?)\s*)?\)\s*\}\}")
 _LEFTOVER_BLOCK_RE = re.compile(r"\{%.*?%\}", re.DOTALL)
-# anchored to cast syntax (ADVICE r9): only `as numeric[(p,s)]` that the
-# cast's closing paren immediately follows rewrites — a bare
-# `select x as numeric` alias (followed by `,`/FROM, never `)`) survives
-# untouched, and works with arbitrarily nested cast expressions because
-# only the RIGHT context is inspected
-_NUMERIC_RE = re.compile(
-    r"\bas\s+numeric\s*(\(\s*\d+\s*,\s*\d+\s*\))?(?=\s*\))",
-    re.IGNORECASE)
+# anchored to REAL cast syntax (ADVICE r9, tightened r11): the rewrite
+# walks each `cast(`'s balanced-paren span and only touches an
+# `as numeric[(p,s)]` that closes that span — so a column aliased
+# `numeric` survives even where a closing paren follows it
+# (`(select x as numeric) t` was the lookahead-heuristic's blind spot),
+# and nested casts each rewrite on their own pass.  Quoted parens inside
+# a cast argument would fool the depth count; none of the supported
+# dialect surface produces them.
+_CAST_OPEN_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+_NUMERIC_TARGET_RE = re.compile(
+    r"\bas\s+numeric\s*(\(\s*\d+\s*,\s*\d+\s*\))?\s*$", re.IGNORECASE)
 
 
 def _rewrite_numeric(sql: str) -> str:
     """DuckDB `cast(x as numeric)` → Spark double (the engine's ratio
     affinity — module docstring); `cast(x as numeric(p,s))` → the exact
     decimal(p,s) the precision spells out, not a silent double."""
-    return _NUMERIC_RE.sub(
-        lambda m: "as " + (f"decimal{m.group(1)}" if m.group(1)
-                           else "double"),
-        sql)
+    pos = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, pos)
+        if not m:
+            return sql
+        depth, k = 1, m.end()
+        while k < len(sql) and depth:
+            depth += sql[k] == "("
+            depth -= sql[k] == ")"
+            k += 1
+        inner_start, inner_end = m.end(), k - 1
+        t = _NUMERIC_TARGET_RE.search(sql[inner_start:inner_end])
+        if t:
+            repl = "as " + (f"decimal{t.group(1)}" if t.group(1)
+                            else "double")
+            sql = (sql[:inner_start + t.start()] + repl + sql[inner_end:])
+            # re-scan the same cast: it no longer matches numeric, so the
+            # next iteration falls through and advances — nested casts
+            # inside this span still get their own pass
+        else:
+            pos = m.end()
 _LEFTOVER_JINJA_RE = re.compile(r"\{\{.*?\}\}", re.DOTALL)
 
 # unique-per-registration suffix for the temp views a SQL model binds;

@@ -50,6 +50,16 @@ def test_numeric_rewrite_is_cast_anchored():
     assert "cast((a + b) / c as double)" in out
     assert "x as numeric" in out  # the alias is untouched
 
+    # the lookahead blind spot (r11): an alias named 'numeric' that a
+    # closing paren follows — a subquery boundary — must ALSO survive,
+    # while a nested cast still rewrites
+    out2 = render_sql(
+        "select * from (select x as numeric,\n"
+        "       cast(cast(y as numeric) as numeric(8,1)) as z\n"
+        "       from {{ ref('t') }}) q", {"t": "v_t"})
+    assert "x as numeric," in out2
+    assert "cast(cast(y as double) as decimal(8,1))" in out2
+
 
 def test_render_rejects_unknown_jinja():
     with pytest.raises(ValueError, match="unsupported Jinja"):
