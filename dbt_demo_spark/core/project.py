@@ -132,6 +132,8 @@ class PortedProject:
     # ported snapshot blocks: name -> (SnapshotDef, source_fn, deps);
     # run one with SnapshotRunner.run(sdef, fn({d: relations[d] ...}))
     snapshots: dict = field(default_factory=dict)
+    # FreshnessSpec list the properties files declared (check_freshness)
+    freshness: tuple = ()
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
@@ -154,15 +156,17 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
 
     registry = registry if registry is not None else ModelRegistry()
     model_names: list[str] = []
+    freshness: list = []
     for mp in cfg.get("model-paths", ["models"]):
         mdir = os.path.join(project_dir, mp)
         if os.path.isdir(mdir):
             model_names += register_sql_dir(
-                registry, mdir, materialized_by_subdir=policy or None,
+                registry, mdir, materialized_by_subdir=policy,
                 default_materialized=default_mat, vars=vars_)
             for props in sorted(glob.glob(
                     os.path.join(mdir, "**", "*.yml"), recursive=True)):
-                attach_properties(registry, props)
+                freshness += attach_properties(
+                    registry, props).get("freshness", [])
 
     for tp in cfg.get("test-paths", ["tests"]):
         tdir = os.path.join(project_dir, tp)
@@ -204,7 +208,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_,
         on_run_start=_hooklist("on-run-start"),
         on_run_end=_hooklist("on-run-end"),
-        analyses=analyses, snapshots=snapshots)
+        analyses=analyses, snapshots=snapshots,
+        freshness=tuple(freshness))
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,
@@ -264,6 +269,24 @@ class UnitTestResult:
 
     def __bool__(self) -> bool:
         return self.passed
+
+
+def _canon(v) -> str:
+    """Type-tolerant scalar canonicalization for expect-row comparison:
+    dbt unit tests compare VALUES, not renderings — a YAML ``5`` must
+    match a double column's ``5.0`` (r11 review).  Integral floats
+    collapse to their integer rendering; everything else goes through
+    str()."""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return str(int(f)) if f.is_integer() else str(f)
+    return str(v)
 
 
 def _mock_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
@@ -363,10 +386,11 @@ def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
                     if k not in cols:
                         cols.append(k)
             got = sorted(
-                (tuple(str(v) for v in row)
+                (tuple(_canon(v) for v in row)
                  for row in actual.select(*cols).collect()))
             want = sorted(
-                tuple(str(r.get(c)) for c in cols) for r in expect_rows)
+                tuple(_canon(r.get(c)) for c in cols)
+                for r in expect_rows)
             if got == want:
                 results.append(UnitTestResult(name, model, True))
             else:
@@ -405,10 +429,9 @@ def _build_test(model: str, column: str | None, spec) -> "datatests.DataTest":
     if kind == "accepted_values":
         return datatests.accepted_values(model, col, kw.pop("values"),
                                          severity=severity)
-    to, field = kw.pop("to"), kw.pop("field")
-    m = _REF_IN_TO.search(to)
+    to, field_ = kw.pop("to"), kw.pop("field")
     return datatests.relationships(
-        model, col, m.group(1) if m else to, field, severity=severity)
+        model, col, _dep_name(to), field_, severity=severity)
 
 
 def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
@@ -450,7 +473,10 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
             applied["tests"] += [t.name for t in new_tests]
         if contract_cols:
             changes["contract"] = mdef.contract + tuple(contract_cols)
-        if m.get("description") and not mdef.doc:
+        if m.get("description"):
+            # dbt: the properties description IS the model doc — it
+            # replaces register_sql_model's length placeholder (r11
+            # review: `not mdef.doc` never fired past the placeholder)
             changes["doc"] = m["description"]
         if changes:
             # ModelDef is frozen; swap the amended def in place (same

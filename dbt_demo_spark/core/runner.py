@@ -270,9 +270,9 @@ class Runner:
         if cache_sources:
             for df in sources.values():
                 caches.append(df.persist())
-        self._run_hooks(self.on_run_start, "run", dict(sources))
         out: dict[str, DataFrame] | None = None
         try:
+            self._run_hooks(self.on_run_start, "run", dict(sources))
             if threads <= 1:
                 relations: dict[str, DataFrame] = dict(sources)
                 for name in self.registry.topo_order(select):
@@ -312,9 +312,6 @@ class Runner:
         grammar and ``threads`` behave exactly as in ``run``: the
         dependency gate decides when a node starts, so results are
         identical at any thread count."""
-        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
-                                        wait)
-
         if refresh not in ("full", "changed"):
             raise ValueError(f"refresh must be 'full' or 'changed', "
                              f"got {refresh!r}")
@@ -338,6 +335,34 @@ class Runner:
         poisoned: set[str] = set()        # failed or skipped node names
         built: set[str] = set(sources)    # names whose relation is usable
 
+        # a registered model arriving pre-built in ``sources`` (the retry
+        # path seeds prior successes this way) is an artifact to REUSE,
+        # not a node to rebuild — dbt retry's contract
+        try:
+            self._run_hooks(self.on_run_start, "run", dict(sources))
+            pending = [n for n in self.registry.topo_order(select)
+                       if n not in built]
+            self._build_loop(pending, built, poisoned, relations, nodes,
+                             threads)
+        finally:
+            # audit hooks must see failures AND aborts (r11 review: a
+            # selector typo after on_run_start skipped the end hook)
+            self._run_hooks(self.on_run_end, "run", dict(relations))
+        result = BuildResult(relations=relations, nodes=nodes)
+        # the dbt run_results.json artifact, refreshed per invocation
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        tmp = os.path.join(self.warehouse_dir, "run_results.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(result.to_json(), f, indent=1)
+        os.replace(tmp,
+                   os.path.join(self.warehouse_dir, "run_results.json"))
+        return result
+
+    def _build_loop(self, pending, built, poisoned, relations, nodes,
+                    threads) -> None:
+        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                        wait)
+
         def work(name: str):
             t0 = time.perf_counter()
             df = self._build_model(name, dict(relations))
@@ -353,12 +378,6 @@ class Runner:
                         if self.store_failures else None))
             return df, trs, time.perf_counter() - t0
 
-        # a registered model arriving pre-built in ``sources`` (the retry
-        # path seeds prior successes this way) is an artifact to REUSE,
-        # not a node to rebuild — dbt retry's contract
-        self._run_hooks(self.on_run_start, "run", dict(sources))
-        pending = [n for n in self.registry.topo_order(select)
-                   if n not in built]
         with ThreadPoolExecutor(max(1, threads)) as ex:
             in_flight: dict = {}
             while pending or in_flight:
@@ -402,19 +421,6 @@ class Runner:
                         nodes[name] = NodeResult(name, "fail", tests=trs,
                                                  seconds=secs)
                         poisoned.add(name)
-        # runs even with failed nodes in ``nodes`` — audit hooks must see
-        # failures (the loop captures per-node errors, so reaching here
-        # is the normal path either way)
-        self._run_hooks(self.on_run_end, "run", dict(relations))
-        result = BuildResult(relations=relations, nodes=nodes)
-        # the dbt run_results.json artifact, refreshed per invocation
-        os.makedirs(self.warehouse_dir, exist_ok=True)
-        tmp = os.path.join(self.warehouse_dir, "run_results.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(result.to_json(), f, indent=1)
-        os.replace(tmp,
-                   os.path.join(self.warehouse_dir, "run_results.json"))
-        return result
 
     def retry(self, sources: dict[str, DataFrame], prior: "BuildResult",
               threads: int = 1) -> "BuildResult":
@@ -580,7 +586,10 @@ class Runner:
         missing = [d for d in mdef.deps if d not in relations]
         if missing:
             raise KeyError(f"model {name}: unresolved refs {missing}")
-        skipped = self._try_skip(name, mdef, relations)
+        # --full-refresh means REBUILD: a fingerprint match must not
+        # skip the rebuild the caller explicitly asked for (r11 review)
+        skipped = (None if self._full_refresh
+                   else self._try_skip(name, mdef, relations))
         if skipped is not None:
             self.last_refresh_report["skipped"].append(name)
             return skipped

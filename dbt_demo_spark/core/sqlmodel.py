@@ -135,16 +135,21 @@ def parse_config(sql_text: str) -> dict:
 
 def render_vars(sql_text: str, vars: dict | None) -> str:
     """Substitute ``{{ var('name'[, default]) }}`` from the project vars
-    (dbt_project.yml ``vars:`` / CLI ``--vars``).  The default renders
-    verbatim when the var is undeclared; an undeclared var with no
-    default raises — dbt's compilation error, not a silent empty."""
+    (dbt_project.yml ``vars:`` / CLI ``--vars``).  Values render RAW,
+    exactly as dbt does — the model text supplies its own quotes
+    (``where status = '{{ var("status") }}'``), so identifier-valued
+    vars (a sort column, a table suffix) work and string values are
+    never double-quoted (r11 review: auto-quoting turned dbt's idiom
+    into ``''ok''`` and made ``order by {{ var('col') }}`` a constant).
+    The default renders verbatim when the var is undeclared; an
+    undeclared var with no default raises — dbt's compilation error,
+    not a silent empty."""
     vars = vars or {}
 
     def sub(m: re.Match) -> str:
         name, default = m.group(1), m.group(2)
         if name in vars:
-            v = vars[name]
-            return f"'{v}'" if isinstance(v, str) else str(v)
+            return str(vars[name])
         if default is not None:
             return default
         raise ValueError(
@@ -331,6 +336,8 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None):
     name, body = m.group(1), render_vars(m.group(2), vars)
     cfg = parse_config(body)
     check_cols = cfg.get("check_cols", ())
+    if isinstance(check_cols, str) and check_cols != "all":
+        check_cols = (check_cols,)
     if check_cols == "all":
         raise ValueError(
             f"snapshot {name}: check_cols='all' is not supported — "

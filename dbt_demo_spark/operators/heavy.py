@@ -48,7 +48,8 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (BooleanType, LongType, StructField,
+                               StructType)
 
 
 def _mg_merge(counters: dict, batch: dict, k: int) -> dict:
@@ -67,12 +68,19 @@ def _mg_merge(counters: dict, batch: dict, k: int) -> dict:
 
 def mg_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: one output row per surviving
-    counter ``(item, c)`` plus one NULL-item row per partition carrying the
-    partition's exact item count (so N needs no second scan).  Map-side
-    only — the corpus is never shuffled."""
+    counter ``(item, c, is_total=false)`` plus one ``is_total=true`` row
+    per partition carrying the partition's exact item count (so N needs
+    no second scan).  Map-side only — the corpus is never shuffled.
+
+    NULL items are ORDINARY counters (``value_counts(dropna=False)``;
+    the total rides its own flag column, not a NULL sentinel), so a
+    corpus whose heavy hitter is NULL gets the same answer from this
+    route as from the naive GROUP BY — SQL groups NULLs (r11 review
+    finding: the NULL-sentinel design silently dropped NULL hitters)."""
     schema = StructType([
         StructField(item_col, items.schema[item_col].dataType, True),
         StructField("c", LongType(), False),
+        StructField("is_total", BooleanType(), False),
     ])
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,10 +89,13 @@ def mg_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
         for pdf in batches:
             col = pdf[item_col]
             n += len(col)
-            counters = _mg_merge(counters, col.value_counts().to_dict(), k)
+            counts = {(None if pd.isna(i) else i): int(c)
+                      for i, c in col.value_counts(dropna=False).items()}
+            counters = _mg_merge(counters, counts, k)
         yield pd.DataFrame({
             item_col: list(counters) + [None],
             "c": [int(c) for c in counters.values()] + [n],
+            "is_total": [False] * len(counters) + [True],
         })
 
     return items.select(item_col).mapInPandas(fold, schema)
@@ -148,14 +159,14 @@ def heavy_hitters(items: DataFrame, item_col: str, denom: int,
     # unpersisted before return so the output plan owns no cache state.
     summ.persist()
     try:
-        n_total = summ.filter(F.col(item_col).isNull()) \
+        n_total = summ.filter(F.col("is_total")) \
             .agg(F.sum("c")).collect()[0][0] or 0
         if n_total == 0:
             return (items.select(item_col).limit(0)
                     .withColumn("cnt", F.lit(0).cast("long")))
         # candidate iff mg_sum >= N/denom - N/(k+1), cross-multiplied to
         # stay in exact integers: mg_sum * denom * (k+1) >= N * (k+1-denom)
-        cand_rows = (summ.filter(F.col(item_col).isNotNull())
+        cand_rows = (summ.filter(~F.col("is_total"))
                      .groupBy(item_col).agg(F.sum("c").alias("s"))
                      .filter(F.col("s") * denom * (k + 1)
                              >= n_total * (k + 1 - denom))
@@ -166,7 +177,12 @@ def heavy_hitters(items: DataFrame, item_col: str, denom: int,
     cands = spark.createDataFrame(
         cand_rows, StructType([StructField(
             item_col, items.schema[item_col].dataType, True)]))
-    return (items.join(F.broadcast(cands), item_col, "leftsemi")
+    # null-safe semi join: a NULL candidate must still match its rows
+    # (plain equi-join would drop every NULL, re-introducing the bug the
+    # is_total flag fixed)
+    return (items.join(F.broadcast(cands),
+                       items[item_col].eqNullSafe(cands[item_col]),
+                       "leftsemi")
             .groupBy(item_col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") * denom >= F.lit(n_total)))

@@ -118,6 +118,24 @@ def test_small_input_routes_to_one_job_naive_path(spark, tmp_path):
     assert got == forced == _exact(df, "w", 100)
 
 
+def test_null_heavy_hitter_identical_across_routes(spark, tmp_path):
+    """r11 review finding: SQL groups NULLs, so a NULL heavy hitter must
+    appear from BOTH routes — the MG pass keeps NULL as an ordinary
+    counter (the partition total rides its own is_total flag) and pass 2
+    joins null-safely."""
+    rows = [(None,)] * 50 + [("a",)] * 30 + [(f"t{i}",) for i in range(20)]
+    spark.createDataFrame(rows, "w string").repartition(4) \
+        .write.parquet(str(tmp_path / "w"))
+    df = spark.read.parquet(str(tmp_path / "w"))
+    want = {(None, 50), ("a", 30)}  # denom=4: threshold 25
+    naive = {(r.w, r.cnt) for r in
+             heavy_hitters(df, "w", denom=4).collect()}
+    mg = {(r.w, r.cnt) for r in
+          heavy_hitters(df, "w", denom=4, k=8,
+                        naive_max_bytes=0).collect()}
+    assert naive == mg == want == _exact(df, "w", 4)
+
+
 def test_output_plan_owns_no_cache_state(spark):
     """The returned DataFrame must not reference InMemoryRelation — the
     operator's summary cache is internal and unpersisted before return."""

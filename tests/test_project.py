@@ -750,6 +750,134 @@ select 1 as id from {{ ref('x') }}
 """)
 
 
+def test_review_fixes_round11(spark, tmp_path):
+    """r11 code-review batch: (a) schema.yml descriptions replace the
+    SQL-model length placeholder; (b) ported freshness specs surface on
+    PortedProject; (c) relationships to: source(...) resolves; (d) vars
+    substitute RAW (model text supplies quotes, identifier vars work);
+    (e) full_refresh beats refresh='changed' false-skips; (f) build's
+    end hook fires even on a selector error; (g) unit-test expectations
+    compare values, not renderings; (h) bare-string check_cols is one
+    column."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from dbt_demo_spark.core.project import run_unit_tests
+    from dbt_demo_spark.core.sqlmodel import parse_snapshot_sql
+
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        vars: {status_ok: ok, sort_col: v}
+        """, {
+        "s/pay.csv": "k,v,status,loaded_at\n"
+                     "1,10,ok,2024-01-01\n2,20,bad,2024-01-01\n",
+        "m/filtered.sql":
+            "select k, v from {{ ref('pay') }} "
+            "where status = '{{ var('status_ok') }}' "
+            "order by {{ var('sort_col') }}",
+        "m/filtered.yml": """
+models:
+  - name: filtered
+    description: only the ok rows
+sources:
+  - name: raw
+    loaded_at_field: loaded_at
+    freshness: {warn_after: {count: 1, period: day}}
+    tables: [{name: pay}]
+""",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    # (a) the YAML description IS the doc, placeholder replaced
+    assert p.registry["filtered"].doc == "only the ok rows"
+    # (b) freshness specs ride the ported project
+    assert [s.source for s in p.freshness] == ["pay"]
+    # (d) raw var substitution: dbt's own-quotes idiom + identifier var
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        assert [(r.k, r.v) for r in rels["filtered"].collect()] == [(1, 10)]
+    finally:
+        runner.clean()
+
+    # (c) relationships to: source('raw','pay')
+    reg = ModelRegistry()
+    register_sql_model(reg, "child", "select * from {{ ref('pay') }}")
+    applied = attach_properties(reg, """
+models:
+  - name: child
+    columns:
+      - name: k
+        tests:
+          - relationships:
+              to: source('raw', 'pay')
+              field: k
+""")
+    runner = Runner(spark, reg, str(tmp_path / "wh_rel"))
+    try:
+        res = runner.build(dict(p.seeds))
+        assert res.nodes["child"].status == "success"
+    finally:
+        runner.clean()
+
+    # (e) full_refresh beats a refresh="changed" fingerprint skip
+    reg2 = ModelRegistry()
+    register_sql_model(reg2, "inc", """
+        {{ config(materialized='incremental', partition_by='k') }}
+        select k, v from {{ ref('pay') }}
+        {% if is_incremental() %}
+        where k > (select max(k) from {{ this }})
+        {% endif %}
+    """)
+    import os as _os
+    wh2 = str(tmp_path / "wh_fr")
+    r2 = Runner(spark, reg2, wh2)
+    r2.run(dict(p.seeds), refresh="changed")
+    path = _os.path.join(wh2, "inc")
+    before = max(_os.path.getmtime(_os.path.join(path, d))
+                 for d in _os.listdir(path) if d.startswith("k="))
+    Runner(spark, reg2, wh2).run(dict(p.seeds), refresh="changed",
+                                 full_refresh=True)
+    after = max(_os.path.getmtime(_os.path.join(path, d))
+                for d in _os.listdir(path) if d.startswith("k="))
+    assert after > before, "full_refresh was false-skipped"
+
+    # (f) build's end hook fires even when the pass ABORTS (here: an
+    # unresolved ref raises out of the scheduling loop) — the audit hook
+    # contract; a selector typo still raises before any hook runs
+    fired = []
+    r3 = Runner(spark, reg, str(tmp_path / "wh_hook"),
+                on_run_end=(lambda s, rel: fired.append(True),))
+    with pytest.raises(KeyError, match="unresolved"):
+        r3.build({})  # 'pay' missing: child can never resolve
+    assert fired == [True]
+
+    # (g) unit-test value comparison: int expectation vs double column
+    reg4 = ModelRegistry()
+    register_sql_model(reg4, "m4",
+                       "select avg(v) as mean from {{ ref('pay') }}")
+    results = run_unit_tests(spark, reg4, """
+unit_tests:
+  - name: mean_is_fifteen
+    model: m4
+    given:
+      - input: ref('pay')
+        rows: [{v: 10}, {v: 20}]
+    expect:
+      rows: [{mean: 15}]
+""")
+    assert results[0].passed, results[0].detail
+
+    # (h) check_cols='status' is ONE column
+    sdef, _fn, _deps = parse_snapshot_sql("""
+{% snapshot s %}
+{{ config(strategy='check', unique_key='id', check_cols='status') }}
+select 1 as id, 'x' as status from {{ ref('pay') }}
+{% endsnapshot %}
+""")
+    assert sdef.check_cols == ("status",)
+
+
 def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
