@@ -72,36 +72,85 @@ def _infer(values: list[str]):
     return StringType(), lambda v: v
 
 
-def read_seed_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+# dbt +column_types spellings -> Spark cast targets; anything not here
+# (decimal(p,s), date, timestamp, boolean, ...) passes through to
+# Spark's own DDL parser, which raises clearly on garbage
+_SEED_TYPE_ALIASES = {
+    "varchar": "string", "text": "string", "char": "string",
+    "integer": "int", "real": "double", "float8": "double",
+    "number": "double",
+}
+
+
+def read_seed_csv_inferred(spark: SparkSession, path: str,
+                           column_types: dict[str, str] | None = None
+                           ) -> DataFrame:
     """One seed CSV -> typed DataFrame, dbt-seed semantics: header row,
     quoted fields with embedded commas, empty field -> NULL for EVERY
-    type (sources/csv.py module docstring), agate-like column typing."""
+    type (sources/csv.py module docstring), agate-like column typing.
+
+    ``column_types`` is dbt's ``+column_types`` override [public
+    knowledge: dbt seed configs]: an overridden column SKIPS inference —
+    it loads as the raw string and casts to the declared type, so a
+    ``varchar`` override on an all-digit column keeps its leading zeros
+    (the exact failure the dbt config exists to prevent)."""
+    column_types = column_types or {}
     with open(path, newline="") as fh:
         rows = list(csv.reader(fh))
     if not rows:
         raise ValueError(f"seed {path}: empty file (no header)")
     header, body = rows[0], rows[1:]
+    unknown = [c for c in column_types if c not in header]
+    if unknown:
+        raise ValueError(
+            f"seed {path}: +column_types for unknown columns {unknown} "
+            f"(header: {header})")
     cols = list(zip(*body)) if body else [()] * len(header)
     fields, convs = [], []
     for name, col in zip(header, cols):
-        dtype, conv = _infer([v for v in col if v != ""])
+        if name in column_types:
+            dtype, conv = StringType(), (lambda v: v)
+        else:
+            dtype, conv = _infer([v for v in col if v != ""])
         fields.append(StructField(name, dtype))
         convs.append(conv)
     data = [tuple(conv(v) if v != "" else None
                   for v, conv in zip(r, convs)) for r in body]
-    return spark.createDataFrame(data, StructType(fields))
+    df = spark.createDataFrame(data, StructType(fields))
+    for name, t in column_types.items():
+        t = _SEED_TYPE_ALIASES.get(t.lower(), t)
+        df = df.withColumn(name, F.col(name).cast(t))
+    return df
 
 
-def load_seeds(spark: SparkSession, seed_dirs: list[str]
+def load_seeds(spark: SparkSession, seed_dirs: list[str],
+               column_types: dict[str, dict[str, str]] | None = None
                ) -> dict[str, DataFrame]:
     """Every ``*.csv`` under the project's seed-paths, keyed by stem —
-    the relations a Runner takes as sources."""
+    the relations a Runner takes as sources.  ``column_types`` maps
+    seed name -> its +column_types override dict ("" keys the
+    project-level default applied to every seed)."""
+    column_types = column_types or {}
+    default = column_types.get("", {})
     out: dict[str, DataFrame] = {}
     for d in seed_dirs:
         for p in sorted(glob.glob(os.path.join(d, "*.csv"))):
-            out[os.path.splitext(os.path.basename(p))[0]] = \
-                read_seed_csv_inferred(spark, p)
+            stem = os.path.splitext(os.path.basename(p))[0]
+            header = set(_csv_header(p))
+            # project-level defaults apply only where the column exists;
+            # a PER-SEED override naming a missing column still raises
+            # (read_seed_csv_inferred's unknown-column check)
+            merged = {**{k: v for k, v in default.items() if k in header},
+                      **column_types.get(stem, {})}
+            out[stem] = read_seed_csv_inferred(spark, p, merged)
     return out
+
+
+def _csv_header(path: str) -> list[str]:
+    with open(path, newline="") as fh:
+        for row in csv.reader(fh):
+            return row
+    return []
 
 
 # ------------------------------------------------- dbt_project.yml -----
@@ -173,9 +222,21 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         if os.path.isdir(tdir):
             model_names += register_test_dir(registry, tdir, vars=vars_)
 
+    # seeds: config tree — `+column_types` at the project level keys ""
+    # (applies to every seed where the column exists), per-seed blocks
+    # key the seed name (dbt seed configs [public knowledge])
+    seed_types: dict[str, dict[str, str]] = {}
+    seeds_cfg = (cfg.get("seeds", {}) or {}).get(name, {}) or {}
+    if "+column_types" in seeds_cfg:
+        seed_types[""] = dict(seeds_cfg["+column_types"])
+    for k, v in seeds_cfg.items():
+        if isinstance(v, dict) and "+column_types" in v:
+            seed_types[k] = dict(v["+column_types"])
+
     seeds = load_seeds(
         spark, [os.path.join(project_dir, sp)
-                for sp in cfg.get("seed-paths", ["seeds"])])
+                for sp in cfg.get("seed-paths", ["seeds"])],
+        column_types=seed_types)
     def _hooklist(key: str) -> tuple[str, ...]:
         v = cfg.get(key, ())
         return (v,) if isinstance(v, str) else tuple(v or ())

@@ -878,6 +878,42 @@ select 1 as id, 'x' as status from {{ ref('pay') }}
     assert sdef.check_cols == ("status",)
 
 
+def test_seed_column_types_override_inference(spark, tmp_path):
+    """dbt +column_types: an overridden column skips inference and casts
+    the RAW string — a varchar override on an all-digit column keeps its
+    leading zeros; project-level defaults apply where the column exists,
+    per-seed overrides for missing columns raise."""
+    _write_project(tmp_path, """\
+        name: 'proj'
+        model-paths: ["m"]
+        seed-paths: ["s"]
+        seeds:
+          proj:
+            +column_types: {zip: varchar}
+            accounts:
+              +column_types: {balance: 'decimal(10,2)'}
+        """, {
+        "s/accounts.csv": "id,zip,balance\n1,02134,10.5\n2,90210,3\n",
+        "s/lookup.csv": "code,label\n7,x\n",
+        "m/base.sql": "select * from {{ ref('accounts') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    acc = p.seeds["accounts"]
+    types = {f.name: f.dataType.simpleString() for f in acc.schema.fields}
+    assert types == {"id": "bigint", "zip": "string",
+                     "balance": "decimal(10,2)"}
+    rows = {r.id: (r.zip, str(r.balance)) for r in acc.collect()}
+    assert rows[1] == ("02134", "10.50")  # leading zero survives
+    # the project-level default named a column lookup.csv lacks: ignored
+    assert [f.name for f in p.seeds["lookup"].schema.fields] == \
+        ["code", "label"]
+
+    from dbt_demo_spark.core.project import read_seed_csv_inferred
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_seed_csv_inferred(
+            spark, str(tmp_path / "s" / "lookup.csv"), {"ghost": "string"})
+
+
 def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
