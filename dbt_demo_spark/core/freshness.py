@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 class FreshnessSpec:
     source: str
     loaded_at_col: str
-    warn_after_s: float
+    warn_after_s: float | None = None    # None: never warns (error-only)
     error_after_s: float | None = None   # None: never escalates past warn
 
 
@@ -74,7 +74,7 @@ def check_freshness(relations: dict[str, DataFrame],
         age = max(0.0, (now - m).total_seconds())
         if spec.error_after_s is not None and age > spec.error_after_s:
             status = "error"
-        elif age > spec.warn_after_s:
+        elif spec.warn_after_s is not None and age > spec.warn_after_s:
             status = "warn"
         else:
             status = "pass"

@@ -46,6 +46,15 @@ from .sqlmodel import register_sql_dir, register_test_dir
 
 # --------------------------------------------------------------- seeds --
 
+# Strict numeric shapes (ADVICE r10): Python's bare int()/float() accept
+# '1_0', 'nan', 'inf'/'Infinity', and whitespace-padded values — looser
+# than agate, so seed values dbt loads as text silently coerced.  The
+# regexes admit only plain decimal integers and decimal/scientific
+# floats; underscores, nan/inf, and padding fall through to text.
+_LONG_RE = re.compile(r"^[+-]?\d+$")
+_DOUBLE_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
 def _infer(values: list[str]):
     """Agate-like type ladder over one column's non-empty strings:
     bool -> long -> double -> date -> text.  Deterministic (whole-column
@@ -63,9 +72,9 @@ def _infer(values: list[str]):
     low = {v.lower() for v in values}
     if low <= {"true", "false"}:
         return BooleanType(), lambda v: v.lower() == "true"
-    if all_match(int):
+    if all(_LONG_RE.fullmatch(v) for v in values):
         return LongType(), int
-    if all_match(float):
+    if all(_DOUBLE_RE.fullmatch(v) for v in values):
         return DoubleType(), float
     if all_match(datetime.date.fromisoformat):
         return DateType(), datetime.date.fromisoformat
@@ -212,8 +221,14 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
             model_names += register_sql_dir(
                 registry, mdir, materialized_by_subdir=policy,
                 default_materialized=default_mat, vars=vars_)
-            for props in sorted(glob.glob(
-                    os.path.join(mdir, "**", "*.yml"), recursive=True)):
+            # dbt accepts both .yml and .yaml properties files; globbing
+            # only one silently drops the other's tests/contracts
+            # (ADVICE r10)
+            for props in sorted(
+                    glob.glob(os.path.join(mdir, "**", "*.yml"),
+                              recursive=True)
+                    + glob.glob(os.path.join(mdir, "**", "*.yaml"),
+                                recursive=True)):
                 freshness += attach_properties(
                     registry, props).get("freshness", [])
 
@@ -350,13 +365,50 @@ def _canon(v) -> str:
     return str(v)
 
 
+def _mock_type(values: list):
+    """Spark type for one mock column, inferred from its non-null
+    values.  An all-None column defaults to StringType — the documented
+    empty-input pattern (one all-None row) previously died in
+    ``createDataFrame``'s pandas inference with CANNOT_DETERMINE_TYPE
+    (ADVICE r10 medium); NULL compares equal across types in the
+    expect-row canonicalization, so string is a safe carrier."""
+    from pyspark.sql.types import TimestampType
+
+    kinds = set()
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("long")
+        elif isinstance(v, float):
+            kinds.add("double")
+        elif isinstance(v, datetime.datetime):
+            kinds.add("timestamp")
+        elif isinstance(v, datetime.date):
+            kinds.add("date")
+        else:
+            kinds.add("string")
+    if kinds <= {"long", "double"} and "double" in kinds:
+        return DoubleType()           # YAML mixes 5 and 5.5 in one column
+    if len(kinds) > 1:
+        raise ValueError(f"mock column mixes types {sorted(kinds)}")
+    t = {"bool": BooleanType, "long": LongType, "double": DoubleType,
+         "timestamp": TimestampType, "date": DateType,
+         "string": StringType}[kinds.pop()] if kinds else StringType
+    return t()
+
+
 def _mock_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Mocked input rows -> DataFrame.  Column set is the union across
     rows (dbt: unmocked columns are NULL); an all-empty mock needs at
     least the columns the model touches, so rows=[] yields a zero-row
     single-NULL-column frame only if no columns are derivable — callers
     should mock one row or give ``format: empty_with_columns``-style
-    hints via a dict row of all-None values."""
+    hints via a dict row of all-None values.  The schema is built
+    EXPLICITLY (per-column from non-null values, all-None -> string) so
+    the all-None pattern the docstring recommends actually constructs."""
     cols: list[str] = []
     for r in rows:
         for k in r:
@@ -366,8 +418,14 @@ def _mock_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
         raise ValueError(
             "empty unit-test mock needs at least one all-None row to "
             "carry the column names the model reads")
-    data = [tuple(r.get(c) for c in cols) for r in rows]
-    return spark.createDataFrame(pd.DataFrame(data, columns=cols))
+    schema = StructType([
+        StructField(c, _mock_type([r.get(c) for r in rows])) for c in cols])
+    data = [tuple(float(r.get(c))
+                  if (isinstance(r.get(c), int)
+                      and not isinstance(r.get(c), bool)
+                      and isinstance(schema[c].dataType, DoubleType))
+                  else r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(data, schema)
 
 
 def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
@@ -414,11 +472,13 @@ def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
             raise ValueError(
                 f"unit test {name!r}: deps {missing} of model {model!r} "
                 "have no given: mock — every input must be mocked")
-        refs = {d: _mock_frame(spark, given[d]) for d in mdef.deps}
         overrides = ut.get("overrides", {}) or {}
         wants_ctx = bool(mdef.watermark_col) or getattr(
             mdef.fn, "__wants_incremental_ctx__", False)
         try:
+            # mocks build inside the try: a malformed mock is a FAILED
+            # test result, not an abort of the whole suite (ADVICE r10)
+            refs = {d: _mock_frame(spark, given[d]) for d in mdef.deps}
             if mdef.materialized == "incremental" and wants_ctx:
                 from .model import IncrementalContext
 
@@ -569,14 +629,17 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
                 return block["count"] * per[block["period"]]
 
             warn = _secs(fresh.get("warn_after"))
-            if warn is None:
+            error = _secs(fresh.get("error_after"))
+            # dbt accepts warn_after and/or error_after independently —
+            # an error_after-only spec is valid and simply never warns
+            # (ADVICE r10)
+            if warn is None and error is None:
                 raise ValueError(
                     f"source table {tbl['name']!r}: freshness needs "
-                    "warn_after")
+                    "warn_after and/or error_after")
             applied["freshness"].append(FreshnessSpec(
                 source=tbl["name"], loaded_at_col=loaded,
-                warn_after_s=warn,
-                error_after_s=_secs(fresh.get("error_after"))))
+                warn_after_s=warn, error_after_s=error))
 
     for e in doc.get("exposures", []) or []:
         depends = tuple(

@@ -51,6 +51,8 @@ _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 _INCR_BLOCK_RE = re.compile(
     r"\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)\{%-?\s*endif\s*-?%\}",
     re.DOTALL)
+_ELSE_RE = re.compile(r"\{%-?\s*else\s*-?%\}")
+_NESTED_BRANCH_RE = re.compile(r"\{%-?\s*(if|elif)\b")
 _VAR_RE = re.compile(
     r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*(.+?)\s*)?\)\s*\}\}")
 _LEFTOVER_BLOCK_RE = re.compile(r"\{%.*?%\}", re.DOTALL)
@@ -171,8 +173,28 @@ def render_sql(sql_text: str, view_for: dict[str, str], *,
     ``{% ... %}`` constructs raise instead of silently reaching the SQL
     parser."""
     sql = _CONFIG_RE.sub("", sql_text)
-    sql = _INCR_BLOCK_RE.sub(
-        lambda m: m.group(1) if incremental else "", sql)
+
+    def keep_branch(m: re.Match) -> str:
+        # dbt's standard first-build fallback: {% if is_incremental() %}
+        # A {% else %} B {% endif %} keeps A on a refresh, B on a first
+        # build.  Before this branch-split landed, the whole span was
+        # dropped on a first build — an {% else %} body (e.g. an
+        # initial-load WHERE) silently vanished, then the leftover
+        # {% else %} bricked the next incremental run (ADVICE r10 high).
+        body = m.group(1)
+        if _NESTED_BRANCH_RE.search(body):
+            raise ValueError(
+                "nested {% if %}/{% elif %} inside an is_incremental() "
+                "block is unsupported — flatten the condition")
+        parts = _ELSE_RE.split(body)
+        if len(parts) > 2:
+            raise ValueError(
+                "multiple {% else %} inside one is_incremental() block")
+        if incremental:
+            return parts[0]
+        return parts[1] if len(parts) == 2 else ""
+
+    sql = _INCR_BLOCK_RE.sub(keep_branch, sql)
     if _THIS_RE.search(sql):
         if this_view is None:
             raise ValueError(

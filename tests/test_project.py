@@ -918,3 +918,118 @@ def test_attach_properties_unknown_model_or_test_raises():
     reg = ModelRegistry()
     with pytest.raises(ValueError, match="unknown model"):
         attach_properties(reg, "models:\n  - name: ghost\n")
+
+# ------------------------------------------------ ADVICE r10 fixes -----
+
+def test_seed_inference_is_agate_strict(spark, tmp_path):
+    """ADVICE r10: bare int()/float() accepted '1_0' (-> 10), 'nan',
+    'inf', and whitespace-padded values — all must stay text; plain
+    and signed integers, decimals, and scientific notation still type."""
+    p = tmp_path / "strict.csv"
+    p.write_text(
+        "u,nan_c,inf_c,pad,ok_i,ok_f\n"
+        "1_0,nan,inf,\" 5\",-7,1.5e3\n"
+        "22,2.5,Infinity,6 ,+8,.25\n")
+    df = read_seed_csv_inferred(spark, str(p))
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"u": "string", "nan_c": "string", "inf_c": "string",
+                     "pad": "string", "ok_i": "bigint", "ok_f": "double"}
+    r = sorted(df.collect(), key=lambda r: r.u)[0]
+    assert r.u == "1_0" and r.pad == " 5" and r.ok_f == 1500.0
+
+
+def test_unit_test_all_none_mock_row_constructs(spark):
+    """ADVICE r10 (medium): the documented empty-input pattern — one
+    all-None row carrying column names — must build (explicit schema,
+    all-None -> string), and a malformed mock must come back as a
+    FAILED result, not abort the suite."""
+    from dbt_demo_spark.core.project import run_unit_tests
+
+    reg = ModelRegistry()
+    register_sql_model(reg, "totals", """
+        select count(*) as n, sum(v) as total
+        from {{ ref('payments') }} where v is not null
+    """)
+    results = run_unit_tests(spark, reg, """
+unit_tests:
+  - name: empty_input_yields_zero
+    model: totals
+    given:
+      - input: ref('payments')
+        rows: [{v: null}]
+    expect:
+      rows: [{n: 0, total: null}]
+  - name: mixed_type_mock_fails_not_aborts
+    model: totals
+    given:
+      - input: ref('payments')
+        rows: [{v: 1}, {v: "oops"}]
+    expect:
+      rows: [{n: 1}]
+""")
+    assert [(r.name, r.passed) for r in results] == [
+        ("empty_input_yields_zero", True),
+        ("mixed_type_mock_fails_not_aborts", False)]
+    assert "mixes types" in results[1].detail
+
+
+def test_freshness_error_after_only(spark):
+    """ADVICE r10: dbt accepts warn_after and/or error_after
+    independently — error_after-only loads, never warns, still errors."""
+    import datetime as _dt
+
+    from dbt_demo_spark.core.freshness import check_freshness
+
+    reg = ModelRegistry()
+    applied = attach_properties(reg, """
+sources:
+  - name: raw
+    loaded_at_field: loaded_at
+    tables:
+      - name: t
+        freshness: {error_after: {count: 1, period: hour}}
+""")
+    (spec,) = applied["freshness"]
+    assert spec.warn_after_s is None and spec.error_after_s == 3600
+
+    now = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda h: spark.createDataFrame(  # noqa: E731
+        [(now - _dt.timedelta(hours=h),)], "loaded_at timestamp")
+    assert check_freshness({"t": mk(0.5)}, [spec], now)[0].status == "pass"
+    assert check_freshness({"t": mk(2)}, [spec], now)[0].status == "error"
+
+    # an empty/null freshness block is DISABLED (dbt: freshness: null),
+    # but a non-empty block missing both thresholds is a config error
+    with pytest.raises(ValueError, match="warn_after and/or error_after"):
+        attach_properties(reg, """
+sources:
+  - name: raw
+    loaded_at_field: loaded_at
+    tables:
+      - name: t
+        freshness: {filter: "1=1"}
+""")
+
+
+def test_properties_yaml_extension_also_discovered(spark, tmp_path):
+    """ADVICE r10: dbt accepts .yaml as well as .yml — a schema.yaml's
+    tests must attach through port_dbt_project."""
+    (tmp_path / "dbt_project.yml").write_text(
+        "name: yamlproj\nmodel-paths: ['models']\nseed-paths: ['seeds']\n")
+    m = tmp_path / "models"
+    m.mkdir()
+    (m / "pass_through.sql").write_text(
+        "select id from {{ ref('items') }}")
+    (m / "schema.yaml").write_text("""
+models:
+  - name: pass_through
+    columns:
+      - name: id
+        tests: [not_null, unique]
+""")
+    s = tmp_path / "seeds"
+    s.mkdir()
+    (s / "items.csv").write_text("id\n1\n2\n")
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.registry["pass_through"].tests, \
+        "schema.yaml tests were not attached"

@@ -66,6 +66,42 @@ def test_render_rejects_unknown_jinja():
         render_sql("select {{ var('x') }} from {{ ref('t') }}", {"t": "v"})
 
 
+_ELSE_SQL = """
+select * from {{ ref('t') }}
+{% if is_incremental() %}
+where ts > (select max(ts) from {{ this }})
+{% else %}
+where ts >= '2020-01-01'
+{% endif %}
+"""
+
+
+def test_incremental_else_branch_kept_per_flag():
+    """ADVICE r10 (high): {% else %} is dbt's standard first-build
+    fallback — the non-incremental render must keep the ELSE body (it
+    was silently dropped), and the incremental render must keep only
+    the IF body (the leftover '{% else %}' used to brick it)."""
+    first = render_sql(_ELSE_SQL, {"t": "v_t"}, incremental=False)
+    assert "where ts >= '2020-01-01'" in first
+    assert "max(ts)" not in first and "{%" not in first
+
+    incr = render_sql(_ELSE_SQL, {"t": "v_t"}, incremental=True,
+                      this_view="v_this")
+    assert "max(ts)" in incr and "v_this" in incr
+    assert "2020-01-01" not in incr and "{%" not in incr
+
+
+def test_incremental_block_rejects_nested_and_double_else():
+    with pytest.raises(ValueError, match="multiple .% else %."):
+        render_sql(
+            "select 1 from {{ ref('t') }} {% if is_incremental() %} a "
+            "{% else %} b {% else %} c {% endif %}", {"t": "v"})
+    with pytest.raises(ValueError, match="nested"):
+        render_sql(
+            "select 1 from {{ ref('t') }} {% if is_incremental() %} "
+            "{% if true %} x {% endif %} {% endif %}", {"t": "v"})
+
+
 def test_inline_sql_model_runs_through_runner(spark, tmp_path):
     """A CTE-chained SQL model with ref + macro registers via
     registry.sql_model and materializes through the normal Runner path;
