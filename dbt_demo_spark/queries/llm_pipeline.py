@@ -1156,14 +1156,25 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "json"),
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props: parse the JSON payload column (from_json into
-    a typed struct — schema-on-read) and aggregate a typed field.
-    ``spread`` (keyed on high-cardinality user_id, NOT the ~5-value
-    event_type) parallelizes the per-row JSON parse past the one-task
-    local scan."""
+    """Semi-structured props: extract a typed field from the JSON payload
+    column and aggregate it.  ``spread`` (keyed on high-cardinality
+    user_id, NOT the ~5-value event_type) parallelizes the per-row JSON
+    parse past the one-task local scan.
+
+    Extractor A/B (r11, VERDICT r10 item 5; min-of-5 noop sink):
+    ``get_json_object`` 0.303s sf0.1 / 0.425s sf1 beats ``from_json``
+    into a single-field struct (0.347 / 0.540) — the path extractor
+    allocates no struct row.  A ``regexp_extract`` of the bare integer
+    measured faster still (0.209 / 0.228) but was REJECTED: it is not a
+    JSON parser (first match anywhere in the text — nested objects,
+    string values, or escapes would silently misread), and this row's
+    contract is JSON extraction.  The residual ~10x vs DuckDB at sf1 is
+    the JSON-parse constants gap the regex number quantifies: DuckDB's
+    native json_extract_string runs at regex-like speed; Spark's
+    jackson-based path walk does not at this data size."""
     ev = spread(load_events(spark, sf_dir)
                 .select("event_type", "props", "user_id"), "user_id")
-    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

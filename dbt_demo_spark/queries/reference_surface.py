@@ -196,25 +196,42 @@ def fct_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly originations rollup, the shape of monthly_originations
     (models/marts/agg_monthly_loans.sql:10-18): cast(date_trunc(month) as
-    date) group keys, count(distinct), sum, avg.  Spark's HashAggregate does
-    partial (map-side) + final aggregation automatically — one shuffle on the
-    two group keys, which is the minimum for an exact distinct count."""
-    orders = load_table(spark, sf_dir, "orders")
+    date) group keys, exact count(distinct), sum, avg.
+
+    Served as an EXCHANGE-FREE GRAIN PRE-AGG over the orderkey-bucketed
+    orders mart (r11, VERDICT r10 item 3): grouping on (o_orderkey, month,
+    status) needs no shuffle — the bucket key is a subset of the group
+    keys, so HashPartitioning satisfies the clustering — and the month
+    rollup over the grain reduces map-side to ~hundreds of rows before its
+    one tiny exchange.  count(*) over the grain IS the exact distinct
+    count (group-then-count), regardless of key duplication in the source.
+    The pre-countDistinct plan paid a full-width repartition + Expand;
+    AGG_GRAIN_RECEIPT.json: 0.55 -> 0.42s at sf1, 0.30 -> 0.14s at sf0.1
+    (min-of-3).  The (month,status,key)-grain over RAW scans measured in
+    r6 lost (1.46s sf0.1) because it shuffled 100% of rows to reach the
+    grain; the bucketed layout is what flips the verdict."""
+    o, _ = bucketed_order_marts(spark, sf_dir)
+    grain = (
+        o.groupBy(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date")
+             .alias("month_start"),
+            F.col("o_orderstatus").alias("order_status"))
+        .agg(F.count("o_totalprice").alias("n"),  # non-NULL count: the
+             # original divided by count(o_totalprice), not count(*)
+             F.sum("o_totalprice").alias("v"))
+    )
     return (
-        orders
-        .groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
-            F.col("o_orderstatus").alias("order_status"),
-        )
+        grain.groupBy("month_start", "order_status")
         .agg(
-            F.countDistinct("o_orderkey").alias("orders_placed"),
-            round2(F.sum("o_totalprice")).alias("total_amount"),
+            F.count(F.lit(1)).alias("orders_placed"),
+            round2(F.sum("v")).alias("total_amount"),
             # avg is derived from the ROUNDED sum: an unrounded engine sum can
             # differ by 1 ulp between Spark and DuckDB (different add order),
             # and avg of 2-decimal money frequently sits exactly on a
             # half-cent boundary, where that ulp flips the rounding.
             # Canonicalizing the sum first makes the division bit-identical.
-            round2(round2(F.sum("o_totalprice")) / F.count("o_totalprice"))
+            round2(round2(F.sum("v")) / F.sum("n"))
             .alias("avg_order_value"),
         )
     )
@@ -235,23 +252,36 @@ def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_monthly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly payments rollup, the shape of monthly_payments
-    (models/marts/agg_monthly_loans.sql:21-29).  ``spread`` parallelizes the
-    partial aggregation past the single-row-group local scan (one task
-    otherwise; measured 0.80s -> 0.43s at sf0.1, no-op on cluster-width
-    scans); columns are pruned BEFORE the repartition so the exchange
-    carries only the four columns the rollup reads."""
-    li = spread(
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_shipdate", "l_orderkey", "l_extendedprice", "l_quantity"),
-        "l_orderkey")
+    (models/marts/agg_monthly_loans.sql:21-29).
+
+    Served as an exchange-free grain pre-agg over the orderkey-bucketed
+    lineitem mart (r11, VERDICT r10 item 3 — see agg_monthly_orders):
+    the (l_orderkey, month) grain groups without any shuffle (bucket key
+    subset of group keys; the orderkey-sorted bucket files also give the
+    hash map run-locality — keying orderkey FIRST measured 0.86s vs
+    1.16s month-first at sf1), count(*) over the grain is the exact
+    distinct, and the month rollup's partial aggregation shrinks the
+    grain to ~83 rows per partition before the one tiny exchange.
+    AGG_GRAIN_RECEIPT.json: 1.42 -> 1.12s at sf1 (interleaved min-of-6),
+    0.57 -> 0.18s at sf0.1, replacing the spread+countDistinct plan
+    (full-width repartition + Expand)."""
+    _, li = bucketed_order_marts(spark, sf_dir)
+    grain = (
+        li.groupBy(
+            "l_orderkey",
+            F.date_trunc("month", F.col("l_shipdate")).cast("date")
+             .alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("l_extendedprice").alias("v"),
+             F.sum("l_quantity").alias("q"))
+    )
     return (
-        li
-        .groupBy(F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month_start"))
+        grain.groupBy("month_start")
         .agg(
-            F.countDistinct("l_orderkey").alias("orders_shipped"),
-            F.count(F.lit(1)).alias("lines_shipped"),
-            round2(F.sum("l_extendedprice")).alias("shipped_value"),
-            round2(F.sum("l_quantity")).alias("shipped_quantity"),
+            F.count(F.lit(1)).alias("orders_shipped"),
+            F.sum("n").alias("lines_shipped"),
+            round2(F.sum("v")).alias("shipped_value"),
+            round2(F.sum("q")).alias("shipped_quantity"),
         )
     )
 
@@ -306,28 +336,43 @@ def agg_monthly_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.14s the r5 driver bench recorded was NOT this query's plan: it was
     codegen-class-cache thrashing across the 47-query catalog (100-entry
     default; session.py now sizes it to the catalog), worth ~2x on every
-    revisit of every query."""
-    orders = spread(
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderdate", "o_orderstatus", "o_orderkey", "o_totalprice"),
-        "o_orderkey")
-    li = spread(
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_shipdate", "l_orderkey", "l_extendedprice"),
-        "l_orderkey")
+    revisit of every query.
 
-    o = (
-        orders.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    r11 (VERDICT r10 item 3) re-ran the grain-pre-agg variant that LOST
+    in r6 — over the orderkey-BUCKETED marts instead of raw scans.  The
+    r6 loss came from shuffling 100% of rows to reach the grain;
+    bucketed, the grain groups exchange-free (bucket key subset of group
+    keys) and only the tiny month-level rollups move.
+    AGG_GRAIN_RECEIPT.json: 2.64 -> 1.42s at sf1, 0.88 -> 0.61s at
+    sf0.1 (same-session comparisons); both sides now share
+    agg_monthly_orders / agg_monthly_shipments' plan shape."""
+    o_mart, li = bucketed_order_marts(spark, sf_dir)
+
+    og = (
+        o_mart.groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date")
+             .alias("month_start"),
             F.col("o_orderstatus").alias("order_status"))
-        .agg(F.countDistinct("o_orderkey").alias("orders_placed"),
-             round2(F.sum("o_totalprice")).alias("total_amount"))
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    o = (
+        og.groupBy("month_start", "order_status")
+        .agg(F.count(F.lit(1)).alias("orders_placed"),
+             round2(F.sum("v")).alias("total_amount"))
         .alias("o")
     )
+    lg = (
+        li.groupBy(
+            "l_orderkey",
+            F.date_trunc("month", "l_shipdate").cast("date")
+             .alias("month_start"))
+        .agg(F.sum("l_extendedprice").alias("v"))
+    )
     s = (
-        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month_start"))
-        .agg(F.countDistinct("l_orderkey").alias("orders_shipped"),
-             round2(F.sum("l_extendedprice")).alias("shipped_value"))
+        lg.groupBy("month_start")
+        .agg(F.count(F.lit(1)).alias("orders_shipped"),
+             round2(F.sum("v")).alias("shipped_value"))
         .alias("s")
     )
     return (
@@ -505,8 +550,12 @@ def mart_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_quality.py).  The oracle computes the identical result
     from the raw tables — layout must never change answers."""
     o, li = bucketed_order_marts(spark, sf_dir)
+    # merge hint pins the co-located bucket join (r11, see tpch_q3
+    # docstring): without it a generous broadcast threshold turns the
+    # lineitem fact side into a per-execution HashedRelation build
+    # (sf1: 1.18s -> 0.77s hinted; sf0.1: 0.30 -> 0.21)
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),

@@ -113,9 +113,15 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING")
     ob = o.filter(F.col("o_orderdate") < "1997-01-01")
     lb = li.filter(F.col("l_shipdate") > "1997-01-01")
+    # merge hint PINS the co-located bucket join (r11, the q3 sf1 anomaly):
+    # under a generous autoBroadcastJoinThreshold Catalyst broadcast the
+    # FILTERED LINEITEM FACT side — a ~1.5M-row HashedRelation built inside
+    # every execution (sf1: 1.65s -> 0.48s hinted; sf0.1: 0.43 -> 0.30).
+    # At 100 TB a fact side never fits a broadcast anyway; the hint makes
+    # the local plan the cluster plan.
     return (
         ob.join(F.broadcast(cust), cust.c_custkey == ob.o_custkey)
-        .join(lb, lb.l_orderkey == ob.o_orderkey)
+        .join(lb.hint("merge"), lb.l_orderkey == ob.o_orderkey)
         .groupBy(F.col("l_orderkey").alias("order_key"),
                  F.col("o_orderdate").cast("date").alias("order_date"),
                  F.col("o_orderpriority").alias("order_priority"))

@@ -620,11 +620,15 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob, li = bucketed_order_marts(spark, sf_dir)
     late = li.filter(F.col("l_shipdate") > "1997-06-01").select(
         "l_orderkey", "l_suppkey")
-    o = ob.filter(F.col("o_orderstatus") == "F")
+    # merge hints pin all four orderkey joins to the co-located bucket
+    # plan (r11, see tpch_q3 docstring): a generous broadcast threshold
+    # otherwise builds fact-side HashedRelations inside every execution
+    # (sf1: 2.09s -> 0.96s hinted; sf0.1: 0.35 -> 0.30)
+    o = ob.filter(F.col("o_orderstatus") == "F").hint("merge")
     s = load_table(spark, sf_dir, "supplier")
     l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
+    l2 = li.select("l_orderkey", "l_suppkey").hint("merge").alias("l2")
+    l3 = late.hint("merge").alias("l3")
     return (
         l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
         .join(l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))

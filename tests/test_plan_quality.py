@@ -253,3 +253,17 @@ def test_layout_served_tpch_rows_plan_without_fact_shuffle(spark):
             r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
             plan))
         assert shuffles <= max_shuffles, (name, shuffles, plan[:2000])
+
+    # r11 (the q3 sf1 anomaly): counting shuffle exchanges alone let a
+    # broadcast-threshold drift slip through — Catalyst broadcast the
+    # FILTERED LINEITEM FACT side, a per-execution multi-MB HashedRelation
+    # build (sf1: 1.65s vs DuckDB 0.07).  The merge hints pin the
+    # co-located sort-merge join; assert the shape under the DEFAULT
+    # (broadcast-enabled) conf: q3's only BroadcastExchange is the
+    # customer dim, and the orderkey join is a SortMergeJoin.
+    q3_plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "SortMergeJoin" in q3_plan, q3_plan[:2000]
+    assert q3_plan.count("BroadcastExchange") == 1, q3_plan[:2000]
+    mbr_plan = _plan(spark, "mart_bucketed_revenue")
+    assert "SortMergeJoin" in mbr_plan, mbr_plan[:2000]
+    assert "BroadcastExchange" not in mbr_plan, mbr_plan[:2000]
