@@ -21,10 +21,14 @@ covers the overwhelmingly common shapes:
     over the aggregated frame.  At 100 TB this is exactly the one
     shuffle the question needs; nothing materializes per metric.
 
-Lite scope (raise, never guess): every requested metric must resolve to
-measures of ONE semantic model (cross-model joins are MetricFlow's
-entity graph — out of scope here), and derived metrics may reference
-only simple metrics.
+Cross-model metric sets (X84): two semantic models sharing a declared
+ENTITY compile to one aggregation per model at the requested grain plus
+ONE full-outer join of the (tiny) aggregated frames — MetricFlow's core
+move, measure-safe because measures never ride a fact-to-fact join.
+
+Lite scope (raise, never guess): at most TWO semantic models per
+request, the pair must share an entity, and derived metrics may
+reference only simple metrics (one level).
 """
 
 from __future__ import annotations
@@ -61,11 +65,22 @@ class Dimension:
 
 
 @dataclass(frozen=True)
+class Entity:
+    """MetricFlow entity [public knowledge: semantic models declare
+    primary/foreign/unique entities — the join keys of the semantic
+    graph].  ``expr`` is the key column/expression on this model."""
+    name: str
+    type: str          # "primary" | "foreign" | "unique"
+    expr: str
+
+
+@dataclass(frozen=True)
 class SemanticModel:
     name: str
     model: str         # relation name the measures aggregate over
     measures: dict[str, Measure]
     dimensions: dict[str, Dimension]
+    entities: dict[str, Entity] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -126,39 +141,36 @@ class MetricLayer:
 
     # -- the query -------------------------------------------------------
 
-    def query(self, relations: dict[str, DataFrame], metrics: list[str],
-              group_by: list[str] = (), grain: str | None = None
-              ) -> DataFrame:
-        """One aggregation answering the metric question; column names
-        are the metric / dimension names."""
-        simples = self._simple_closure(list(metrics))
-        owners = {self._owner(m.measure).name for m in simples}
-        if len(owners) != 1:
-            raise ValueError(
-                f"metrics span semantic models {sorted(owners)} — the "
-                "lite layer answers one-model questions")
-        sm = self.semantic_models[next(iter(owners))]
-        if sm.model not in relations:
-            raise KeyError(
-                f"semantic model {sm.name!r} needs relation {sm.model!r}")
-        df = relations[sm.model]
-
-        dims = []
-        for g in group_by:
-            d = sm.dimensions.get(g)
-            if d is None:
-                raise ValueError(
-                    f"unknown dimension {g!r} on {sm.name!r} "
-                    f"(defined: {sorted(sm.dimensions)})")
+    def _dim_col(self, sm: SemanticModel, g: str, grain: str | None):
+        """Resolve one group_by name on one semantic model: a declared
+        dimension, or a declared ENTITY (grouping by the join key
+        itself).  Raises if neither."""
+        d = sm.dimensions.get(g)
+        if d is not None:
             col = F.expr(d.expr)
             if d.type == "time":
                 g_grain = grain or d.grain
                 if g_grain:
                     col = F.date_trunc(g_grain, col).cast("date")
-            elif grain:
-                pass  # grain only applies to time dimensions
-            dims.append(col.alias(g))
+            return col.alias(g)
+        e = sm.entities.get(g)
+        if e is not None:
+            return F.expr(e.expr).alias(g)
+        raise ValueError(
+            f"unknown dimension {g!r} on {sm.name!r} "
+            f"(defined: {sorted(sm.dimensions)}; "
+            f"entities: {sorted(sm.entities)})")
 
+    def _aggregate(self, sm: SemanticModel, relations: dict,
+                   simples: list[Metric], group_by: list[str],
+                   grain: str | None) -> DataFrame:
+        """ONE aggregation of one semantic model's relation at the
+        requested dimension grain — the only shuffle that model pays."""
+        if sm.model not in relations:
+            raise KeyError(
+                f"semantic model {sm.name!r} needs relation {sm.model!r}")
+        df = relations[sm.model]
+        dims = [self._dim_col(sm, g, grain) for g in group_by]
         aggs = []
         for m in simples:
             meas = sm.measures[m.measure]
@@ -168,9 +180,62 @@ class MetricLayer:
                 # metric's rows without a second scan of the model
                 expr = F.when(F.expr(m.filter), expr)
             aggs.append(_AGGS[meas.agg](expr).alias(m.name))
+        return df.groupBy(*dims).agg(*aggs) if dims else df.agg(*aggs)
 
-        out = (df.groupBy(*dims).agg(*aggs) if dims
-               else df.agg(*aggs))
+    def query(self, relations: dict[str, DataFrame], metrics: list[str],
+              group_by: list[str] = (), grain: str | None = None
+              ) -> DataFrame:
+        """One aggregation per involved semantic model answering the
+        metric question; column names are the metric / dimension names.
+
+        Cross-model metric sets (X84, VERDICT r10 item 6 — MetricFlow's
+        core move): when the simple-metric closure spans TWO semantic
+        models that share an ENTITY, each model aggregates to the
+        requested dimension grain independently (one shuffle each, over
+        its own relation — measures never ride a fact-to-fact join, so
+        no fan-out double counting), and the two aggregated frames FULL
+        OUTER join on the dimension values (null-safe, coalesced) —
+        months present on only one side still appear, which is also
+        what the dbt-style combined rollups do.  Derived metrics may
+        reference simple metrics from either side (they compute after
+        the join).  Lite errors retained: >2 models, or two models with
+        NO shared entity, raise — that's a genuinely unjoinable set,
+        not a guessable one."""
+        simples = self._simple_closure(list(metrics))
+        owners: dict[str, list[Metric]] = {}
+        for m in simples:
+            owners.setdefault(self._owner(m.measure).name, []).append(m)
+        if len(owners) > 2:
+            raise ValueError(
+                f"metrics span semantic models {sorted(owners)} — the "
+                "lite layer joins at most two")
+        if len(owners) == 1:
+            sm = self.semantic_models[next(iter(owners))]
+            out = self._aggregate(sm, relations, simples, list(group_by),
+                                  grain)
+        else:
+            (na, ma), (nb, mb) = sorted(owners.items())
+            a, b = self.semantic_models[na], self.semantic_models[nb]
+            shared = set(a.entities) & set(b.entities)
+            if not shared:
+                raise ValueError(
+                    f"metrics span {na!r} and {nb!r}, which share no "
+                    "entity — declare the join key on both semantic "
+                    "models (entities:) or query them separately")
+            fa = self._aggregate(a, relations, ma, list(group_by), grain)
+            fb = self._aggregate(b, relations, mb, list(group_by), grain)
+            if group_by:
+                cond = None
+                for g in group_by:
+                    c = fa[g].eqNullSafe(fb[g])
+                    cond = c if cond is None else (cond & c)
+                joined = fa.join(fb, cond, "full_outer")
+                out = joined.select(
+                    *[F.coalesce(fa[g], fb[g]).alias(g) for g in group_by],
+                    *[fa[m.name] for m in ma],
+                    *[fb[m.name] for m in mb])
+            else:
+                out = fa.crossJoin(fb)   # two single-row frames
         final = [F.col(g) for g in group_by]
         for n in metrics:
             m = self.metrics[n]
@@ -224,11 +289,16 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
                 expr=str(d.get("expr", d["name"])),
                 grain=((d.get("type_params", {}) or {})
                        .get("time_granularity", "")))
+        entities = {}
+        for e in s.get("entities", []) or []:
+            entities[e["name"]] = Entity(
+                name=e["name"], type=e.get("type", "primary"),
+                expr=str(e.get("expr", e["name"])))
         model_token = s.get("model", s["name"])
         m = _REF_RE.search(model_token)
         layer.semantic_models[s["name"]] = SemanticModel(
             name=s["name"], model=m.group(1) if m else model_token,
-            measures=measures, dimensions=dims)
+            measures=measures, dimensions=dims, entities=entities)
     for m in doc.get("metrics", []) or []:
         tp = m.get("type_params", {}) or {}
         layer.metrics[m["name"]] = Metric(

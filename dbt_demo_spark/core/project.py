@@ -195,11 +195,22 @@ class PortedProject:
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
-                     registry: ModelRegistry | None = None
-                     ) -> PortedProject:
+                     registry: ModelRegistry | None = None,
+                     env_vars: dict | None = None,
+                     vars_overrides: dict | None = None) -> PortedProject:
     """Port a dbt project end-to-end from its own ``dbt_project.yml`` —
-    no hand-stated policy (VERDICT r9 "What's missing" #1)."""
+    no hand-stated policy (VERDICT r9 "What's missing" #1).
+
+    ``env_vars`` (X83) is the EXPLICIT mapping ``{{ env_var(...) }}``
+    calls resolve from — never implicit os.environ (determinism; the
+    caller decides what the project sees).  ``vars_overrides`` (X83)
+    merges OVER the project's ``vars:`` block with dbt's CLI ``--vars``
+    precedence.  ``{% macro %}`` files under ``macro-paths`` (X82)
+    load into a project-wide namespace and expand in every model,
+    singular test, analysis, and snapshot body."""
     import yaml
+
+    from .macros import load_macro_dirs
 
     with open(os.path.join(project_dir, "dbt_project.yml")) as fh:
         cfg = yaml.safe_load(fh)
@@ -211,6 +222,11 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     if isinstance(vars_.get(name), dict):  # project-scoped vars block
         vars_ = {**{k: v for k, v in vars_.items() if k != name},
                  **vars_[name]}
+    vars_ = {**vars_, **(vars_overrides or {})}  # CLI --vars precedence
+
+    macros = load_macro_dirs(
+        [os.path.join(project_dir, mp)
+         for mp in cfg.get("macro-paths", ["macros"])])
 
     registry = registry if registry is not None else ModelRegistry()
     model_names: list[str] = []
@@ -220,7 +236,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         if os.path.isdir(mdir):
             model_names += register_sql_dir(
                 registry, mdir, materialized_by_subdir=policy,
-                default_materialized=default_mat, vars=vars_)
+                default_materialized=default_mat, vars=vars_,
+                macros=macros, env=env_vars)
             # dbt accepts both .yml and .yaml properties files; globbing
             # only one silently drops the other's tests/contracts
             # (ADVICE r10)
@@ -235,7 +252,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     for tp in cfg.get("test-paths", ["tests"]):
         tdir = os.path.join(project_dir, tp)
         if os.path.isdir(tdir):
-            model_names += register_test_dir(registry, tdir, vars=vars_)
+            model_names += register_test_dir(registry, tdir, vars=vars_,
+                                              macros=macros, env=env_vars)
 
     # seeds: config tree — `+column_types` at the project level keys ""
     # (applies to every seed where the column exists), per-seed blocks
@@ -267,7 +285,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                     if f.endswith(".sql"):
                         with open(os.path.join(dirpath, f)) as fh:
                             sdef, fn, deps = parse_snapshot_sql(
-                                fh.read(), vars=vars_)
+                                fh.read(), vars=vars_, macros=macros,
+                                env=env_vars)
                         snapshots[sdef.name] = (sdef, fn, deps)
 
     analyses: dict[str, str] = {}
@@ -276,7 +295,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         if os.path.isdir(adir):
             analyses.update(compile_analyses(
                 registry, adir, vars=vars_,
-                extra_relations=set(seeds)))
+                extra_relations=set(seeds), macros=macros,
+                env=env_vars))
 
     return PortedProject(
         name=name, registry=registry, seeds=seeds,
@@ -290,8 +310,9 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,
                      vars: dict | None = None,
-                     extra_relations: set[str] = frozenset()
-                     ) -> dict[str, str]:
+                     extra_relations: set[str] = frozenset(),
+                     macros: dict | None = None,
+                     env: dict | None = None) -> dict[str, str]:
     """dbt analyses [public knowledge: analysis-paths — SQL that compiles
     with the project's context but is NEVER run or materialized; the
     reference declares analyses/ at dbt_project.yml:7 and ships none]:
@@ -300,7 +321,9 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
     their own names, so the compiled text runs as-is via spark.sql once
     the DAG is built).  Unknown refs raise at compile time — the same
     manifest validation dbt does."""
-    from .sqlmodel import parse_deps, render_sql, render_vars
+    from .macros import expand_macros
+    from .sqlmodel import (parse_deps, render_env_vars, render_sql,
+                           render_vars)
 
     out: dict[str, str] = {}
     for dirpath, _dirnames, filenames in sorted(os.walk(analyses_dir)):
@@ -309,7 +332,9 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
                 continue
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
-                text = render_vars(fh.read(), vars)
+                text = render_env_vars(
+                    render_vars(expand_macros(fh.read(), macros), vars),
+                    env)
             deps = parse_deps(text)
             known = set(registry.names()) | set(extra_relations)
             unknown = [d for d in deps if d not in known]

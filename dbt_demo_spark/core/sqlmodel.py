@@ -53,8 +53,13 @@ _INCR_BLOCK_RE = re.compile(
     re.DOTALL)
 _ELSE_RE = re.compile(r"\{%-?\s*else\s*-?%\}")
 _NESTED_BRANCH_RE = re.compile(r"\{%-?\s*(if|elif)\b")
+# both quote styles: dbt model text uses single quotes by convention but
+# double-quoted names are equally valid Jinja
 _VAR_RE = re.compile(
-    r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*(.+?)\s*)?\)\s*\}\}")
+    r"\{\{\s*var\(\s*['\"]([^'\"]+)['\"]\s*(?:,\s*(.+?)\s*)?\)\s*\}\}")
+_ENV_VAR_RE = re.compile(
+    r"\{\{\s*env_var\(\s*['\"]([^'\"]+)['\"]\s*"
+    r"(?:,\s*['\"]([^'\"]*)['\"]\s*)?\)\s*\}\}")
 _LEFTOVER_BLOCK_RE = re.compile(r"\{%.*?%\}", re.DOTALL)
 # anchored to REAL cast syntax (ADVICE r9, tightened r11): the rewrite
 # walks each `cast(`'s balanced-paren span and only touches an
@@ -161,6 +166,31 @@ def render_vars(sql_text: str, vars: dict | None) -> str:
     return _VAR_RE.sub(sub, sql_text)
 
 
+def render_env_vars(sql_text: str, env: dict | None) -> str:
+    """Substitute ``{{ env_var('NAME'[, 'default']) }}`` from an EXPLICIT
+    mapping (X83, VERDICT r10 item 4) — never implicit ``os.environ``:
+    a model's compiled text must be a function of declared inputs so
+    fingerprints and reruns are deterministic; the caller decides which
+    process variables to expose (``port_dbt_project(env_vars=...)``).
+    Values render RAW (dbt semantics, same as ``var()`` — the model text
+    supplies its own quotes); dbt's env_var default is always a string
+    literal.  Missing name with no default raises, dbt's compilation
+    error."""
+    env = env or {}
+
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if name in env:
+            return str(env[name])
+        if default is not None:
+            return default
+        raise ValueError(
+            f"env_var {name!r} not provided and has no default — pass it "
+            "in the env_vars mapping or give the call a default")
+
+    return _ENV_VAR_RE.sub(sub, sql_text)
+
+
 def render_sql(sql_text: str, view_for: dict[str, str], *,
                incremental: bool = False,
                this_view: str | None = None) -> str:
@@ -212,8 +242,9 @@ def render_sql(sql_text: str, view_for: dict[str, str], *,
     if leftover:
         raise ValueError(
             f"unsupported Jinja construct in SQL model: {leftover.group(0)!r}"
-            " — supported: ref, source, date_trunc, config, var, this,"
-            " {% if is_incremental() %}")
+            " — supported: ref, source, date_trunc, config, var, env_var,"
+            " this, {% if is_incremental() %}, and project-defined"
+            " {% macro %}s from macro-paths")
     return sql
 
 
@@ -235,6 +266,11 @@ def sql_model_fn(name: str, sql_text: str):
     tag = next(_COUNTER)
     wants_ctx = bool(_INCR_BLOCK_RE.search(sql_text)
                      or _THIS_RE.search(sql_text))
+    # registration-time validation (r11): render the first-build text
+    # once against placeholder view names so unsupported Jinja (e.g. a
+    # call to a macro the project never defined) fails when the project
+    # PORTS, not at the first Runner build — same raise, earlier.
+    render_sql(sql_text, {d: d for d in deps}, incremental=False)
 
     def fn(refs: dict[str, DataFrame], ctx=None) -> DataFrame:
         if not deps:
@@ -272,18 +308,26 @@ def sql_model_fn(name: str, sql_text: str):
 
 def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
                        *, materialized: str = "view",
-                       vars: dict | None = None, **model_kwargs) -> None:
+                       vars: dict | None = None,
+                       macros: dict | None = None,
+                       env: dict | None = None, **model_kwargs) -> None:
     """``registry.sql_model(...)`` body: register SQL text as a model.
     ``model_kwargs`` pass through to ModelDef (partition_by, tests,
     contract, hooks, ... — the full Python-model surface applies).
 
     dbt config precedence: an in-file ``{{ config(...) }}`` overrides
     both the ``materialized`` argument (the folder policy) and any
-    same-named ``model_kwargs``.  ``vars`` substitute before parsing, so
-    a var change re-fingerprints the model like any text edit."""
+    same-named ``model_kwargs``.  ``macros`` (X82) expand FIRST — a
+    ref() a macro body introduces becomes a DAG edge, and macro-emitted
+    var()/env_var() calls resolve in the passes that follow; then
+    ``vars`` and ``env`` substitute.  All three happen before parsing,
+    so a macro/var change re-fingerprints the model like any text
+    edit."""
+    from .macros import expand_macros
     from .model import ModelDef
 
-    sql_text = render_vars(sql_text, vars)
+    sql_text = render_env_vars(
+        render_vars(expand_macros(sql_text, macros), vars), env)
     cfg = parse_config(sql_text)
     materialized = cfg.pop("materialized", materialized)
     model_kwargs = {**model_kwargs, **cfg}
@@ -299,7 +343,9 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
 
 
 def register_test_dir(registry: ModelRegistry, tests_dir: str,
-                      vars: dict | None = None) -> list[str]:
+                      vars: dict | None = None,
+                      macros: dict | None = None,
+                      env: dict | None = None) -> list[str]:
     """Port a dbt project's ``test-paths`` directory: every ``*.sql``
     file is a SINGULAR data test [public knowledge: dbt singular tests —
     a SELECT returning violating rows; any row is a failure]
@@ -322,8 +368,12 @@ def register_test_dir(registry: ModelRegistry, tests_dir: str,
             if not f.endswith(".sql"):
                 continue
             name = f[:-len(".sql")]
+            from .macros import expand_macros
+
             with open(os.path.join(dirpath, f)) as fh:
-                sql_text = render_vars(fh.read(), vars)
+                sql_text = render_env_vars(
+                    render_vars(expand_macros(fh.read(), macros), vars),
+                    env)
             fn, deps = sql_model_fn(name, sql_text)
             registry.register(ModelDef(
                 name=name, deps=deps, materialized="ephemeral", fn=fn,
@@ -340,7 +390,9 @@ _SNAPSHOT_BLOCK_RE = re.compile(
     r"\{%-?\s*endsnapshot\s*-?%\}", re.DOTALL)
 
 
-def parse_snapshot_sql(sql_text: str, vars: dict | None = None):
+def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
+                       macros: dict | None = None,
+                       env: dict | None = None):
     """One dbt ``snapshots/*.sql`` file -> (SnapshotDef, source_fn, deps)
     [public knowledge: dbt snapshot blocks — `{% snapshot name %}` +
     config(strategy/unique_key/updated_at/check_cols) + a SELECT].
@@ -355,7 +407,11 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None):
     if not m:
         raise ValueError("not a snapshot file: no "
                          "{% snapshot name %} ... {% endsnapshot %} block")
-    name, body = m.group(1), render_vars(m.group(2), vars)
+    from .macros import expand_macros
+
+    name = m.group(1)
+    body = render_env_vars(
+        render_vars(expand_macros(m.group(2), macros), vars), env)
     cfg = parse_config(body)
     check_cols = cfg.get("check_cols", ())
     if isinstance(check_cols, str) and check_cols != "all":
@@ -377,7 +433,9 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None):
 def register_sql_dir(registry: ModelRegistry, models_dir: str,
                      materialized_by_subdir: dict[str, str] | None = None,
                      default_materialized: str = "view",
-                     vars: dict | None = None) -> list[str]:
+                     vars: dict | None = None,
+                     macros: dict | None = None,
+                     env: dict | None = None) -> list[str]:
     """Port a dbt project's models/ directory wholesale: every ``*.sql``
     file registers under its stem, materialization chosen by the DEEPEST
     matching policy path — the dbt_project.yml folder policy
@@ -404,6 +462,7 @@ def register_sql_dir(registry: ModelRegistry, models_dir: str,
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
                 register_sql_model(registry, name, fh.read(),
-                                   materialized=mat, vars=vars)
+                                   materialized=mat, vars=vars,
+                                   macros=macros, env=env)
             registered.append(name)
     return registered

@@ -142,3 +142,105 @@ def test_one_shuffle_plan(spark, layer):
             .split("== Initial Plan ==")[0])
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ----------------------------------------- X84 cross-model metrics ----
+
+CROSS_YAML = """
+semantic_models:
+  - name: orders_sm
+    model: ref('orders')
+    entities:
+      - name: order
+        type: primary
+        expr: o_orderkey
+    dimensions:
+      - name: order_month
+        type: time
+        expr: o_orderdate
+        type_params: {time_granularity: month}
+    measures:
+      - name: order_total_units
+        agg: sum
+        expr: cast(floor(o_totalprice * 100 + 0.5) as bigint)
+  - name: shipments_sm
+    model: ref('lineitem')
+    entities:
+      - name: order
+        type: foreign
+        expr: l_orderkey
+    dimensions:
+      - name: order_month
+        type: time
+        expr: l_shipdate
+        type_params: {time_granularity: month}
+    measures:
+      - name: shipped_units
+        agg: sum
+        expr: cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+metrics:
+  - name: revenue_units
+    type: simple
+    type_params: {measure: order_total_units}
+  - name: shipped_units_m
+    type: simple
+    type_params: {measure: shipped_units}
+  - name: ship_ratio
+    type: derived
+    type_params: {expr: shipped_units_m / cast(revenue_units as double)}
+"""
+
+
+def test_cross_model_metrics_match_duckdb(spark):
+    """X84 done-criterion: a metric set spanning two semantic models
+    that share an entity compiles to one aggregation per model + ONE
+    full-outer join of the aggregated frames; DuckDB hash-match."""
+    layer = parse_metric_layer(CROSS_YAML)
+    assert "order" in layer.semantic_models["orders_sm"].entities
+    rels = {"orders": load_table(spark, SF_GATE, "orders"),
+            "lineitem": load_table(spark, SF_GATE, "lineitem")}
+    out = layer.query(
+        rels, ["revenue_units", "shipped_units_m", "ship_ratio"],
+        group_by=["order_month"], grain="month")
+    con = duckdb_connection(SF_GATE)
+    r = compare("metrics_cross", out, con, """
+        WITH o AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS revenue_units
+            FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS m,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS shipped_units_m
+            FROM lineitem GROUP BY 1
+        )
+        SELECT COALESCE(o.m, s.m) AS order_month,
+               o.revenue_units,
+               s.shipped_units_m,
+               s.shipped_units_m / CAST(o.revenue_units AS DOUBLE)
+                   AS ship_ratio
+        FROM o FULL OUTER JOIN s ON o.m = s.m
+    """)
+    assert r.ok, r.detail
+
+    # plan assert: exactly ONE join, of AGGREGATED (tiny) sides
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    import re as _re
+    assert len(_re.findall(r"\bJoin\b|SortMergeJoin|BroadcastHashJoin",
+                           plan)) <= 2, plan  # one join node +- its tag
+    assert plan.count("FullOuter") == 1, plan
+
+
+def test_cross_model_lite_errors(spark):
+    """Unjoinable sets still raise: no shared entity, and >2 models."""
+    layer = parse_metric_layer(CROSS_YAML.replace(
+        "      - name: order\n        type: foreign\n"
+        "        expr: l_orderkey\n", ""))
+    rels = {"orders": load_table(spark, SF_GATE, "orders"),
+            "lineitem": load_table(spark, SF_GATE, "lineitem")}
+    with pytest.raises(ValueError, match="share no"):
+        layer.query(rels, ["revenue_units", "shipped_units_m"],
+                    group_by=["order_month"], grain="month")

@@ -1033,3 +1033,141 @@ models:
     p = port_dbt_project(spark, str(tmp_path))
     assert p.registry["pass_through"].tests, \
         "schema.yaml tests were not attached"
+
+
+# ------------------------------------------- X82 user-defined macros ----
+
+def test_macro_parse_and_expand_unit():
+    """Macro-lite surface: positional/keyword/default binding, string
+    values render unquoted, ref() args re-wrap for the downstream
+    render, nested macros expand, dynamic constructs raise."""
+    from dbt_demo_spark.core.macros import expand_macros, parse_macro_text
+
+    macros = parse_macro_text("""
+{% macro cents_to_dollars(column_name, scale=2) %}
+round({{ column_name }} / 100.0, {{ scale }})
+{% endmacro %}
+{% macro money(col) %}
+{{ cents_to_dollars(col, scale=4) }}
+{% endmacro %}
+""")
+    out = expand_macros(
+        "select {{ cents_to_dollars('amount_cents') }} as amount,\n"
+        "       {{ money('fee_cents') }} as fee\n"
+        "from {{ ref('payments') }}", macros)
+    assert "round(amount_cents / 100.0, 2)" in out
+    assert "round(fee_cents / 100.0, 4)" in out  # nested + kwarg
+    assert "{{ ref('payments') }}" in out        # untouched
+
+    # a ref() argument re-wraps so parse_deps sees the edge
+    m2 = parse_macro_text(
+        "{% macro latest(rel) %}select max(ts) from {{ rel }}"
+        "{% endmacro %}")
+    out2 = expand_macros("{{ latest(ref('events')) }}", m2)
+    assert out2 == "select max(ts) from {{ ref('events') }}"
+
+    with pytest.raises(ValueError, match="control flow"):
+        parse_macro_text(
+            "{% macro bad() %}{% if x %}1{% endif %}{% endmacro %}")
+    with pytest.raises(ValueError, match="shadows a built-in"):
+        parse_macro_text("{% macro ref(x) %}{{ x }}{% endmacro %}")
+    with pytest.raises(ValueError, match="unsupported argument"):
+        expand_macros("{{ latest(1 + 2) }}", m2)
+    with pytest.raises(ValueError, match="too many arguments"):
+        expand_macros("{{ latest(ref('a'), ref('b')) }}", m2)
+    with pytest.raises(ValueError, match="did not terminate"):
+        expand_macros("{{ loop_a() }}", parse_macro_text(
+            "{% macro loop_a() %}{{ loop_b() }}{% endmacro %}"
+            "{% macro loop_b() %}{{ loop_a() }}{% endmacro %}"))
+
+
+def test_project_macros_port_end_to_end(spark, tmp_path):
+    """VERDICT r10 item 2 'done' criterion: a synthetic project with a
+    project-defined macro used by a model ports through
+    port_dbt_project and its relation matches a hand-expanded twin;
+    an unknown macro call still raises."""
+    (tmp_path / "dbt_project.yml").write_text(
+        "name: macproj\nmodel-paths: ['models']\nseed-paths: ['seeds']\n"
+        "macro-paths: ['macros']\n")
+    (tmp_path / "macros").mkdir()
+    (tmp_path / "macros" / "helpers.sql").write_text("""
+{% macro cents_to_dollars(column_name, scale=2) %}
+round({{ column_name }} / 100.0, {{ scale }})
+{% endmacro %}
+""")
+    m = tmp_path / "models"
+    m.mkdir()
+    (m / "dollars.sql").write_text(
+        "select id, {{ cents_to_dollars('cents') }} as amount\n"
+        "from {{ ref('pays') }}")
+    s = tmp_path / "seeds"
+    s.mkdir()
+    (s / "pays.csv").write_text("id,cents\n1,150\n2,99\n")
+
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.registry["dollars"].deps == ("pays",)  # macro-introduced dep OK
+    runner = Runner(spark, p.registry, warehouse_dir=str(tmp_path / "wh"))
+    try:
+        out = runner.run(p.seeds)["dollars"]
+        # Spark parses the 100.0 literal as DECIMAL(4,1), so round()
+        # yields decimal — hand-expanded twin semantics, value-compared
+        got = {r.id: float(r.amount) for r in out.collect()}
+        assert got == {1: 1.5, 2: 0.99}
+        twin = {r.id: float(r.amount) for r in p.seeds["pays"]
+                .selectExpr("id", "round(cents / 100.0, 2) as amount")
+                .collect()}
+        assert got == twin
+    finally:
+        runner.clean()
+
+    # unknown macro call fails loud through the standard leftover check
+    (m / "broken.sql").write_text(
+        "select {{ not_a_macro('x') }} from {{ ref('pays') }}")
+    with pytest.raises(ValueError, match="unsupported Jinja"):
+        port_dbt_project(spark, str(tmp_path))
+
+
+# ------------------------------------ X83 env_var + vars overrides ----
+
+def test_env_var_and_vars_overrides(spark, tmp_path):
+    """env_var() renders from the EXPLICIT env_vars mapping (never
+    os.environ), defaults apply, missing-with-no-default raises;
+    vars_overrides take dbt's CLI --vars precedence over project vars."""
+    (tmp_path / "dbt_project.yml").write_text(
+        "name: envproj\nmodel-paths: ['models']\nseed-paths: ['seeds']\n"
+        "vars:\n  status_filter: ok\n")
+    m = tmp_path / "models"
+    m.mkdir()
+    (m / "filtered.sql").write_text(
+        "select id from {{ ref('items') }}\n"
+        "where status = '{{ var(\"status_filter\") }}'\n"
+        "  and region = '{{ env_var(\"REGION\", \"emea\") }}'\n"
+        "  and tier >= {{ env_var('MIN_TIER') }}")
+    s = tmp_path / "seeds"
+    s.mkdir()
+    (s / "items.csv").write_text(
+        "id,status,region,tier\n1,ok,emea,5\n2,ok,apac,9\n3,bad,emea,9\n")
+
+    # missing env_var with no default raises at registration
+    with pytest.raises(ValueError, match="MIN_TIER"):
+        port_dbt_project(spark, str(tmp_path))
+
+    p = port_dbt_project(spark, str(tmp_path), env_vars={"MIN_TIER": 4})
+    runner = Runner(spark, p.registry, warehouse_dir=str(tmp_path / "wh"))
+    try:
+        out = runner.run(p.seeds)["filtered"]
+        assert {r.id for r in out.collect()} == {1}
+    finally:
+        runner.clean()
+
+    # CLI --vars precedence: override flips the status filter
+    p2 = port_dbt_project(spark, str(tmp_path),
+                          env_vars={"MIN_TIER": 4, "REGION": "emea"},
+                          vars_overrides={"status_filter": "bad"})
+    assert p2.vars["status_filter"] == "bad"
+    runner2 = Runner(spark, p2.registry, warehouse_dir=str(tmp_path / "wh2"))
+    try:
+        out2 = runner2.run(p2.seeds)["filtered"]
+        assert {r.id for r in out2.collect()} == {3}
+    finally:
+        runner2.clean()
