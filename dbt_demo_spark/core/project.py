@@ -192,6 +192,46 @@ class PortedProject:
     snapshots: dict = field(default_factory=dict)
     # FreshnessSpec list the properties files declared (check_freshness)
     freshness: tuple = ()
+    # installed package names, load order (X85)
+    packages: tuple = ()
+
+
+def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
+                  overrides: dict | None) -> dict:
+    """var() namespace for one PACKAGE's models — dbt precedence
+    [public knowledge: dbt package vars]: the package's own ``vars:``
+    are defaults, the root project's plain vars override them globally,
+    a root ``vars: {<package>: {...}}`` scoped block wins for this
+    package, CLI-style overrides win over everything."""
+    own = dict(own_cfg.get("vars", {}) or {})
+    if isinstance(own.get(own_name), dict):
+        own = {**{k: v for k, v in own.items() if k != own_name},
+               **own[own_name]}
+    root_plain = {k: v for k, v in root_vars_raw.items()
+                  if not isinstance(v, dict)}
+    scoped = root_vars_raw.get(own_name)
+    scoped = scoped if isinstance(scoped, dict) else {}
+    return {**own, **root_plain, **scoped, **(overrides or {})}
+
+
+def _project_policy(own_cfg: dict, own_name: str, root_models: dict
+                    ) -> tuple[dict, str]:
+    """(policy path map, default materialization) for one project —
+    the package's own ``models: <name>:`` tree overridden path-by-path
+    by the ROOT project's ``models: <name>:`` tree (dbt precedence:
+    root config beats package config); a top-level ``+materialized``
+    under either ``models:`` sets that project's default."""
+    policy: dict[str, str] = {}
+    _walk_policy((own_cfg.get("models", {}) or {}).get(own_name, {}) or {},
+                 "", policy)
+    root_over: dict[str, str] = {}
+    _walk_policy(root_models.get(own_name, {}) or {}, "", root_over)
+    policy.update(root_over)
+    default = policy.pop(
+        "",
+        root_models.get("+materialized")
+        or (own_cfg.get("models", {}) or {}).get("+materialized", "view"))
+    return policy, default
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
@@ -207,105 +247,188 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     merges OVER the project's ``vars:`` block with dbt's CLI ``--vars``
     precedence.  ``{% macro %}`` files under ``macro-paths`` (X82)
     load into a project-wide namespace and expand in every model,
-    singular test, analysis, and snapshot body."""
+    singular test, analysis, and snapshot body.
+
+    Installed PACKAGES (X85 — core/packages.py documents the discovery
+    contract) load after the root project, each a full dbt project:
+    their macros join the namespace (qualified ``pkg.macro`` always;
+    unqualified when nothing shadows — root macros win, a cross-package
+    collision keeps only the qualified forms), their models/seeds/
+    tests/snapshots/analyses register under dbt's FLAT global
+    namespace (collisions raise), the root ``models: <pkg>:`` tree
+    overrides the package's own policy, and root vars override package
+    vars (scoped ``vars: {<pkg>: {...}}`` wins for that package)."""
     import yaml
 
     from .macros import load_macro_dirs
+    from .packages import discover_packages
 
     with open(os.path.join(project_dir, "dbt_project.yml")) as fh:
         cfg = yaml.safe_load(fh)
     name = cfg["name"]
-    policy: dict[str, str] = {}
-    _walk_policy(cfg.get("models", {}).get(name, {}), "", policy)
-    default_mat = policy.pop("", "view")
+    packages = discover_packages(project_dir, cfg)
+
+    root_models = cfg.get("models", {}) or {}
+    known = {name, *(p.name for p in packages)}
+    unknown = [k for k in root_models
+               if not k.startswith("+") and k not in known]
+    if unknown:
+        raise ValueError(
+            f"dbt_project.yml models: tree names {sorted(unknown)} — "
+            f"neither this project ({name!r}) nor an installed package "
+            f"({sorted(p.name for p in packages)}); a config that "
+            "applies to nothing is a typo or a missing package")
+
     vars_ = cfg.get("vars", {}) or {}
+    root_vars_raw = dict(vars_)
     if isinstance(vars_.get(name), dict):  # project-scoped vars block
         vars_ = {**{k: v for k, v in vars_.items() if k != name},
                  **vars_[name]}
     vars_ = {**vars_, **(vars_overrides or {})}  # CLI --vars precedence
 
+    # ---- macro namespace: root first (wins unqualified), then packages
     macros = load_macro_dirs(
         [os.path.join(project_dir, mp)
          for mp in cfg.get("macro-paths", ["macros"])])
+    macros.update({f"{name}.{n}": m for n, m in macros.items()
+                   if "." not in n})
+    pkg_claims: dict[str, str] = {}  # unqualified name -> claiming pkg
+    for pkg in packages:
+        pkg_macros = load_macro_dirs(
+            [os.path.join(pkg.path, mp)
+             for mp in pkg.cfg.get("macro-paths", ["macros"])])
+        for n, m in pkg_macros.items():
+            macros[f"{pkg.name}.{n}"] = m
+            if n in pkg_claims:
+                # two packages define it: only qualified calls resolve
+                macros.pop(n, None)
+            elif n not in macros:  # root macro keeps the bare name
+                macros[n] = m
+                pkg_claims[n] = pkg.name
 
     registry = registry if registry is not None else ModelRegistry()
     model_names: list[str] = []
     freshness: list = []
-    for mp in cfg.get("model-paths", ["models"]):
-        mdir = os.path.join(project_dir, mp)
-        if os.path.isdir(mdir):
-            model_names += register_sql_dir(
-                registry, mdir, materialized_by_subdir=policy,
-                default_materialized=default_mat, vars=vars_,
-                macros=macros, env=env_vars)
-            # dbt accepts both .yml and .yaml properties files; globbing
-            # only one silently drops the other's tests/contracts
-            # (ADVICE r10)
-            for props in sorted(
-                    glob.glob(os.path.join(mdir, "**", "*.yml"),
-                              recursive=True)
-                    + glob.glob(os.path.join(mdir, "**", "*.yaml"),
-                                recursive=True)):
-                freshness += attach_properties(
-                    registry, props).get("freshness", [])
-
-    for tp in cfg.get("test-paths", ["tests"]):
-        tdir = os.path.join(project_dir, tp)
-        if os.path.isdir(tdir):
-            model_names += register_test_dir(registry, tdir, vars=vars_,
-                                              macros=macros, env=env_vars)
-
-    # seeds: config tree — `+column_types` at the project level keys ""
-    # (applies to every seed where the column exists), per-seed blocks
-    # key the seed name (dbt seed configs [public knowledge])
-    seed_types: dict[str, dict[str, str]] = {}
-    seeds_cfg = (cfg.get("seeds", {}) or {}).get(name, {}) or {}
-    if "+column_types" in seeds_cfg:
-        seed_types[""] = dict(seeds_cfg["+column_types"])
-    for k, v in seeds_cfg.items():
-        if isinstance(v, dict) and "+column_types" in v:
-            seed_types[k] = dict(v["+column_types"])
-
-    seeds = load_seeds(
-        spark, [os.path.join(project_dir, sp)
-                for sp in cfg.get("seed-paths", ["seeds"])],
-        column_types=seed_types)
-    def _hooklist(key: str) -> tuple[str, ...]:
-        v = cfg.get(key, ())
-        return (v,) if isinstance(v, str) else tuple(v or ())
-
+    seeds: dict[str, DataFrame] = {}
     snapshots: dict = {}
-    for spath in cfg.get("snapshot-paths", ["snapshots"]):
-        sdir = os.path.join(project_dir, spath)
-        if os.path.isdir(sdir):
-            from .sqlmodel import parse_snapshot_sql
+    analyses_dirs: list[tuple[str, dict]] = []  # deferred to phase 2
+    hooks = {"on-run-start": [], "on-run-end": []}
 
-            for dirpath, _dn, fns in sorted(os.walk(sdir)):
-                for f in sorted(fns):
-                    if f.endswith(".sql"):
-                        with open(os.path.join(dirpath, f)) as fh:
-                            sdef, fn, deps = parse_snapshot_sql(
-                                fh.read(), vars=vars_, macros=macros,
-                                env=env_vars)
-                        snapshots[sdef.name] = (sdef, fn, deps)
+    # root project first, then packages in name order — dbt's flat
+    # global namespace means later collisions raise, and root-first
+    # makes the raise name the package as the newcomer
+    for proj_cfg, proj_dir, proj_vars in (
+            [(cfg, project_dir, vars_)]
+            + [(p.cfg, p.path,
+                _project_vars(p.cfg, p.name, root_vars_raw,
+                              vars_overrides))
+               for p in packages]):
+        pname = proj_cfg["name"]
+        policy, default_mat = _project_policy(proj_cfg, pname,
+                                              root_models)
+        for mp in proj_cfg.get("model-paths", ["models"]):
+            mdir = os.path.join(proj_dir, mp)
+            if os.path.isdir(mdir):
+                model_names += register_sql_dir(
+                    registry, mdir, materialized_by_subdir=policy,
+                    default_materialized=default_mat, vars=proj_vars,
+                    macros=macros, env=env_vars)
+                # dbt accepts both .yml and .yaml properties files;
+                # globbing only one silently drops the other's
+                # tests/contracts (ADVICE r10)
+                for props in sorted(
+                        glob.glob(os.path.join(mdir, "**", "*.yml"),
+                                  recursive=True)
+                        + glob.glob(os.path.join(mdir, "**", "*.yaml"),
+                                    recursive=True)):
+                    freshness += attach_properties(
+                        registry, props).get("freshness", [])
 
+        for tp in proj_cfg.get("test-paths", ["tests"]):
+            tdir = os.path.join(proj_dir, tp)
+            if os.path.isdir(tdir):
+                model_names += register_test_dir(
+                    registry, tdir, vars=proj_vars,
+                    macros=macros, env=env_vars)
+
+        # seeds: config tree — `+column_types` at the project level keys
+        # "" (applies to every seed where the column exists), per-seed
+        # blocks key the seed name (dbt seed configs [public knowledge]);
+        # the ROOT seeds: tree may also scope a package's seeds
+        seed_types: dict[str, dict[str, str]] = {}
+        for scope_cfg in ([proj_cfg] if proj_cfg is cfg
+                          else [proj_cfg, cfg]):  # root overrides pkg
+            seeds_cfg = ((scope_cfg.get("seeds", {}) or {})
+                         .get(pname, {}) or {})
+            if "+column_types" in seeds_cfg:
+                seed_types[""] = {**seed_types.get("", {}),
+                                  **seeds_cfg["+column_types"]}
+            for k, v in seeds_cfg.items():
+                if isinstance(v, dict) and "+column_types" in v:
+                    seed_types[k] = {**seed_types.get(k, {}),
+                                     **v["+column_types"]}
+
+        proj_seeds = load_seeds(
+            spark, [os.path.join(proj_dir, sp)
+                    for sp in proj_cfg.get("seed-paths", ["seeds"])],
+            column_types=seed_types)
+        dup_seeds = set(proj_seeds) & set(seeds)
+        if dup_seeds:
+            raise ValueError(
+                f"project {pname!r} seeds {sorted(dup_seeds)} collide "
+                "with seeds loaded earlier — dbt's seed namespace is "
+                "flat across a project and its packages")
+        seeds.update(proj_seeds)
+
+        for spath in proj_cfg.get("snapshot-paths", ["snapshots"]):
+            sdir = os.path.join(proj_dir, spath)
+            if os.path.isdir(sdir):
+                from .sqlmodel import parse_snapshot_sql
+
+                for dirpath, _dn, fns in sorted(os.walk(sdir)):
+                    for f in sorted(fns):
+                        if f.endswith(".sql"):
+                            with open(os.path.join(dirpath, f)) as fh:
+                                sdef, fn, deps = parse_snapshot_sql(
+                                    fh.read(), vars=proj_vars,
+                                    macros=macros, env=env_vars)
+                            if sdef.name in snapshots:
+                                raise ValueError(
+                                    f"duplicate snapshot {sdef.name!r}")
+                            snapshots[sdef.name] = (sdef, fn, deps)
+
+        for apath in proj_cfg.get("analysis-paths", ["analyses"]):
+            adir = os.path.join(proj_dir, apath)
+            if os.path.isdir(adir):
+                analyses_dirs.append((adir, proj_vars))
+
+        # package on-run-* hooks run too [public dbt surface]; root's
+        # first, then packages in load order — deterministic either way
+        for key in hooks:
+            v = proj_cfg.get(key, ())
+            hooks[key] += [v] if isinstance(v, str) else list(v or ())
+
+    # analyses compile LAST: a root analysis may ref() a package model
+    # and vice versa, and the compiled text may name any seed
     analyses: dict[str, str] = {}
-    for apath in cfg.get("analysis-paths", ["analyses"]):
-        adir = os.path.join(project_dir, apath)
-        if os.path.isdir(adir):
-            analyses.update(compile_analyses(
-                registry, adir, vars=vars_,
-                extra_relations=set(seeds), macros=macros,
-                env=env_vars))
+    for adir, proj_vars in analyses_dirs:
+        compiled = compile_analyses(
+            registry, adir, vars=proj_vars,
+            extra_relations=set(seeds), macros=macros, env=env_vars)
+        dup = set(compiled) & set(analyses)
+        if dup:
+            raise ValueError(f"duplicate analyses {sorted(dup)}")
+        analyses.update(compiled)
 
     return PortedProject(
         name=name, registry=registry, seeds=seeds,
         model_names=model_names,
         clean_targets=tuple(cfg.get("clean-targets", ())), vars=vars_,
-        on_run_start=_hooklist("on-run-start"),
-        on_run_end=_hooklist("on-run-end"),
+        on_run_start=tuple(hooks["on-run-start"]),
+        on_run_end=tuple(hooks["on-run-end"]),
         analyses=analyses, snapshots=snapshots,
-        freshness=tuple(freshness))
+        freshness=tuple(freshness),
+        packages=tuple(p.name for p in packages))
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,

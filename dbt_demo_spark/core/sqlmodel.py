@@ -41,7 +41,13 @@ from pyspark.sql import DataFrame
 
 from .model import ModelRegistry
 
-_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+# one- and two-arg forms: ref('model') and ref('package', 'model')
+# [public dbt surface] — model names are GLOBALLY unique across a
+# project and its packages (dbt's own manifest rule, enforced by
+# ModelRegistry's duplicate raise), so the package qualifier resolves
+# to the same node the bare name does; the dep edge is the model name
+_REF_RE = re.compile(
+    r"\{\{\s*ref\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*\}\}")
 _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*'[^']+'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _DATE_TRUNC_RE = re.compile(
@@ -111,7 +117,8 @@ def parse_deps(sql_text: str) -> tuple[str, ...]:
     source order — exactly how dbt compiles the manifest's depends_on.
     Refs inside ``{% if is_incremental() %}`` blocks count regardless of
     branch, as dbt's manifest compilation does."""
-    deps = _REF_RE.findall(sql_text) + _SOURCE_RE.findall(sql_text)
+    deps = ([m.group(2) or m.group(1) for m in _REF_RE.finditer(sql_text)]
+            + _SOURCE_RE.findall(sql_text))
     return tuple(dict.fromkeys(deps))
 
 
@@ -234,7 +241,7 @@ def render_sql(sql_text: str, view_for: dict[str, str], *,
         sql = _THIS_RE.sub(this_view, sql)
     sql = _DATE_TRUNC_RE.sub(
         lambda m: f"date_trunc('{m.group(1)}', {m.group(2)})", sql)
-    sql = _REF_RE.sub(lambda m: view_for[m.group(1)], sql)
+    sql = _REF_RE.sub(lambda m: view_for[m.group(2) or m.group(1)], sql)
     sql = _SOURCE_RE.sub(lambda m: view_for[m.group(1)], sql)
     sql = _rewrite_numeric(sql)
     leftover = (_LEFTOVER_JINJA_RE.search(sql)

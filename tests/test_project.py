@@ -1171,3 +1171,207 @@ def test_env_var_and_vars_overrides(spark, tmp_path):
         assert {r.id for r in out2.collect()} == {3}
     finally:
         runner2.clean()
+
+
+# --------------------------------------------- X85 packages (dbt deps) ----
+
+def _write_package(root, name: str, yml: str, files: dict[str, str]) -> None:
+    pkg = root / "dbt_packages" / name
+    pkg.mkdir(parents=True, exist_ok=True)
+    _write_project(pkg, yml, {k: textwrap.dedent(v)
+                              for k, v in files.items()})
+
+
+def test_port_with_vendored_package(spark, tmp_path):
+    """X85 end-to-end: a package vendored under dbt_packages/ loads as a
+    full dbt project — its macro is callable from root models (bare and
+    qualified), its model registers on the flat namespace and is
+    reachable via both ref forms, root's models:<pkg> tree overrides the
+    package's own materialization policy, and a root-scoped vars block
+    wins inside the package's models."""
+    _write_project(tmp_path, """\
+        name: 'rootp'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        vars:
+          util_pkg:
+            rate_mult: 3
+        models:
+          rootp:
+            +materialized: view
+          util_pkg:
+            +materialized: table
+        """, {
+        "seeds/nums.csv": "k,cents\n1,150\n2,99\n",
+        "models/dollars.sql":
+            "select k, {{ cents_to_dollars('cents') }} as usd "
+            "from {{ ref('nums') }}",
+        "models/enriched.sql":
+            "select r.k, r.rate, "
+            "{{ util_pkg.cents_to_dollars('r.rate', 0) }} as rate_usd "
+            "from {{ ref('util_pkg', 'pkg_rates') }} r",
+    })
+    _write_package(tmp_path, "util_pkg", """\
+        name: 'util_pkg'
+        model-paths: ["models"]
+        macro-paths: ["macros"]
+        models:
+          util_pkg:
+            +materialized: ephemeral
+        """, {
+        "macros/money.sql": """\
+            {% macro cents_to_dollars(col, precision=2) %}
+            round({{ col }} / 100.0, {{ precision }})
+            {% endmacro %}
+        """,
+        "models/pkg_rates.sql":
+            "select k, cents * {{ var('rate_mult', 1) }} as rate "
+            "from {{ ref('nums') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.packages == ("util_pkg",)
+    # root models:<pkg> tree beats the package's own ephemeral default
+    assert p.registry["pkg_rates"].materialized == "table"
+    assert p.registry["dollars"].materialized == "view"
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        # bare macro call, root model over a root seed
+        assert {(r.k, float(r.usd)) for r in rels["dollars"].collect()} \
+            == {(1, 1.5), (2, 0.99)}
+        # package model: scoped vars block (rate_mult=3) applied
+        assert {(r.k, r.rate) for r in rels["pkg_rates"].collect()} \
+            == {(1, 450), (2, 297)}
+        # two-arg ref + qualified macro call with a positional override
+        assert {(r.k, float(r.rate_usd))
+                for r in rels["enriched"].collect()} == {(1, 5.0), (2, 3.0)}
+    finally:
+        runner.clean()
+
+
+def test_packages_yml_local_entry_and_network_raise(spark, tmp_path):
+    """packages.yml local: entries read a checkout in place; hub/git
+    entries raise with the vendoring instruction (no network here)."""
+    ext = tmp_path / "elsewhere" / "extras"
+    ext.mkdir(parents=True)
+    _write_project(ext, """\
+        name: 'extras'
+        model-paths: ["models"]
+        """, {"models/doubled.sql":
+              "select k, cents * 2 as c2 from {{ ref('nums') }}"})
+    (tmp_path / "proj").mkdir()
+    _write_project(tmp_path / "proj", """\
+        name: 'rootp'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        """, {
+        "seeds/nums.csv": "k,cents\n1,150\n",
+        "models/top.sql": "select k from {{ ref('doubled') }}",
+        "packages.yml": "packages:\n  - local: ../elsewhere/extras\n",
+    })
+    p = port_dbt_project(spark, str(tmp_path / "proj"))
+    assert p.packages == ("extras",)
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        assert [r.c2 for r in rels["doubled"].collect()] == [300]
+    finally:
+        runner.clean()
+
+    (tmp_path / "proj" / "packages.yml").write_text(
+        "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.1.1\n")
+    with pytest.raises(ValueError, match="vendor"):
+        port_dbt_project(spark, str(tmp_path / "proj"))
+    (tmp_path / "proj" / "packages.yml").write_text(
+        "packages:\n  - git: https://example.com/x.git\n")
+    with pytest.raises(ValueError, match="vendor"):
+        port_dbt_project(spark, str(tmp_path / "proj"))
+    # dependencies.yml AND packages.yml both declaring packages: raises
+    (tmp_path / "proj" / "packages.yml").write_text(
+        "packages:\n  - local: ../elsewhere/extras\n")
+    (tmp_path / "proj" / "dependencies.yml").write_text(
+        "packages:\n  - local: ../elsewhere/extras\n")
+    with pytest.raises(ValueError, match="keep one"):
+        port_dbt_project(spark, str(tmp_path / "proj"))
+
+
+def test_package_namespace_collisions(spark, tmp_path):
+    """dbt's namespace is flat: a package model named like a root model
+    raises; two packages sharing a macro name keep only the qualified
+    forms (a bare call fails loud); a root macro beats a package macro
+    for the bare name; colliding seeds raise."""
+    _write_project(tmp_path, """\
+        name: 'rootp'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        macro-paths: ["macros"]
+        """, {
+        "seeds/nums.csv": "k\n1\n",
+        "macros/tag.sql":
+            "{% macro tag() %}'root'{% endmacro %}",
+        "models/who.sql":
+            "select {{ tag() }} as src, {{ a_pkg.tag() }} as a_src, "
+            "{{ b_pkg.tag() }} as b_src from {{ ref('nums') }}",
+    })
+    pkg_yml = "name: '%s'\nmodel-paths: [\"models\"]\n" \
+              "macro-paths: [\"macros\"]\n"
+    for pkg in ("a_pkg", "b_pkg"):
+        _write_package(tmp_path, pkg, pkg_yml % pkg, {
+            "macros/tag.sql":
+                "{%% macro tag() %%}'%s'{%% endmacro %%}" % pkg,
+        })
+    p = port_dbt_project(spark, str(tmp_path))
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        row = runner.run(dict(p.seeds))["who"].collect()[0]
+        assert (row.src, row.a_src, row.b_src) == ("root", "a_pkg", "b_pkg")
+    finally:
+        runner.clean()
+
+    # cross-package macro collision WITHOUT a root macro: bare call
+    # is ambiguous -> only qualified resolves, bare raises loud
+    (tmp_path / "macros" / "tag.sql").unlink()
+    (tmp_path / "models" / "who.sql").write_text(
+        "select {{ tag() }} as src from {{ ref('nums') }}")
+    with pytest.raises(ValueError, match="unsupported Jinja"):
+        port_dbt_project(spark, str(tmp_path))
+
+    # model-name collision across projects raises
+    (tmp_path / "models" / "who.sql").write_text(
+        "select k from {{ ref('nums') }}")
+    (tmp_path / "dbt_packages" / "a_pkg" / "models").mkdir(exist_ok=True)
+    (tmp_path / "dbt_packages" / "a_pkg" / "models" / "who.sql").write_text(
+        "select k from {{ ref('nums') }}")
+    with pytest.raises(ValueError, match="duplicate model"):
+        port_dbt_project(spark, str(tmp_path))
+    (tmp_path / "dbt_packages" / "a_pkg" / "models" / "who.sql").unlink()
+
+    # seed collision across projects raises
+    (tmp_path / "dbt_packages" / "b_pkg" / "seeds").mkdir()
+    (tmp_path / "dbt_packages" / "b_pkg" / "dbt_project.yml").write_text(
+        pkg_yml % "b_pkg" + "seed-paths: [\"seeds\"]\n")
+    (tmp_path / "dbt_packages" / "b_pkg" / "seeds" / "nums.csv").write_text(
+        "k\n9\n")
+    with pytest.raises(ValueError, match="collide"):
+        port_dbt_project(spark, str(tmp_path))
+
+
+def test_models_tree_unknown_project_raises(spark, tmp_path):
+    """A root models: tree naming neither the project nor an installed
+    package is a typo or a missing install — raise, don't silently
+    drop the config (VERDICT r10 'What's wrong' #4)."""
+    _write_project(tmp_path, """\
+        name: 'rootp'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        models:
+          rootp:
+            +materialized: view
+          dbt_utils:
+            +materialized: table
+        """, {
+        "seeds/nums.csv": "k\n1\n",
+        "models/top.sql": "select k from {{ ref('nums') }}",
+    })
+    with pytest.raises(ValueError, match="dbt_utils"):
+        port_dbt_project(spark, str(tmp_path))
