@@ -194,6 +194,9 @@ class PortedProject:
     freshness: tuple = ()
     # installed package names, load order (X85)
     packages: tuple = ()
+    # parsed selectors.yml (X86): selection.SelectorBook | None;
+    # evaluate with selection.eval_selector(p.registry, p.selectors, name)
+    selectors: object = None
 
 
 def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
@@ -420,6 +423,13 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
             raise ValueError(f"duplicate analyses {sorted(dup)}")
         analyses.update(compiled)
 
+    selectors = None
+    sel_path = os.path.join(project_dir, "selectors.yml")
+    if os.path.isfile(sel_path):
+        from .selection import load_selectors
+
+        selectors = load_selectors(sel_path)
+
     return PortedProject(
         name=name, registry=registry, seeds=seeds,
         model_names=model_names,
@@ -428,7 +438,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         on_run_end=tuple(hooks["on-run-end"]),
         analyses=analyses, snapshots=snapshots,
         freshness=tuple(freshness),
-        packages=tuple(p.name for p in packages))
+        packages=tuple(p.name for p in packages),
+        selectors=selectors)
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,

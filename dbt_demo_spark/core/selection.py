@@ -45,6 +45,7 @@ import hashlib
 import inspect
 import json
 import re
+from dataclasses import dataclass
 from fnmatch import fnmatchcase
 
 from .model import ModelRegistry
@@ -230,4 +231,171 @@ def select_nodes(registry: ModelRegistry, select: str | None,
     if exclude:
         for spec in exclude.split():
             chosen -= _eval_spec(registry, spec, parents, kids, state)
+    return [n for n in registry.names() if n in chosen]
+
+
+# ------------------------------------------------ YAML selectors (X86) --
+
+# dbt selectors.yml [public knowledge: dbt-core YAML selectors] — named,
+# composable selection definitions.  A definition is one of:
+#   * a STRING in the CLI grammar above ("tag:nightly stg_*+")
+#   * {method:, value:, parents:, children:, parents_depth:,
+#      children_depth:, childrens_parents:} — one method atom with
+#     graph modifiers (methods supported: fqn, tag, source, state)
+#   * {union: [defn, ...]} / {intersection: [defn, ...]} — members
+#     combine in order; a member {exclude: [defn, ...]} SUBTRACTS its
+#     matches from the set built so far (dbt's exclude-inside-a-set)
+# Unknown methods and keys raise — a selector that silently selects the
+# wrong set is how production refreshes skip nodes.
+
+_METHOD_KEYS = {"method", "value", "parents", "children", "parents_depth",
+                "children_depth", "childrens_parents"}
+_SELECTOR_METHODS = {"fqn", "tag", "source", "state"}
+
+
+@dataclass(frozen=True)
+class SelectorBook:
+    """Parsed selectors.yml: named definitions plus the default (the one
+    flagged ``default: true``, if any)."""
+    selectors: dict
+    default: str | None = None
+
+
+def load_selectors(path: str) -> SelectorBook:
+    """Parse a dbt ``selectors.yml``.  Each entry needs ``name`` and
+    ``definition``; at most one may carry ``default: true``."""
+    import yaml
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh) or {}
+    out: dict = {}
+    default = None
+    for entry in doc.get("selectors", []) or []:
+        if not isinstance(entry, dict) or "name" not in entry \
+                or "definition" not in entry:
+            raise ValueError(
+                f"selectors.yml: entry {entry!r} needs name: and "
+                "definition:")
+        name = entry["name"]
+        if name in out:
+            raise ValueError(f"selectors.yml: duplicate selector {name!r}")
+        out[name] = entry["definition"]
+        if entry.get("default"):
+            if default is not None:
+                raise ValueError(
+                    f"selectors.yml: both {default!r} and {name!r} claim "
+                    "default: true")
+            default = name
+    return SelectorBook(out, default)
+
+
+def _method_atom(defn: dict) -> str:
+    unknown = set(defn) - _METHOD_KEYS
+    if unknown:
+        raise ValueError(
+            f"selector method block has unknown keys {sorted(unknown)} "
+            f"(supported: {sorted(_METHOD_KEYS)})")
+    method, value = defn.get("method"), defn.get("value")
+    if method not in _SELECTOR_METHODS:
+        raise ValueError(
+            f"unsupported selector method {method!r} "
+            f"(supported: {sorted(_SELECTOR_METHODS)})")
+    if not isinstance(value, str) or not value:
+        raise ValueError(f"selector method {method!r} needs a value:")
+    atom = value if method == "fqn" else f"{method}:{value}"
+    if defn.get("childrens_parents"):
+        if any(defn.get(k) for k in ("parents", "children",
+                                     "parents_depth", "children_depth")):
+            raise ValueError(
+                "childrens_parents (@) cannot combine with "
+                "parents/children modifiers")
+        return "@" + atom
+    up = down = ""
+    if defn.get("parents") or "parents_depth" in defn:
+        up = (str(defn["parents_depth"]) if "parents_depth" in defn
+              else "") + "+"
+    if defn.get("children") or "children_depth" in defn:
+        down = "+" + (str(defn["children_depth"])
+                      if "children_depth" in defn else "")
+    return up + atom + down
+
+
+def _eval_definition(registry: ModelRegistry, defn,
+                     parents: dict[str, set[str]],
+                     kids: dict[str, set[str]],
+                     state: dict[str, str | None] | None) -> set[str]:
+    if isinstance(defn, str):
+        out: set[str] = set()
+        for spec in defn.split():
+            out |= _eval_spec(registry, spec, parents, kids, state)
+        return out
+    if not isinstance(defn, dict):
+        raise ValueError(f"unparseable selector definition: {defn!r}")
+    if "union" in defn or "intersection" in defn:
+        if len(defn) != 1:
+            raise ValueError(
+                f"a set block holds exactly one of union:/intersection:, "
+                f"got {sorted(defn)}")
+        key = "union" if "union" in defn else "intersection"
+        acc: set[str] | None = None
+        for mbr in defn[key] or []:
+            if isinstance(mbr, dict) and set(mbr) == {"exclude"}:
+                ex: set[str] = set()
+                for e in mbr["exclude"] or []:
+                    ex |= _eval_definition(registry, e, parents, kids,
+                                           state)
+                acc = (acc or set()) - ex
+                continue
+            got = _eval_definition(registry, mbr, parents, kids, state)
+            if acc is None:
+                acc = got
+            elif key == "union":
+                acc |= got
+            else:
+                acc &= got
+        return acc or set()
+    if "exclude" in defn:
+        raise ValueError(
+            "exclude: is only valid as a member of a union:/intersection:"
+            " list — a bare exclude has nothing to subtract from")
+    return _eval_atom(registry, _method_atom(defn), parents, kids, state)
+
+
+def _mentions_state(defn) -> bool:
+    if isinstance(defn, str):
+        return "state:" in defn
+    if isinstance(defn, dict):
+        if defn.get("method") == "state":
+            return True
+        return any(_mentions_state(v) for v in defn.values())
+    if isinstance(defn, list):
+        return any(_mentions_state(v) for v in defn)
+    return False
+
+
+def eval_selector(registry: ModelRegistry, book: SelectorBook,
+                  name: str | None = None,
+                  state: dict[str, str | None] | None = None) -> list[str]:
+    """Evaluate a named selector (or the book's default) to the target
+    list ``Runner.run(select=...)`` takes.  An empty result raises
+    unless the definition involves ``state:`` — slim CI's "nothing
+    changed, build nothing" is the one legitimate empty selection
+    (mirrors select_nodes' typo guard)."""
+    if name is None:
+        name = book.default
+        if name is None:
+            raise ValueError("no selector name given and selectors.yml "
+                             "marks no default: true")
+    if name not in book.selectors:
+        raise ValueError(f"unknown selector {name!r} "
+                         f"(defined: {sorted(book.selectors)})")
+    defn = book.selectors[name]
+    kids = _children(registry)
+    parents = {n: {d for d in registry[n].deps if d in registry}
+               for n in registry.names()}
+    chosen = _eval_definition(registry, defn, parents, kids, state)
+    if not chosen and not _mentions_state(defn):
+        raise ValueError(
+            f"selector {name!r} matched no models "
+            f"(registry: {sorted(registry.names())})")
     return [n for n in registry.names() if n in chosen]

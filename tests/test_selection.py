@@ -231,3 +231,175 @@ def test_slim_ci_build_flow(spark, tmp_path):
                    select="state:modified+", state=load_state(state_file))
     assert set(res.nodes) == {"beta", "gamma"}
     assert res.ok
+
+
+# ---------------------------------------------- X86 YAML selectors ----
+
+def _book(yml: str, tmp_path):
+    from dbt_demo_spark.core.selection import load_selectors
+    import textwrap
+
+    p = tmp_path / "selectors.yml"
+    p.write_text(textwrap.dedent(yml))
+    return load_selectors(str(p))
+
+
+def test_yaml_selector_forms(tmp_path):
+    """Every definition form: CLI string, method block with graph
+    modifiers, union with an exclude member, intersection."""
+    from dbt_demo_spark.core.selection import eval_selector
+
+    book = _book("""\
+        selectors:
+          - name: as_string
+            definition: "tag:staging c"
+          - name: nightly_up
+            description: the nightly mart and everything it needs
+            definition:
+              method: fqn
+              value: d
+              parents: true
+          - name: staging_kids
+            definition:
+              method: tag
+              value: staging
+              children_depth: 1
+          - name: at_form
+            definition:
+              method: fqn
+              value: b
+              childrens_parents: true
+          - name: marts_minus_e
+            default: true
+            definition:
+              union:
+                - method: tag
+                  value: mart
+                - method: fqn
+                  value: c
+                - exclude:
+                    - method: fqn
+                      value: e
+          - name: both
+            definition:
+              intersection:
+                - method: tag
+                  value: mart
+                - method: tag
+                  value: nightly
+        """, tmp_path)
+    reg = _diamond()
+    assert set(eval_selector(reg, book, "as_string")) == {"a", "b", "c"}
+    assert set(eval_selector(reg, book, "nightly_up")) == {"a", "b", "c", "d"}
+    assert set(eval_selector(reg, book, "staging_kids")) == {"a", "b", "c", "d"}
+    assert set(eval_selector(reg, book, "at_form")) == {"a", "b", "c", "d", "e"}
+    assert set(eval_selector(reg, book, "both")) == {"d"}
+    # default: true resolves when no name is given
+    assert book.default == "marts_minus_e"
+    assert set(eval_selector(reg, book)) == {"c", "d"}
+
+
+def test_yaml_selector_errors(tmp_path):
+    from dbt_demo_spark.core.selection import eval_selector
+
+    reg = _diamond()
+    book = _book("""\
+        selectors:
+          - name: bad_method
+            definition:
+              method: config
+              value: x
+          - name: bare_exclude
+            definition:
+              exclude:
+                - method: fqn
+                  value: e
+          - name: unknown_key
+            definition:
+              method: fqn
+              value: d
+              indirect: buildable
+          - name: empty
+            definition: { union: [ {method: tag, value: nosuch} ] }
+        """, tmp_path)
+    with pytest.raises(ValueError, match="unsupported selector method"):
+        eval_selector(reg, book, "bad_method")
+    with pytest.raises(ValueError, match="only valid as a member"):
+        eval_selector(reg, book, "bare_exclude")
+    with pytest.raises(ValueError, match="unknown keys"):
+        eval_selector(reg, book, "unknown_key")
+    with pytest.raises(ValueError, match="matched no models"):
+        eval_selector(reg, book, "empty")
+    with pytest.raises(ValueError, match="unknown selector"):
+        eval_selector(reg, book, "nope")
+    # no default declared -> nameless evaluation raises
+    with pytest.raises(ValueError, match="no default"):
+        eval_selector(reg, _book(
+            "selectors:\n  - name: x\n    definition: d\n", tmp_path))
+    with pytest.raises(ValueError, match="duplicate selector"):
+        _book("selectors:\n"
+              "  - {name: x, definition: d}\n"
+              "  - {name: x, definition: e}\n", tmp_path)
+    with pytest.raises(ValueError, match="claim default"):
+        _book("selectors:\n"
+              "  - {name: x, definition: d, default: true}\n"
+              "  - {name: y, definition: e, default: true}\n", tmp_path)
+
+
+def test_yaml_selector_state_empty_is_ok(tmp_path):
+    """slim CI through a YAML selector: state:modified over an unchanged
+    registry selects nothing WITHOUT raising (the one legitimate empty),
+    while a non-state empty selector still raises."""
+    from dbt_demo_spark.core.selection import (eval_selector,
+                                               node_code_state)
+
+    reg = _diamond()
+    book = _book("""\
+        selectors:
+          - name: ci
+            definition:
+              union:
+                - method: state
+                  value: modified
+                  children: true
+        """, tmp_path)
+    state = node_code_state(reg)
+    assert eval_selector(reg, book, "ci", state=state) == []
+
+
+def test_ported_project_selectors(spark, tmp_path):
+    """port_dbt_project picks up selectors.yml; the evaluated target
+    list drives Runner.run(select=...)."""
+    import textwrap
+
+    from dbt_demo_spark.core.project import port_dbt_project
+    from dbt_demo_spark.core.runner import Runner
+    from dbt_demo_spark.core.selection import eval_selector
+
+    (tmp_path / "dbt_project.yml").write_text(
+        "name: selproj\nmodel-paths: ['models']\nseed-paths: ['seeds']\n")
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "base.sql").write_text(
+        "select k from {{ ref('nums') }}")
+    (tmp_path / "models" / "wide.sql").write_text(
+        "select k, k * 2 as k2 from {{ ref('base') }}")
+    (tmp_path / "seeds").mkdir()
+    (tmp_path / "seeds" / "nums.csv").write_text("k\n1\n2\n")
+    (tmp_path / "selectors.yml").write_text(textwrap.dedent("""\
+        selectors:
+          - name: tip
+            default: true
+            definition:
+              method: fqn
+              value: wide
+        """))
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.selectors.default == "tip"
+    targets = eval_selector(p.registry, p.selectors)
+    assert targets == ["wide"]
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds), select=targets)
+        assert {r.k2 for r in rels["wide"].collect()} == {2, 4}
+    finally:
+        runner.clean()
