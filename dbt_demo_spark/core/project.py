@@ -197,6 +197,9 @@ class PortedProject:
     # parsed selectors.yml (X86): selection.SelectorBook | None;
     # evaluate with selection.eval_selector(p.registry, p.selectors, name)
     selectors: object = None
+    # X87: declared deprecation_dates (versioned-model name -> date
+    # string), recorded inertly — never evaluated against a wall clock
+    deprecations: dict = field(default_factory=dict)
 
 
 def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
@@ -215,6 +218,72 @@ def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
     scoped = root_vars_raw.get(own_name)
     scoped = scoped if isinstance(scoped, dict) else {}
     return {**own, **root_plain, **scoped, **(overrides or {})}
+
+
+def _scan_model_versions(model_dirs: list[str]
+                         ) -> tuple[dict, dict, dict]:
+    """Pre-scan a project's properties files for ``versions:`` blocks
+    (X87 [public dbt surface: model versions, dbt-core 1.5]).  Returns
+    ``(versions, rename, deprecations)``: ``versions`` maps each bare
+    versioned-model name to ``(latest_registered_name,
+    {v: registered_name})`` for ref resolution; ``rename`` maps a
+    version's FILE stem (``defined_in`` or the default ``<name>_v<N>``)
+    to its canonical registered name; ``deprecations`` records declared
+    deprecation_dates INERTLY (never evaluated against a wall clock —
+    determinism; callers decide what stale means)."""
+    import yaml
+
+    versions: dict = {}
+    rename: dict = {}
+    deprecations: dict = {}
+    for mdir in model_dirs:
+        if not os.path.isdir(mdir):
+            continue
+        for props in sorted(
+                glob.glob(os.path.join(mdir, "**", "*.yml"),
+                          recursive=True)
+                + glob.glob(os.path.join(mdir, "**", "*.yaml"),
+                            recursive=True)):
+            with open(props) as fh:
+                doc = yaml.safe_load(fh) or {}
+            for m in doc.get("models", []) or []:
+                if "versions" not in m:
+                    continue
+                nm = m["name"]
+                if nm in versions:
+                    raise ValueError(
+                        f"{props}: versioned model {nm!r} declared twice")
+                by_v: dict[int, str] = {}
+                for ventry in m["versions"] or []:
+                    unknown = set(ventry) - {"v", "defined_in",
+                                             "deprecation_date"}
+                    if unknown:
+                        raise ValueError(
+                            f"{props}: model {nm!r} version entry has "
+                            f"unsupported keys {sorted(unknown)} — "
+                            "per-version column/config overrides are "
+                            "out of the lite scope")
+                    v = int(ventry["v"])
+                    if v in by_v:
+                        raise ValueError(
+                            f"{props}: model {nm!r} declares v={v} twice")
+                    reg_name = f"{nm}_v{v}"
+                    by_v[v] = reg_name
+                    rename[ventry.get("defined_in", reg_name)] = reg_name
+                    if ventry.get("deprecation_date"):
+                        deprecations[reg_name] = str(
+                            ventry["deprecation_date"])
+                if not by_v:
+                    raise ValueError(f"{props}: model {nm!r} has an "
+                                     "empty versions: list")
+                # dbt defaults latest_version to the largest declared v
+                latest = int(m.get("latest_version", max(by_v)))
+                if latest not in by_v:
+                    raise ValueError(
+                        f"{props}: model {nm!r} latest_version={latest} "
+                        f"is not a declared version {sorted(by_v)}")
+                versions[nm] = (by_v[latest], by_v)
+    return versions, rename, deprecations
 
 
 def _project_policy(own_cfg: dict, own_name: str, root_models: dict
@@ -317,15 +386,35 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     analyses_dirs: list[tuple[str, dict]] = []  # deferred to phase 2
     hooks = {"on-run-start": [], "on-run-end": []}
 
+    proj_list = ([(cfg, project_dir, vars_)]
+                 + [(p.cfg, p.path,
+                     _project_vars(p.cfg, p.name, root_vars_raw,
+                                   vars_overrides))
+                    for p in packages])
+
+    # X87 pre-scan: version maps must cover EVERY project before any
+    # model registers — a root model may pin a package model's version
+    versions: dict = {}
+    deprecations: dict = {}
+    renames: list[dict] = []
+    for proj_cfg, proj_dir, _pv in proj_list:
+        v, r, d = _scan_model_versions(
+            [os.path.join(proj_dir, mp)
+             for mp in proj_cfg.get("model-paths", ["models"])])
+        dup_v = set(v) & set(versions)
+        if dup_v:
+            raise ValueError(
+                f"versioned models {sorted(dup_v)} declared by more "
+                "than one project — dbt's namespace is flat")
+        versions.update(v)
+        deprecations.update(d)
+        renames.append(r)
+
     # root project first, then packages in name order — dbt's flat
     # global namespace means later collisions raise, and root-first
     # makes the raise name the package as the newcomer
-    for proj_cfg, proj_dir, proj_vars in (
-            [(cfg, project_dir, vars_)]
-            + [(p.cfg, p.path,
-                _project_vars(p.cfg, p.name, root_vars_raw,
-                              vars_overrides))
-               for p in packages]):
+    for (proj_cfg, proj_dir, proj_vars), rename in zip(proj_list,
+                                                       renames):
         pname = proj_cfg["name"]
         policy, default_mat = _project_policy(proj_cfg, pname,
                                               root_models)
@@ -335,7 +424,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                 model_names += register_sql_dir(
                     registry, mdir, materialized_by_subdir=policy,
                     default_materialized=default_mat, vars=proj_vars,
-                    macros=macros, env=env_vars)
+                    macros=macros, env=env_vars,
+                    versions=versions, rename=rename)
                 # dbt accepts both .yml and .yaml properties files;
                 # globbing only one silently drops the other's
                 # tests/contracts (ADVICE r10)
@@ -352,7 +442,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
             if os.path.isdir(tdir):
                 model_names += register_test_dir(
                     registry, tdir, vars=proj_vars,
-                    macros=macros, env=env_vars)
+                    macros=macros, env=env_vars, versions=versions)
 
         # seeds: config tree — `+column_types` at the project level keys
         # "" (applies to every seed where the column exists), per-seed
@@ -394,7 +484,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                             with open(os.path.join(dirpath, f)) as fh:
                                 sdef, fn, deps = parse_snapshot_sql(
                                     fh.read(), vars=proj_vars,
-                                    macros=macros, env=env_vars)
+                                    macros=macros, env=env_vars,
+                                    versions=versions)
                             if sdef.name in snapshots:
                                 raise ValueError(
                                     f"duplicate snapshot {sdef.name!r}")
@@ -417,7 +508,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     for adir, proj_vars in analyses_dirs:
         compiled = compile_analyses(
             registry, adir, vars=proj_vars,
-            extra_relations=set(seeds), macros=macros, env=env_vars)
+            extra_relations=set(seeds), macros=macros, env=env_vars,
+            versions=versions)
         dup = set(compiled) & set(analyses)
         if dup:
             raise ValueError(f"duplicate analyses {sorted(dup)}")
@@ -439,14 +531,15 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         analyses=analyses, snapshots=snapshots,
         freshness=tuple(freshness),
         packages=tuple(p.name for p in packages),
-        selectors=selectors)
+        selectors=selectors, deprecations=deprecations)
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,
                      vars: dict | None = None,
                      extra_relations: set[str] = frozenset(),
                      macros: dict | None = None,
-                     env: dict | None = None) -> dict[str, str]:
+                     env: dict | None = None,
+                     versions: dict | None = None) -> dict[str, str]:
     """dbt analyses [public knowledge: analysis-paths — SQL that compiles
     with the project's context but is NEVER run or materialized; the
     reference declares analyses/ at dbt_project.yml:7 and ships none]:
@@ -457,7 +550,7 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
     manifest validation dbt does."""
     from .macros import expand_macros
     from .sqlmodel import (parse_deps, render_env_vars, render_sql,
-                           render_vars)
+                           render_vars, resolve_version_refs)
 
     out: dict[str, str] = {}
     for dirpath, _dirnames, filenames in sorted(os.walk(analyses_dir)):
@@ -466,9 +559,9 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
                 continue
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
-                text = render_env_vars(
+                text = resolve_version_refs(render_env_vars(
                     render_vars(expand_macros(fh.read(), macros), vars),
-                    env)
+                    env), versions)
             deps = parse_deps(text)
             known = set(registry.names()) | set(extra_relations)
             unknown = [d for d in deps if d not in known]
@@ -731,37 +824,16 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
     applied = {"tests": [], "exposures": []}
 
     for m in doc.get("models", []) or []:
-        name = m["name"]
-        if name not in registry.names():
-            raise ValueError(
-                f"properties file references unknown model {name!r}")
-        mdef = registry[name]
-        new_tests = []
-        contract_cols = []
-        enforce = (m.get("config", {}) or {}).get(
-            "contract", {}).get("enforced", False)
-        for c in m.get("columns", []) or []:
-            for spec in c.get("tests", []) or []:
-                new_tests.append(_build_test(name, c["name"], spec))
-            if enforce and c.get("data_type"):
-                contract_cols.append((c["name"], c["data_type"]))
-        for spec in m.get("tests", []) or []:
-            new_tests.append(_build_test(name, None, spec))
-        changes = {}
-        if new_tests:
-            changes["tests"] = mdef.tests + tuple(new_tests)
-            applied["tests"] += [t.name for t in new_tests]
-        if contract_cols:
-            changes["contract"] = mdef.contract + tuple(contract_cols)
-        if m.get("description"):
-            # dbt: the properties description IS the model doc — it
-            # replaces register_sql_model's length placeholder (r11
-            # review: `not mdef.doc` never fired past the placeholder)
-            changes["doc"] = m["description"]
-        if changes:
-            # ModelDef is frozen; swap the amended def in place (same
-            # name -> same DAG node, so no registry invariant moves)
-            registry._models[name] = replace(mdef, **changes)
+        # X87: a versioned entry's properties apply to EVERY declared
+        # version (dbt's default; per-version overrides are out of the
+        # lite scope and _scan_model_versions raises on them)
+        if "versions" in m:
+            targets = [f"{m['name']}_v{int(v['v'])}"
+                       for v in m["versions"] or []]
+        else:
+            targets = [m["name"]]
+        for name in targets:
+            _attach_model_props(registry, m, name, applied)
 
     applied["freshness"] = []
     for src in doc.get("sources", []) or []:
@@ -810,3 +882,40 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
             url=e.get("url", ""), doc=e.get("description", ""))
         applied["exposures"].append(e["name"])
     return applied
+
+
+def _attach_model_props(registry: ModelRegistry, m: dict, name: str,
+                        applied: dict) -> None:
+    """One properties entry applied to one registered model name —
+    factored out so a versioned entry can fan out (X87)."""
+    if name not in registry.names():
+        raise ValueError(
+            f"properties file references unknown model {name!r}")
+    mdef = registry[name]
+    new_tests = []
+    contract_cols = []
+    enforce = (m.get("config", {}) or {}).get(
+        "contract", {}).get("enforced", False)
+    for c in m.get("columns", []) or []:
+        for spec in c.get("tests", []) or []:
+            new_tests.append(_build_test(name, c["name"], spec))
+        if enforce and c.get("data_type"):
+            contract_cols.append((c["name"], c["data_type"]))
+    for spec in m.get("tests", []) or []:
+        new_tests.append(_build_test(name, None, spec))
+    changes = {}
+    if new_tests:
+        changes["tests"] = mdef.tests + tuple(new_tests)
+        applied["tests"] += [t.name for t in new_tests]
+    if contract_cols:
+        changes["contract"] = mdef.contract + tuple(contract_cols)
+    if m.get("description"):
+        # dbt: the properties description IS the model doc — it
+        # replaces register_sql_model's length placeholder (r11
+        # review: `not mdef.doc` never fired past the placeholder)
+        changes["doc"] = m["description"]
+    if changes:
+        # ModelDef is frozen; swap the amended def in place (same
+        # name -> same DAG node, so no registry invariant moves)
+        registry._models[name] = replace(mdef, **changes)
+

@@ -313,11 +313,54 @@ def sql_model_fn(name: str, sql_text: str):
     return fn, deps
 
 
+# versioned refs (X87) [public dbt surface: model versions, dbt-core
+# 1.5] — `ref('m', v=N)` / `ref('m', version=N)`, optionally
+# package-qualified.  Resolution is TEXT-level, before parse_deps, so
+# the dep edge lands on the actual versioned node exactly as dbt's
+# manifest compile does.
+_VREF_RE = re.compile(
+    r"\{\{\s*ref\(\s*(?:'([^']+)'\s*,\s*)?'([^']+)'\s*"
+    r"(?:,\s*(?:v|version)\s*=\s*('?)(\d+)\3\s*)?\)\s*\}\}")
+
+
+def resolve_version_refs(sql_text: str, versions: dict | None) -> str:
+    """Rewrite refs to VERSIONED models [X87]: ``versions`` maps a bare
+    model name to ``(latest_registered_name, {int v: registered_name})``.
+    An unpinned ref to a versioned model takes the latest version; a
+    pinned ref takes exactly that version; a ``v=`` pin on a model that
+    has no versions raises (dbt errors there too)."""
+    versions = versions or {}
+
+    def sub(m: re.Match) -> str:
+        pkg, name, vnum = m.group(1), m.group(2), m.group(4)
+        if name not in versions:
+            if vnum is not None:
+                raise ValueError(
+                    f"ref({name!r}, v={vnum}) pins a version but "
+                    f"{name!r} is not a versioned model")
+            return m.group(0)
+        latest, by_v = versions[name]
+        if vnum is None:
+            target = latest
+        else:
+            if int(vnum) not in by_v:
+                raise ValueError(
+                    f"ref({name!r}, v={vnum}): no such version "
+                    f"(declared: {sorted(by_v)})")
+            target = by_v[int(vnum)]
+        inner = f"'{pkg}', '{target}'" if pkg else f"'{target}'"
+        return "{{ ref(" + inner + ") }}"
+
+    return _VREF_RE.sub(sub, sql_text)
+
+
 def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
                        *, materialized: str = "view",
                        vars: dict | None = None,
                        macros: dict | None = None,
-                       env: dict | None = None, **model_kwargs) -> None:
+                       env: dict | None = None,
+                       versions: dict | None = None,
+                       **model_kwargs) -> None:
     """``registry.sql_model(...)`` body: register SQL text as a model.
     ``model_kwargs`` pass through to ModelDef (partition_by, tests,
     contract, hooks, ... — the full Python-model surface applies).
@@ -333,8 +376,10 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
     from .macros import expand_macros
     from .model import ModelDef
 
-    sql_text = render_env_vars(
-        render_vars(expand_macros(sql_text, macros), vars), env)
+    sql_text = resolve_version_refs(
+        render_env_vars(
+            render_vars(expand_macros(sql_text, macros), vars), env),
+        versions)
     cfg = parse_config(sql_text)
     materialized = cfg.pop("materialized", materialized)
     model_kwargs = {**model_kwargs, **cfg}
@@ -352,7 +397,8 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
 def register_test_dir(registry: ModelRegistry, tests_dir: str,
                       vars: dict | None = None,
                       macros: dict | None = None,
-                      env: dict | None = None) -> list[str]:
+                      env: dict | None = None,
+                      versions: dict | None = None) -> list[str]:
     """Port a dbt project's ``test-paths`` directory: every ``*.sql``
     file is a SINGULAR data test [public knowledge: dbt singular tests —
     a SELECT returning violating rows; any row is a failure]
@@ -378,9 +424,9 @@ def register_test_dir(registry: ModelRegistry, tests_dir: str,
             from .macros import expand_macros
 
             with open(os.path.join(dirpath, f)) as fh:
-                sql_text = render_env_vars(
+                sql_text = resolve_version_refs(render_env_vars(
                     render_vars(expand_macros(fh.read(), macros), vars),
-                    env)
+                    env), versions)
             fn, deps = sql_model_fn(name, sql_text)
             registry.register(ModelDef(
                 name=name, deps=deps, materialized="ephemeral", fn=fn,
@@ -399,7 +445,8 @@ _SNAPSHOT_BLOCK_RE = re.compile(
 
 def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
                        macros: dict | None = None,
-                       env: dict | None = None):
+                       env: dict | None = None,
+                       versions: dict | None = None):
     """One dbt ``snapshots/*.sql`` file -> (SnapshotDef, source_fn, deps)
     [public knowledge: dbt snapshot blocks — `{% snapshot name %}` +
     config(strategy/unique_key/updated_at/check_cols) + a SELECT].
@@ -417,8 +464,9 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
     from .macros import expand_macros
 
     name = m.group(1)
-    body = render_env_vars(
-        render_vars(expand_macros(m.group(2), macros), vars), env)
+    body = resolve_version_refs(render_env_vars(
+        render_vars(expand_macros(m.group(2), macros), vars), env),
+        versions)
     cfg = parse_config(body)
     check_cols = cfg.get("check_cols", ())
     if isinstance(check_cols, str) and check_cols != "all":
@@ -442,7 +490,9 @@ def register_sql_dir(registry: ModelRegistry, models_dir: str,
                      default_materialized: str = "view",
                      vars: dict | None = None,
                      macros: dict | None = None,
-                     env: dict | None = None) -> list[str]:
+                     env: dict | None = None,
+                     versions: dict | None = None,
+                     rename: dict | None = None) -> list[str]:
     """Port a dbt project's models/ directory wholesale: every ``*.sql``
     file registers under its stem, materialization chosen by the DEEPEST
     matching policy path — the dbt_project.yml folder policy
@@ -466,10 +516,13 @@ def register_sql_dir(registry: ModelRegistry, models_dir: str,
         for f in sorted(filenames):
             if not f.endswith(".sql"):
                 continue
-            name = f[:-len(".sql")]
+            # X87: a versioned model's file (stem or defined_in)
+            # registers under its canonical `<name>_v<N>` node name
+            name = (rename or {}).get(f[:-len(".sql")], f[:-len(".sql")])
             with open(os.path.join(dirpath, f)) as fh:
                 register_sql_model(registry, name, fh.read(),
                                    materialized=mat, vars=vars,
-                                   macros=macros, env=env)
+                                   macros=macros, env=env,
+                                   versions=versions)
             registered.append(name)
     return registered

@@ -1375,3 +1375,111 @@ def test_models_tree_unknown_project_raises(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="dbt_utils"):
         port_dbt_project(spark, str(tmp_path))
+
+
+# ------------------------------------------ X87 model versions ----
+
+def test_model_versions_end_to_end(spark, tmp_path):
+    """dbt model versions [dbt-core 1.5 public surface]: versioned
+    files register as <name>_v<N> (defined_in honored), an unpinned
+    ref takes latest_version, a pinned ref('m', v=N) takes exactly
+    that version, properties fan out to every version, and
+    deprecation_date is recorded inertly."""
+    _write_project(tmp_path, """\
+        name: 'vproj'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        """, {
+        "seeds/nums.csv": "k,v\n1,10\n2,20\n",
+        "models/dim_k_v1.sql":
+            "select k, v from {{ ref('nums') }}",
+        "models/dim_k_next.sql":
+            "select k, v * 100 as v from {{ ref('nums') }}",
+        "models/latest_user.sql":
+            "select sum(v) as tot from {{ ref('dim_k') }}",
+        "models/pinned_user.sql":
+            "select sum(v) as tot from {{ ref('dim_k', v=1) }}",
+        "models/schema.yml": """\
+            models:
+              - name: dim_k
+                latest_version: 2
+                description: versioned dimension
+                versions:
+                  - v: 1
+                    deprecation_date: 2099-01-01
+                  - v: 2
+                    defined_in: dim_k_next
+                columns:
+                  - name: k
+                    tests: [not_null]
+        """,
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert "dim_k_v1" in p.registry.names()
+    assert "dim_k_v2" in p.registry.names()
+    assert "dim_k" not in p.registry.names()
+    # properties fanned out: both versions carry the column test + doc
+    assert [t.name for t in p.registry["dim_k_v1"].tests]
+    assert [t.name for t in p.registry["dim_k_v2"].tests]
+    assert p.registry["dim_k_v2"].doc == "versioned dimension"
+    assert p.deprecations == {"dim_k_v1": "2099-01-01"}
+    # dep edges landed on the resolved nodes
+    assert p.registry["latest_user"].deps == ("dim_k_v2",)
+    assert p.registry["pinned_user"].deps == ("dim_k_v1",)
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        assert rels["latest_user"].collect()[0].tot == 3000
+        assert rels["pinned_user"].collect()[0].tot == 30
+    finally:
+        runner.clean()
+
+
+def test_model_version_errors(spark, tmp_path):
+    """Pinning a version on an unversioned model, pinning an
+    undeclared version, a latest_version outside the declared set,
+    and per-version override keys all raise."""
+    files = {
+        "seeds/nums.csv": "k\n1\n",
+        "models/dim_k_v1.sql": "select k from {{ ref('nums') }}",
+        "models/user.sql": "select k from {{ ref('dim_k') }}",
+        "models/schema.yml": """\
+            models:
+              - name: dim_k
+                versions:
+                  - v: 1
+        """,
+    }
+    yml = """\
+        name: 'vproj'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        """
+    # baseline: latest_version defaults to the max declared v
+    _write_project(tmp_path, yml, files)
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.registry["user"].deps == ("dim_k_v1",)
+
+    (tmp_path / "models" / "user.sql").write_text(
+        "select k from {{ ref('dim_k', v=7) }}")
+    with pytest.raises(ValueError, match="no such version"):
+        port_dbt_project(spark, str(tmp_path))
+
+    (tmp_path / "models" / "user.sql").write_text(
+        "select k from {{ ref('nums', version=1) }}")
+    with pytest.raises(ValueError, match="not a versioned model"):
+        port_dbt_project(spark, str(tmp_path))
+
+    (tmp_path / "models" / "user.sql").write_text(
+        "select k from {{ ref('dim_k') }}")
+    (tmp_path / "models" / "schema.yml").write_text(
+        "models:\n  - name: dim_k\n    latest_version: 3\n"
+        "    versions:\n      - v: 1\n")
+    with pytest.raises(ValueError, match="latest_version=3"):
+        port_dbt_project(spark, str(tmp_path))
+
+    (tmp_path / "models" / "schema.yml").write_text(
+        "models:\n  - name: dim_k\n"
+        "    versions:\n      - v: 1\n        config: {alias: z}\n")
+    with pytest.raises(ValueError, match="unsupported keys"):
+        port_dbt_project(spark, str(tmp_path))
