@@ -60,6 +60,9 @@ class ModelDef:
     post_hook: tuple = ()                # … and after materialization
     contract: tuple = ()                 # enforced (column, type) pairs
     doc: str = ""
+    group: str = ""                      # dbt model governance (X88)
+    access: str = ""                     # "" (=protected) | public |
+                                         # protected | private
 
 
 @dataclass(frozen=True)

@@ -200,6 +200,8 @@ class PortedProject:
     # X87: declared deprecation_dates (versioned-model name -> date
     # string), recorded inertly — never evaluated against a wall clock
     deprecations: dict = field(default_factory=dict)
+    # X88: declared groups (name -> owner metadata)
+    groups: dict = field(default_factory=dict)
 
 
 def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
@@ -413,9 +415,15 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     # root project first, then packages in name order — dbt's flat
     # global namespace means later collisions raise, and root-first
     # makes the raise name the package as the newcomer
+    owner_of: dict = {}      # model name -> owning project (X88)
+    groups: dict = {}        # declared groups across all projects
+    restricted: set = set()  # projects opting into restrict-access
     for (proj_cfg, proj_dir, proj_vars), rename in zip(proj_list,
                                                        renames):
         pname = proj_cfg["name"]
+        if proj_cfg.get("restrict-access"):
+            restricted.add(pname)
+        names_before = len(model_names)
         policy, default_mat = _project_policy(proj_cfg, pname,
                                               root_models)
         for mp in proj_cfg.get("model-paths", ["models"]):
@@ -434,8 +442,9 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                                   recursive=True)
                         + glob.glob(os.path.join(mdir, "**", "*.yaml"),
                                     recursive=True)):
-                    freshness += attach_properties(
-                        registry, props).get("freshness", [])
+                    props_applied = attach_properties(registry, props)
+                    freshness += props_applied.get("freshness", [])
+                    groups.update(props_applied.get("groups", {}))
 
         for tp in proj_cfg.get("test-paths", ["tests"]):
             tdir = os.path.join(proj_dir, tp)
@@ -502,6 +511,11 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
             v = proj_cfg.get(key, ())
             hooks[key] += [v] if isinstance(v, str) else list(v or ())
 
+        owner_of.update(
+            {n: pname for n in model_names[names_before:]})
+
+    _enforce_access(registry, owner_of, groups, restricted)
+
     # analyses compile LAST: a root analysis may ref() a package model
     # and vice versa, and the compiled text may name any seed
     analyses: dict[str, str] = {}
@@ -531,7 +545,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         analyses=analyses, snapshots=snapshots,
         freshness=tuple(freshness),
         packages=tuple(p.name for p in packages),
-        selectors=selectors, deprecations=deprecations)
+        selectors=selectors, deprecations=deprecations, groups=groups)
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,
@@ -872,6 +886,12 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
                 source=tbl["name"], loaded_at_col=loaded,
                 warn_after_s=warn, error_after_s=error))
 
+    # X88: group declarations [public dbt surface: model governance,
+    # dbt-core 1.5 groups/access] — collected for the port-time
+    # membership check; owner metadata kept verbatim
+    applied["groups"] = {g["name"]: (g.get("owner", {}) or {})
+                         for g in doc.get("groups", []) or []}
+
     for e in doc.get("exposures", []) or []:
         depends = tuple(
             _REF_IN_TO.search(d).group(1) if _REF_IN_TO.search(d) else d
@@ -882,6 +902,53 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
             url=e.get("url", ""), doc=e.get("description", ""))
         applied["exposures"].append(e["name"])
     return applied
+
+
+def _enforce_access(registry: ModelRegistry, owner_of: dict,
+                    groups: dict, restricted: set) -> None:
+    """dbt model governance (X88 [public dbt surface: groups / access /
+    restrict-access]): PRIVATE models may only be ref'd by models in
+    the same group (always enforced — a private model without that gate
+    means nothing); PROTECTED (the default) blocks cross-project refs
+    only when the dep's owning project declares ``restrict-access:
+    true`` (dbt's opt-in, else packages interoperate as before);
+    PUBLIC is referable by anyone.  Singular tests are exempt — dbt
+    tests are not models and may observe anything in the project."""
+    for name in registry.names():
+        mdef = registry[name]
+        if mdef.group and mdef.group not in groups:
+            raise ValueError(
+                f"model {name!r} declares group {mdef.group!r} but no "
+                f"groups: entry defines it (declared: {sorted(groups)})")
+        if mdef.access == "private" and not mdef.group:
+            raise ValueError(
+                f"model {name!r} is access: private but has no group — "
+                "private means same-group-only, so a group is required")
+    for name in registry.names():
+        mdef = registry[name]
+        if "singular-test" in mdef.tags:
+            continue
+        for d in mdef.deps:
+            if d not in registry.names():
+                continue  # seeds/sources carry no access level
+            dd = registry[d]
+            acc = dd.access or "protected"
+            if acc == "public":
+                continue
+            if acc == "private":
+                if mdef.group != dd.group:
+                    raise ValueError(
+                        f"model {name!r} (group {mdef.group or None!r}) "
+                        f"refs private model {d!r} of group "
+                        f"{dd.group!r} — private models are same-group-"
+                        "only")
+            elif (owner_of.get(d) in restricted
+                  and owner_of.get(d) != owner_of.get(name)):
+                raise ValueError(
+                    f"model {name!r} (project {owner_of.get(name)!r}) "
+                    f"refs protected model {d!r} of project "
+                    f"{owner_of.get(d)!r}, which sets restrict-access: "
+                    "true — mark the model access: public to expose it")
 
 
 def _attach_model_props(registry: ModelRegistry, m: dict, name: str,
@@ -914,6 +981,16 @@ def _attach_model_props(registry: ModelRegistry, m: dict, name: str,
         # replaces register_sql_model's length placeholder (r11
         # review: `not mdef.doc` never fired past the placeholder)
         changes["doc"] = m["description"]
+    # X88 governance: group (bare or config-nested) + access
+    group = m.get("group") or (m.get("config", {}) or {}).get("group")
+    if group:
+        changes["group"] = group
+    if m.get("access"):
+        if m["access"] not in ("public", "protected", "private"):
+            raise ValueError(
+                f"model {name!r}: access must be public/protected/"
+                f"private, got {m['access']!r}")
+        changes["access"] = m["access"]
     if changes:
         # ModelDef is frozen; swap the amended def in place (same
         # name -> same DAG node, so no registry invariant moves)

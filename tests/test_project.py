@@ -1483,3 +1483,126 @@ def test_model_version_errors(spark, tmp_path):
         "    versions:\n      - v: 1\n        config: {alias: z}\n")
     with pytest.raises(ValueError, match="unsupported keys"):
         port_dbt_project(spark, str(tmp_path))
+
+
+# ------------------------------------- X88 groups + access governance ----
+
+_GOV_YML = """\
+    name: 'govproj'
+    model-paths: ["models"]
+    seed-paths: ["seeds"]
+    """
+
+_GOV_SCHEMA = """\
+    groups:
+      - name: finance
+        owner: {name: fin team, email: fin@example.com}
+      - name: ops
+        owner: {name: ops team}
+    models:
+      - name: fin_core
+        group: finance
+        access: private
+      - name: fin_report
+        group: finance
+"""
+
+
+def test_groups_and_private_access(spark, tmp_path):
+    """dbt model governance: a private model is referable inside its
+    group, a cross-group ref raises, groups collect owner metadata."""
+    _write_project(tmp_path, _GOV_YML, {
+        "seeds/nums.csv": "k\n1\n2\n",
+        "models/fin_core.sql": "select k from {{ ref('nums') }}",
+        "models/fin_report.sql":
+            "select count(*) as n from {{ ref('fin_core') }}",
+        "models/schema.yml": _GOV_SCHEMA,
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.groups["finance"]["email"] == "fin@example.com"
+    assert p.registry["fin_core"].access == "private"
+    assert p.registry["fin_report"].group == "finance"
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        assert runner.run(dict(p.seeds))["fin_report"].collect()[0].n == 2
+    finally:
+        runner.clean()
+
+    # cross-group ref of a private model raises at port time
+    (tmp_path / "models" / "ops_report.sql").write_text(
+        "select k from {{ ref('fin_core') }}")
+    (tmp_path / "models" / "schema.yml").write_text(
+        textwrap.dedent(_GOV_SCHEMA)
+        + "  - name: ops_report\n    group: ops\n")
+    with pytest.raises(ValueError, match="same-group-only"):
+        port_dbt_project(spark, str(tmp_path))
+    # ...but a singular TEST may observe it (tests are not models)
+    (tmp_path / "models" / "ops_report.sql").unlink()
+    (tmp_path / "models" / "schema.yml").write_text(
+        textwrap.dedent(_GOV_SCHEMA))
+    (tmp_path / "tests").mkdir()
+    (tmp_path / "tests" / "fin_core_nonempty.sql").write_text(
+        "select * from {{ ref('fin_core') }} where k is null")
+    p2 = port_dbt_project(spark, str(tmp_path))
+    assert "fin_core_nonempty" in p2.model_names
+
+
+def test_governance_error_matrix(spark, tmp_path):
+    files = {
+        "seeds/nums.csv": "k\n1\n",
+        "models/m.sql": "select k from {{ ref('nums') }}",
+    }
+    # undeclared group
+    _write_project(tmp_path, _GOV_YML, {
+        **files,
+        "models/schema.yml":
+            "models:\n  - name: m\n    group: nosuch\n",
+    })
+    with pytest.raises(ValueError, match="no\n*.*groups: entry|no groups"):
+        port_dbt_project(spark, str(tmp_path))
+    # private without a group
+    (tmp_path / "models" / "schema.yml").write_text(
+        "models:\n  - name: m\n    access: private\n")
+    with pytest.raises(ValueError, match="has no group"):
+        port_dbt_project(spark, str(tmp_path))
+    # bad access value
+    (tmp_path / "models" / "schema.yml").write_text(
+        "models:\n  - name: m\n    access: internal\n")
+    with pytest.raises(ValueError, match="public/protected/private"):
+        port_dbt_project(spark, str(tmp_path))
+
+
+def test_restrict_access_package_boundary(spark, tmp_path):
+    """A package declaring restrict-access: true blocks cross-project
+    refs of its protected (default) models; access: public opens the
+    model; without restrict-access packages interoperate freely (the
+    dbt opt-in)."""
+    _write_project(tmp_path, _GOV_YML, {
+        "seeds/nums.csv": "k\n1\n",
+        "models/top.sql": "select k from {{ ref('inner_m') }}",
+    })
+    pkg_yml = ("name: 'locked'\nmodel-paths: [\"models\"]\n"
+               "restrict-access: true\n")
+    _write_package(tmp_path, "locked", pkg_yml, {
+        "models/inner_m.sql": "select k from {{ ref('nums') }}",
+    })
+    with pytest.raises(ValueError, match="restrict-access"):
+        port_dbt_project(spark, str(tmp_path))
+
+    # access: public exposes it across the boundary
+    (tmp_path / "dbt_packages" / "locked" / "models" / "schema.yml"
+     ).write_text("models:\n  - name: inner_m\n    access: public\n")
+    p = port_dbt_project(spark, str(tmp_path))
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        assert runner.run(dict(p.seeds))["top"].collect()[0].k == 1
+    finally:
+        runner.clean()
+
+    # without restrict-access the protected default interoperates
+    (tmp_path / "dbt_packages" / "locked" / "models" / "schema.yml"
+     ).unlink()
+    (tmp_path / "dbt_packages" / "locked" / "dbt_project.yml").write_text(
+        "name: 'locked'\nmodel-paths: [\"models\"]\n")
+    p2 = port_dbt_project(spark, str(tmp_path))
+    assert "inner_m" in p2.model_names
