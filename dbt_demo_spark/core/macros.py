@@ -289,3 +289,45 @@ def expand_macros(sql_text: str, macros: dict[str, Macro] | None,
     raise ValueError(
         f"macro expansion did not terminate in {max_depth} passes — "
         "recursive macros?")
+
+
+def run_operation(spark, macros: dict[str, Macro], name: str,
+                  args: dict | None = None,
+                  relations: dict | None = None):
+    """``dbt run-operation`` analog (X89 [public dbt surface: dbt
+    run-operation — invoke a macro standalone, outside any model]):
+    expand macro ``name`` with ``args`` (literals only, like any call
+    site), bind every ref()/source() the expansion names to the given
+    ``relations`` as temp views, and run the resulting SQL via
+    ``spark.sql``.  Returns the result DataFrame.
+
+    dbt uses run-operation for maintenance SQL (grants, manual fixes,
+    vacuum-style jobs); the Spark twin returns the statement's result
+    so callers can act on it.  A macro that expands to something other
+    than one runnable statement fails in Spark's parser — loud, as
+    intended."""
+    from .sqlmodel import parse_deps, render_sql
+
+    if name not in macros:
+        raise ValueError(f"run-operation: unknown macro {name!r} "
+                         f"(defined: {sorted(macros)})")
+    call_args = ", ".join(
+        f"{k}={v!r}" for k, v in (args or {}).items())
+    text = expand_macros("{{ %s(%s) }}" % (name, call_args), macros)
+    deps = parse_deps(text)
+    relations = relations or {}
+    missing = [d for d in deps if d not in relations]
+    if missing:
+        raise ValueError(
+            f"run-operation {name!r}: macro references {missing} but "
+            "no such relations were passed")
+    views = {d: f"__runop_{name}_{d}" for d in deps}
+    for d, v in views.items():
+        relations[d].createOrReplaceTempView(v)
+    try:
+        out = spark.sql(render_sql(text, views))
+        out.schema  # force analysis before the views drop
+        return out
+    finally:
+        for v in views.values():
+            spark.catalog.dropTempView(v)

@@ -86,11 +86,16 @@ class SemanticModel:
 @dataclass(frozen=True)
 class Metric:
     name: str
-    type: str                   # "simple" | "derived"
-    measure: str = ""           # simple
+    type: str                   # "simple" | "derived" | "ratio" |
+                                # "cumulative"
+    measure: str = ""           # simple / cumulative
     filter: str = ""            # simple: pre-agg SQL predicate
     expr: str = ""              # derived: over other metric names
     label: str = ""
+    numerator: str = ""         # ratio (X90): simple metric names
+    denominator: str = ""
+    window: str = ""            # cumulative (X90): "" = since ever,
+                                # else "N unit" (unit == query grain)
 
 
 @dataclass(frozen=True)
@@ -129,13 +134,30 @@ class MetricLayer:
                                  f"(defined: {sorted(self.metrics)})")
             if m.type == "simple":
                 out[n] = m
+            elif m.type == "ratio":
+                # X90: both legs must be SIMPLE metrics (one level)
+                for dep in (m.numerator, m.denominator):
+                    d = self.metrics.get(dep)
+                    if d is None or d.type != "simple":
+                        raise ValueError(
+                            f"ratio metric {n!r}: "
+                            f"numerator/denominator {dep!r} must be a "
+                            "defined SIMPLE metric")
+                    out[dep] = d
+            elif m.type == "cumulative":
+                # X90: the per-grain-bucket PARTIAL aggregates like a
+                # simple metric under the cumulative metric's own name;
+                # query() layers the running window on top
+                out[n] = Metric(name=n, type="simple",
+                                measure=m.measure, filter=m.filter)
             else:
                 for dep in _metric_names(m.expr, self.metrics):
                     d = self.metrics[dep]
                     if d.type != "simple":
                         raise ValueError(
-                            f"derived metric {n!r} references derived "
-                            f"{dep!r} — lite scope is one level")
+                            f"derived metric {n!r} references "
+                            f"non-simple {dep!r} — lite scope is one "
+                            "level over simple metrics")
                     out[dep] = d
         return list(out.values())
 
@@ -239,9 +261,91 @@ class MetricLayer:
         final = [F.col(g) for g in group_by]
         for n in metrics:
             m = self.metrics[n]
-            final.append((F.col(n) if m.type == "simple"
-                          else F.expr(m.expr)).alias(n))
+            if m.type == "derived":
+                final.append(F.expr(m.expr).alias(n))
+            elif m.type == "ratio":
+                # X90: post-agg division — Spark's non-ANSI divide
+                # yields NULL on a zero denominator, which is the
+                # MetricFlow-rendered SQL's NULLIF behavior too
+                final.append((F.col(m.numerator).cast("double")
+                              / F.col(m.denominator)).alias(n))
+            elif m.type == "cumulative":
+                final.append(self._cumulative_col(
+                    m, list(group_by), grain).alias(n))
+            else:
+                final.append(F.col(n).alias(n))
         return out.select(*final)
+
+    # X90 cumulative metrics [public MetricFlow surface: type:
+    # cumulative, optional window] — Spark-native as ONE window
+    # function over the already-aggregated grain frame: no self-join,
+    # no re-scan of the fact, and the running state is a single
+    # partial per (other-dims, time) bucket.
+    _CUM_ACC = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PERIOD_IDX = {
+        "day": lambda c: F.datediff(c, F.lit("1970-01-01")),
+        "week": lambda c: F.floor(
+            F.datediff(c, F.lit("1970-01-05")) / 7),  # a Monday epoch
+        "month": lambda c: F.year(c) * 12 + F.month(c),
+        "year": lambda c: F.year(c),
+    }
+
+    def _time_dim(self, group_by: list[str]) -> str:
+        """The single time dimension a cumulative metric orders by."""
+        tdims = [g for g in group_by
+                 if any(sm.dimensions.get(g) is not None
+                        and sm.dimensions[g].type == "time"
+                        for sm in self.semantic_models.values())]
+        if len(tdims) != 1:
+            raise ValueError(
+                "cumulative metrics need exactly ONE time dimension in "
+                f"group_by to order the accumulation, got {tdims or None}")
+        return tdims[0]
+
+    def _cumulative_col(self, m: Metric, group_by: list[str],
+                        grain: str | None):
+        from pyspark.sql import Window
+
+        meas = self._owner(m.measure).measures[m.measure]
+        if meas.agg not in self._CUM_ACC:
+            raise ValueError(
+                f"cumulative metric {m.name!r}: measure agg "
+                f"{meas.agg!r} cannot accumulate from per-bucket "
+                f"partials — supported: {sorted(self._CUM_ACC)}")
+        tdim = self._time_dim(group_by)
+        part = [g for g in group_by if g != tdim]
+        acc = self._CUM_ACC[meas.agg]
+        if not m.window:
+            w = (Window.partitionBy(*part).orderBy(F.col(tdim))
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+            return acc(F.col(m.name)).over(w)
+        try:
+            count_s, unit = m.window.split()
+            count = int(count_s)
+            unit = unit.rstrip("s")
+            idx_fn = self._PERIOD_IDX[unit]
+        except (ValueError, KeyError):
+            raise ValueError(
+                f"cumulative metric {m.name!r}: window {m.window!r} — "
+                f"expected 'N unit' with unit in "
+                f"{sorted(self._PERIOD_IDX)}") from None
+        # RANGE over a period index keeps gaps honest (a missing bucket
+        # still ages out of the trailing window); that only means
+        # "trailing N periods" when the buckets ARE that period, so the
+        # effective grain must equal the window unit
+        eff = grain or next(
+            sm.dimensions[tdim].grain
+            for sm in self.semantic_models.values()
+            if sm.dimensions.get(tdim) is not None)
+        if (eff or "").rstrip("s") != unit:
+            raise ValueError(
+                f"cumulative metric {m.name!r}: window unit {unit!r} "
+                f"must equal the query grain {eff!r} — a trailing "
+                "window over mismatched buckets would mix periods")
+        w = (Window.partitionBy(*part).orderBy(idx_fn(F.col(tdim)))
+             .rangeBetween(-(count - 1), 0))
+        return acc(F.col(m.name)).over(w)
 
     def run_saved(self, name: str,
                   relations: dict[str, DataFrame]) -> DataFrame:
@@ -301,14 +405,20 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             measures=measures, dimensions=dims, entities=entities)
     for m in doc.get("metrics", []) or []:
         tp = m.get("type_params", {}) or {}
+
+        def _name_of(v) -> str:
+            return ((v or {}).get("name", "") if isinstance(v, dict)
+                    else (v or ""))
+
         layer.metrics[m["name"]] = Metric(
             name=m["name"], type=m.get("type", "simple"),
-            measure=(tp.get("measure", {}).get("name")
-                     if isinstance(tp.get("measure"), dict)
-                     else tp.get("measure", "")) or "",
+            measure=_name_of(tp.get("measure")),
             filter=str(m.get("filter") or ""),
             expr=str(tp.get("expr") or ""),
-            label=m.get("label", ""))
+            label=m.get("label", ""),
+            numerator=_name_of(tp.get("numerator")),
+            denominator=_name_of(tp.get("denominator")),
+            window=str(tp.get("window") or ""))
     for sq in doc.get("saved_queries", []) or []:
         qp = sq.get("query_params", {}) or {}
         layer.saved_queries[sq["name"]] = SavedQuery(
@@ -316,12 +426,16 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             group_by=tuple(qp.get("group_by", ()) or ()),
             grain=qp.get("grain", "") or "")
     for m in layer.metrics.values():
-        if m.type == "simple" and not m.measure:
-            raise ValueError(f"simple metric {m.name!r} needs a measure")
+        if m.type in ("simple", "cumulative") and not m.measure:
+            raise ValueError(f"{m.type} metric {m.name!r} needs a measure")
         if m.type == "derived" and not m.expr:
             raise ValueError(f"derived metric {m.name!r} needs an expr")
-        if m.type not in ("simple", "derived"):
+        if m.type == "ratio" and not (m.numerator and m.denominator):
+            raise ValueError(
+                f"ratio metric {m.name!r} needs numerator and "
+                "denominator")
+        if m.type not in ("simple", "derived", "ratio", "cumulative"):
             raise ValueError(
                 f"metric {m.name!r}: unsupported type {m.type!r} — "
-                "lite scope is simple | derived")
+                "lite scope is simple | derived | ratio | cumulative")
     return layer

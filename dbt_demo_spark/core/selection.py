@@ -399,3 +399,22 @@ def eval_selector(registry: ModelRegistry, book: SelectorBook,
             f"selector {name!r} matched no models "
             f"(registry: {sorted(registry.names())})")
     return [n for n in registry.names() if n in chosen]
+
+
+def ls(registry: ModelRegistry, select: str | None = None,
+       exclude: str | None = None,
+       state: dict[str, str | None] | None = None) -> list[dict]:
+    """``dbt ls`` analog (X89 [public dbt surface: dbt list]): the
+    selected nodes with their manifest-ish facts, in registry order —
+    what CI scripts parse to see what a selector WOULD touch without
+    building anything."""
+    out = []
+    for n in select_nodes(registry, select, exclude, state=state):
+        m = registry[n]
+        out.append({
+            "name": n, "materialized": m.materialized,
+            "deps": list(m.deps), "tags": list(m.tags),
+            "group": m.group, "access": m.access or "protected",
+            "has_tests": bool(m.tests),
+        })
+    return out

@@ -244,3 +244,112 @@ def test_cross_model_lite_errors(spark):
     with pytest.raises(ValueError, match="share no"):
         layer.query(rels, ["revenue_units", "shipped_units_m"],
                     group_by=["order_month"], grain="month")
+
+
+# ------------------------------------- X90 ratio + cumulative metrics ----
+
+_X90_YAML = LAYER_YAML + """
+  - name: urgent_share
+    type: ratio
+    type_params: {numerator: urgent_orders, denominator: order_count}
+  - name: revenue_to_date
+    type: cumulative
+    type_params: {measure: order_total_units}
+  - name: revenue_trailing_3m
+    type: cumulative
+    type_params: {measure: order_total_units, window: 3 months}
+"""
+
+
+@pytest.fixture(scope="module")
+def layer90():
+    return parse_metric_layer(_X90_YAML)
+
+
+def test_ratio_metric_matches_duckdb(spark, layer90):
+    """ratio = numerator / denominator post-aggregation; constituents
+    need not be requested."""
+    rels = {"orders": load_table(spark, SF_GATE, "orders")}
+    out = layer90.query(rels, ["urgent_share"],
+                        group_by=["order_month"], grain="month")
+    con = duckdb_connection(SF_GATE)
+    r = compare("metrics_ratio", out, con, """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS order_month,
+               CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 END) AS DOUBLE) / COUNT(*)
+                   AS urgent_share
+        FROM orders GROUP BY 1
+    """)
+    assert r.ok, r.detail
+
+
+def test_cumulative_metrics_match_duckdb(spark, layer90):
+    """Unbounded running total and a trailing 3-month window, each as
+    ONE window function over the aggregated month frame — DuckDB twin
+    written with the same window semantics (RANGE over a month index,
+    so calendar gaps age out correctly)."""
+    rels = {"orders": load_table(spark, SF_GATE, "orders")}
+    out = layer90.query(
+        rels, ["revenue_to_date", "revenue_trailing_3m"],
+        group_by=["order_month", "priority"], grain="month")
+    con = duckdb_connection(SF_GATE)
+    r = compare("metrics_cumulative", out, con, """
+        WITH grain AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                       AS order_month,
+                   o_orderpriority AS priority,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS bucket_units
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT order_month, priority,
+               CAST(SUM(bucket_units) OVER (
+                   PARTITION BY priority ORDER BY order_month
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS revenue_to_date,
+               CAST(SUM(bucket_units) OVER (
+                   PARTITION BY priority
+                   ORDER BY YEAR(order_month) * 12 + MONTH(order_month)
+                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS revenue_trailing_3m
+        FROM grain
+    """)
+    assert r.ok, r.detail
+
+
+def test_x90_error_matrix(spark, layer90):
+    rels = {"orders": load_table(spark, SF_GATE, "orders")}
+    # cumulative needs exactly one time dim in group_by
+    with pytest.raises(ValueError, match="exactly ONE time dimension"):
+        layer90.query(rels, ["revenue_to_date"], group_by=["priority"])
+    # window unit must equal the query grain
+    with pytest.raises(ValueError, match="must equal the query grain"):
+        layer90.query(rels, ["revenue_trailing_3m"],
+                      group_by=["order_month"], grain="day")
+    # count_distinct partials cannot accumulate
+    bad = parse_metric_layer(_X90_YAML + """
+  - name: cum_customers
+    type: cumulative
+    type_params: {measure: n_customers}
+""")
+    with pytest.raises(ValueError, match="cannot accumulate"):
+        bad.query(rels, ["cum_customers"],
+                  group_by=["order_month"], grain="month")
+    # parse errors
+    with pytest.raises(ValueError, match="needs numerator"):
+        parse_metric_layer(
+            "metrics:\n  - name: r\n    type: ratio\n")
+    with pytest.raises(ValueError, match="needs a measure"):
+        parse_metric_layer(
+            "metrics:\n  - name: c\n    type: cumulative\n")
+    # ratio legs must be simple metrics
+    bad2 = parse_metric_layer(_X90_YAML + """
+  - name: bad_ratio
+    type: ratio
+    type_params: {numerator: avg_units_per_order,
+                  denominator: order_count}
+""")
+    with pytest.raises(ValueError, match="must be a defined SIMPLE"):
+        bad2.query(rels, ["bad_ratio"], group_by=["order_month"],
+                   grain="month")

@@ -1606,3 +1606,32 @@ def test_restrict_access_package_boundary(spark, tmp_path):
         "name: 'locked'\nmodel-paths: [\"models\"]\n")
     p2 = port_dbt_project(spark, str(tmp_path))
     assert "inner_m" in p2.model_names
+
+
+# ------------------------------------------ X89 run-operation ----
+
+def test_run_operation(spark, tmp_path):
+    """dbt run-operation analog: a macro invoked standalone — args
+    bind, refs in the expansion bind to passed relations, the SQL runs
+    and returns its result; unknown macro / missing relation raise."""
+    from dbt_demo_spark.core.macros import parse_macro_text, run_operation
+
+    macros = parse_macro_text("""
+        {% macro audit_above(threshold=100) %}
+        select k, cents from {{ ref('pays') }}
+        where cents > {{ threshold }}
+        {% endmacro %}
+    """)
+    pays = spark.createDataFrame(
+        [(1, 150), (2, 99), (3, 500)], "k int, cents int")
+    out = run_operation(spark, macros, "audit_above",
+                        relations={"pays": pays})
+    assert {r.k for r in out.collect()} == {1, 3}
+    out2 = run_operation(spark, macros, "audit_above",
+                         args={"threshold": 200},
+                         relations={"pays": pays})
+    assert {r.k for r in out2.collect()} == {3}
+    with pytest.raises(ValueError, match="unknown macro"):
+        run_operation(spark, macros, "nope")
+    with pytest.raises(ValueError, match="no such relations"):
+        run_operation(spark, macros, "audit_above")

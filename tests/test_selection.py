@@ -403,3 +403,19 @@ def test_ported_project_selectors(spark, tmp_path):
         assert {r.k2 for r in rels["wide"].collect()} == {2, 4}
     finally:
         runner.clean()
+
+
+# -------------------------------------------- X89 dbt ls analog ----
+
+def test_ls_lists_selected_nodes():
+    from dbt_demo_spark.core.selection import ls
+
+    reg = _diamond()
+    rows = ls(reg, "tag:mart")
+    assert [r["name"] for r in rows] == ["d", "e"]
+    assert rows[0]["deps"] == ["b", "c"]
+    assert rows[0]["access"] == "protected"  # the dbt default
+    assert {r["name"] for r in ls(reg, None, exclude="tag:mart")} \
+        == {"a", "b", "c"}
+    with pytest.raises(ValueError, match="matched no models"):
+        ls(reg, "typo")
