@@ -113,6 +113,11 @@ def _node_card(name: str, node: dict, results: dict | None) -> str:
     for key in ("partition_by", "bucket_by", "zorder_by", "tags", "tests"):
         if node.get(key):
             meta.append(f"{key}: {e(', '.join(map(str, node[key])))}")
+    # X88 governance badges: only non-defaults earn ink
+    if node.get("group"):
+        meta.append(f"group: {e(node['group'])}")
+    if node.get("access"):
+        meta.append(f"access: {e(node['access'])}")
     if node.get("n_buckets"):
         meta.append(f"n_buckets: {node['n_buckets']}")
     if meta:

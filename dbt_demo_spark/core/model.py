@@ -278,6 +278,8 @@ class ModelRegistry:
                     "contract": [list(c) for c in m.contract],
                     "tests": [t.name for t in m.tests],
                     "description": m.doc,
+                    "group": m.group,
+                    "access": m.access,
                 } for m in self._models.values()
             },
             "sources": sorted({d for m in self._models.values()

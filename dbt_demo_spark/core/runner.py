@@ -928,6 +928,52 @@ class Runner:
         shutil.rmtree(stage, ignore_errors=True)
         return self._read_back(name, path, merge_schema=merge_schema)
 
+    def clone(self, relations: dict[str, DataFrame],
+              select: str | list[str] | None = None,
+              exclude: str | None = None,
+              state: dict | None = None) -> dict:
+        """``dbt clone`` analog (X91 [public dbt surface: dbt clone —
+        copy prior-state relations into the target schema WITHOUT
+        running models; the cheap dev-environment seeding verb]).
+
+        Each selected TABLE-family model whose prior relation appears in
+        ``relations`` is written into this runner's warehouse with the
+        model's declared layout (partition_by / bucket_by / zorder) —
+        afterwards the relation reads back by name exactly as if built
+        here.  VIEW / ephemeral models are skipped and reported (dbt
+        re-creates views as views over prod objects; an in-memory view
+        layer has no object to point at without running the model —
+        skipping loud beats cloning wrong).  Refresh fingerprints are
+        NOT cloned: a later ``run(refresh='changed')`` rebuilds, because
+        a clone never certifies upstream state.  A selected table model
+        MISSING from ``relations`` raises — silently half-cloning an
+        environment is how dev schemas go stale."""
+        from .selection import select_nodes
+
+        if select is None and exclude is None:
+            names = list(self.registry.names())
+        elif isinstance(select, list):
+            names = list(select)
+        else:
+            names = select_nodes(self.registry, select, exclude,
+                                 state=state)
+        cloned, skipped = [], []
+        for name in names:
+            mdef = self.registry[name]
+            if mdef.materialized in ("view", "ephemeral"):
+                skipped.append(name)
+                continue
+            if name not in relations:
+                raise ValueError(
+                    f"clone: no prior relation for table model {name!r}"
+                    " — pass it in relations or narrow the selection")
+            self._materialize_table(
+                name, relations[name], mdef.partition_by,
+                mdef.bucket_by, mdef.n_buckets,
+                mdef.zorder_by, mdef.zorder_files)
+            cloned.append(name)
+        return {"cloned": cloned, "skipped_views": skipped}
+
     def _read_back(self, name: str, path: str,
                    merge_schema: bool = False) -> DataFrame:
         reader = self.spark.read

@@ -355,3 +355,50 @@ def test_retry_reruns_only_failed_and_skipped(spark, src, tmp_path):
     third = r.retry(src, second)
     assert third is second
     assert calls == {"a": 1, "b": 2, "c": 1}
+
+
+# -------------------------------------------------- X91 dbt clone ----
+
+def test_clone_copies_prior_tables(spark, tmp_path):
+    """dbt clone analog: prior-state table relations copy into a fresh
+    warehouse without running models — views are skipped and reported,
+    a missing prior relation raises, and the clone reads back by name."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="stage_v", deps=("src",), materialized="view",
+        fn=lambda refs: refs["src"].selectExpr("k", "k * 2 as v")))
+    reg.register(ModelDef(
+        name="mart_t", deps=("stage_v",), materialized="table",
+        partition_by=("p",),
+        fn=lambda refs: refs["stage_v"].selectExpr(
+            "k", "v", "k % 2 as p")))
+
+    src = {"src": spark.range(6).selectExpr("id as k")}
+    prod = Runner(spark, reg, str(tmp_path / "prod"))
+    dev = Runner(spark, reg, str(tmp_path / "dev"))
+    try:
+        prior = prod.run(dict(src))
+        report = dev.clone(prior)
+        assert report == {"cloned": ["mart_t"],
+                          "skipped_views": ["stage_v"]}
+        got = spark.read.parquet(str(tmp_path / "dev" / "mart_t"))
+        assert sorted((r.k, r.v, r.p) for r in got.collect()) == \
+            sorted((r.k, r.v, r.p) for r in prior["mart_t"].collect())
+        # declared layout preserved: the partition directories exist
+        import os
+        assert any(d.startswith("p=") for d in
+                   os.listdir(tmp_path / "dev" / "mart_t"))
+        # selected-but-missing prior relation raises
+        dev2 = Runner(spark, reg, str(tmp_path / "dev2"))
+        try:
+            import pytest as _pytest
+            with _pytest.raises(ValueError, match="no prior relation"):
+                dev2.clone({}, select="mart_t")
+        finally:
+            dev2.clean()
+    finally:
+        prod.clean()
+        dev.clean()

@@ -120,3 +120,22 @@ def test_docs_site_escapes_html(tmp_path):
     page = open(generate_docs_site(man, str(tmp_path))).read()
     assert "<script>alert(1)</script>" not in page
     assert "&lt;script&gt;" in page
+
+
+def test_docs_show_governance_badges(spark, tmp_path):
+    """X88 metadata reaches the docs site: group/access badges render on
+    the node card (and stay absent for ungoverned models)."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.docs import generate_docs_site
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(name="gov", deps=("src",), materialized="view",
+                          fn=lambda refs: refs["src"],
+                          group="finance", access="private"))
+    reg.register(ModelDef(name="plain", deps=("gov",),
+                          materialized="view",
+                          fn=lambda refs: refs["gov"]))
+    path = generate_docs_site(reg.manifest(), str(tmp_path / "d"))
+    html_text = open(path).read()
+    assert "group: finance" in html_text
+    assert "access: private" in html_text
