@@ -202,6 +202,9 @@ class PortedProject:
     deprecations: dict = field(default_factory=dict)
     # X88: declared groups (name -> owner metadata)
     groups: dict = field(default_factory=dict)
+    # X92: model name -> owning project (root or package) — feeds the
+    # `package:` selector method (selection owners=)
+    owner_of: dict = field(default_factory=dict)
 
 
 def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
@@ -545,7 +548,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         analyses=analyses, snapshots=snapshots,
         freshness=tuple(freshness),
         packages=tuple(p.name for p in packages),
-        selectors=selectors, deprecations=deprecations, groups=groups)
+        selectors=selectors, deprecations=deprecations, groups=groups,
+        owner_of=owner_of)
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,
@@ -694,6 +698,41 @@ def _mock_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
+def _fixture_rows(block: dict, what: str):
+    """dbt unit-test fixture rows [public dbt surface: unit test
+    ``format: dict | csv | sql``] — dict rows pass through; ``format:
+    csv`` parses an inline CSV string with the same agate-like type
+    ladder seeds use (whole-column vote, empty field -> NULL), so a
+    fixture behaves exactly like the seed it stands in for.  ``sql``
+    fixtures and ``fixture:`` file references raise (out of the lite
+    scope — inline what the test needs)."""
+    import io
+
+    block = block or {}
+    fmt = block.get("format", "dict")
+    rows = block.get("rows")
+    if fmt == "dict":
+        if block.get("fixture"):
+            raise ValueError(
+                f"{what}: fixture: files are unsupported — inline the "
+                "rows")
+        return rows
+    if fmt != "csv":
+        raise ValueError(
+            f"{what}: format {fmt!r} is unsupported — dict or csv")
+    if not isinstance(rows, str):
+        raise ValueError(f"{what}: format csv needs rows: as one "
+                         "CSV string (header line first)")
+    parsed = list(csv.reader(io.StringIO(rows.strip())))
+    if not parsed:
+        return []
+    header, body = parsed[0], parsed[1:]
+    cols = list(zip(*body)) if body else [()] * len(header)
+    convs = [_infer([v for v in col if v != ""])[1] for col in cols]
+    return [{h: (None if v == "" else conv(v))
+             for h, v, conv in zip(header, r, convs)} for r in body]
+
+
 def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
                    path_or_text: str) -> list[UnitTestResult]:
     """dbt unit tests [public knowledge: dbt-core 1.8 ``unit_tests:``
@@ -731,7 +770,8 @@ def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
     for ut in (doc or {}).get("unit_tests", []) or []:
         name, model = ut["name"], ut["model"]
         mdef = registry[model]
-        given = {_dep_name(g["input"]): g.get("rows") or []
+        given = {_dep_name(g["input"]):
+                 _fixture_rows(g, f"unit test {name!r} given") or []
                  for g in ut.get("given", []) or []}
         missing = [d for d in mdef.deps if d not in given]
         if missing:
@@ -764,7 +804,8 @@ def run_unit_tests(spark: SparkSession, registry: ModelRegistry,
                 actual = mdef.fn(refs, ctx)
             else:
                 actual = mdef.fn(refs)
-            expect_rows = (ut.get("expect", {}) or {}).get("rows")
+            expect_rows = _fixture_rows(
+                ut.get("expect", {}), f"unit test {name!r} expect")
             if expect_rows is None:
                 raise ValueError(f"unit test {name!r}: no expect.rows")
             cols: list[str] = []

@@ -122,8 +122,23 @@ def _walk(start: set[str], edges: dict[str, set[str]],
 
 
 def _match_base(registry: ModelRegistry, base: str,
-                state: dict[str, str | None] | None = None) -> set[str]:
+                state: dict[str, str | None] | None = None,
+                owners: dict[str, str] | None = None) -> set[str]:
     """Resolve a non-graph atom body to a model set."""
+    if base.startswith("package:"):
+        # X92 [public dbt surface: package selector method] — models by
+        # OWNING project; the map comes from port_dbt_project
+        # (PortedProject.owner_of).  Raising without it beats matching
+        # nothing: a package: selector on a registry with no package
+        # provenance is a caller error, not an empty set.
+        pat = base[len("package:"):]
+        if owners is None:
+            raise ValueError(
+                f"selector {base!r} needs owners= "
+                "(PortedProject.owner_of — which project registered "
+                "each model)")
+        return {n for n in registry.names()
+                if fnmatchcase(owners.get(n, ""), pat)}
     if base.startswith("tag:"):
         pat = base[4:]
         return {n for n in registry.names()
@@ -154,7 +169,8 @@ def _match_base(registry: ModelRegistry, base: str,
 def _eval_atom(registry: ModelRegistry, atom: str,
                parents: dict[str, set[str]],
                kids: dict[str, set[str]],
-               state: dict[str, str | None] | None = None) -> set[str]:
+               state: dict[str, str | None] | None = None,
+               owners: dict[str, str] | None = None) -> set[str]:
     m = _ATOM.match(atom)
     if not m:
         raise ValueError(f"unparseable selector atom: {atom!r}")
@@ -162,10 +178,10 @@ def _eval_atom(registry: ModelRegistry, atom: str,
     if base.startswith("@"):
         if m.group("up") or m.group("down"):
             raise ValueError(f"@ cannot combine with +: {atom!r}")
-        hit = _match_base(registry, base[1:], state)
+        hit = _match_base(registry, base[1:], state, owners)
         down = _walk(hit, kids, None)
         return _walk(down, parents, None)
-    hit = _match_base(registry, base, state)
+    hit = _match_base(registry, base, state, owners)
     out = set(hit)
     if m.group("up"):
         d = m.group("up")[:-1]
@@ -179,18 +195,21 @@ def _eval_atom(registry: ModelRegistry, atom: str,
 def _eval_spec(registry: ModelRegistry, spec: str,
                parents: dict[str, set[str]],
                kids: dict[str, set[str]],
-               state: dict[str, str | None] | None = None) -> set[str]:
+               state: dict[str, str | None] | None = None,
+               owners: dict[str, str] | None = None) -> set[str]:
     """One space-separated spec: comma-intersection of atoms."""
     out: set[str] | None = None
     for atom in spec.split(","):
-        got = _eval_atom(registry, atom.strip(), parents, kids, state)
+        got = _eval_atom(registry, atom.strip(), parents, kids, state,
+                         owners)
         out = got if out is None else out & got
     return out or set()
 
 
 def select_nodes(registry: ModelRegistry, select: str | None,
                  exclude: str | None = None,
-                 state: dict[str, str | None] | None = None) -> list[str]:
+                 state: dict[str, str | None] | None = None,
+                 owners: dict[str, str] | None = None) -> list[str]:
     """Evaluate a selection string against the registry's DAG; returns the
     selected model names in registry order.  ``select=None`` starts from
     every model (the ``dbt run`` default) — useful with ``exclude``.
@@ -204,7 +223,8 @@ def select_nodes(registry: ModelRegistry, select: str | None,
     else:
         chosen = set()
         for spec in select.split():
-            got = _eval_spec(registry, spec, parents, kids, state)
+            got = _eval_spec(registry, spec, parents, kids, state,
+                             owners)
             if not got:
                 # a typo'd selector silently running zero models is how
                 # production refreshes get skipped; an EMPTY state
@@ -218,7 +238,7 @@ def select_nodes(registry: ModelRegistry, select: str | None,
                     if "state:" in atom:
                         continue
                     if not _eval_atom(registry, atom, parents, kids,
-                                      state):
+                                      state, owners):
                         raise ValueError(
                             f"selector atom {atom!r} in {spec!r} matched "
                             f"no models "
@@ -230,7 +250,8 @@ def select_nodes(registry: ModelRegistry, select: str | None,
             chosen |= got
     if exclude:
         for spec in exclude.split():
-            chosen -= _eval_spec(registry, spec, parents, kids, state)
+            chosen -= _eval_spec(registry, spec, parents, kids, state,
+                                 owners)
     return [n for n in registry.names() if n in chosen]
 
 
@@ -250,7 +271,7 @@ def select_nodes(registry: ModelRegistry, select: str | None,
 
 _METHOD_KEYS = {"method", "value", "parents", "children", "parents_depth",
                 "children_depth", "childrens_parents"}
-_SELECTOR_METHODS = {"fqn", "tag", "source", "state"}
+_SELECTOR_METHODS = {"fqn", "tag", "source", "state", "package"}
 
 
 @dataclass(frozen=True)
@@ -323,11 +344,13 @@ def _method_atom(defn: dict) -> str:
 def _eval_definition(registry: ModelRegistry, defn,
                      parents: dict[str, set[str]],
                      kids: dict[str, set[str]],
-                     state: dict[str, str | None] | None) -> set[str]:
+                     state: dict[str, str | None] | None,
+                     owners: dict[str, str] | None = None) -> set[str]:
     if isinstance(defn, str):
         out: set[str] = set()
         for spec in defn.split():
-            out |= _eval_spec(registry, spec, parents, kids, state)
+            out |= _eval_spec(registry, spec, parents, kids, state,
+                              owners)
         return out
     if not isinstance(defn, dict):
         raise ValueError(f"unparseable selector definition: {defn!r}")
@@ -343,10 +366,11 @@ def _eval_definition(registry: ModelRegistry, defn,
                 ex: set[str] = set()
                 for e in mbr["exclude"] or []:
                     ex |= _eval_definition(registry, e, parents, kids,
-                                           state)
+                                           state, owners)
                 acc = (acc or set()) - ex
                 continue
-            got = _eval_definition(registry, mbr, parents, kids, state)
+            got = _eval_definition(registry, mbr, parents, kids, state,
+                                   owners)
             if acc is None:
                 acc = got
             elif key == "union":
@@ -358,7 +382,8 @@ def _eval_definition(registry: ModelRegistry, defn,
         raise ValueError(
             "exclude: is only valid as a member of a union:/intersection:"
             " list — a bare exclude has nothing to subtract from")
-    return _eval_atom(registry, _method_atom(defn), parents, kids, state)
+    return _eval_atom(registry, _method_atom(defn), parents, kids, state,
+                      owners)
 
 
 def _mentions_state(defn) -> bool:
@@ -375,7 +400,8 @@ def _mentions_state(defn) -> bool:
 
 def eval_selector(registry: ModelRegistry, book: SelectorBook,
                   name: str | None = None,
-                  state: dict[str, str | None] | None = None) -> list[str]:
+                  state: dict[str, str | None] | None = None,
+                  owners: dict[str, str] | None = None) -> list[str]:
     """Evaluate a named selector (or the book's default) to the target
     list ``Runner.run(select=...)`` takes.  An empty result raises
     unless the definition involves ``state:`` — slim CI's "nothing
@@ -393,7 +419,8 @@ def eval_selector(registry: ModelRegistry, book: SelectorBook,
     kids = _children(registry)
     parents = {n: {d for d in registry[n].deps if d in registry}
                for n in registry.names()}
-    chosen = _eval_definition(registry, defn, parents, kids, state)
+    chosen = _eval_definition(registry, defn, parents, kids, state,
+                              owners)
     if not chosen and not _mentions_state(defn):
         raise ValueError(
             f"selector {name!r} matched no models "
@@ -403,13 +430,15 @@ def eval_selector(registry: ModelRegistry, book: SelectorBook,
 
 def ls(registry: ModelRegistry, select: str | None = None,
        exclude: str | None = None,
-       state: dict[str, str | None] | None = None) -> list[dict]:
+       state: dict[str, str | None] | None = None,
+       owners: dict[str, str] | None = None) -> list[dict]:
     """``dbt ls`` analog (X89 [public dbt surface: dbt list]): the
     selected nodes with their manifest-ish facts, in registry order —
     what CI scripts parse to see what a selector WOULD touch without
     building anything."""
     out = []
-    for n in select_nodes(registry, select, exclude, state=state):
+    for n in select_nodes(registry, select, exclude, state=state,
+                          owners=owners):
         m = registry[n]
         out.append({
             "name": n, "materialized": m.materialized,

@@ -1635,3 +1635,60 @@ def test_run_operation(spark, tmp_path):
         run_operation(spark, macros, "nope")
     with pytest.raises(ValueError, match="no such relations"):
         run_operation(spark, macros, "audit_above")
+
+
+# --------------------------------- X92 csv-format unit-test fixtures ----
+
+def test_unit_test_csv_fixtures(spark):
+    """dbt unit-test format: csv — inline CSV given/expect rows parse
+    with the seed type ladder (typed values, empty -> NULL) and compare
+    exactly like dict rows; sql format and fixture: files raise."""
+    from dbt_demo_spark.core.project import run_unit_tests
+
+    reg = ModelRegistry()
+    register_sql_model(
+        reg, "doubled",
+        "select k, v * 2 as v2 from {{ ref('nums') }} where v is not null")
+    results = run_unit_tests(spark, reg, """
+unit_tests:
+  - name: csv_fixture_types
+    model: doubled
+    given:
+      - input: ref('nums')
+        format: csv
+        rows: |
+          k,v
+          1,10
+          2,
+          3,30
+    expect:
+      format: csv
+      rows: |
+        k,v2
+        1,20
+        3,60
+""")
+    assert [r.passed for r in results] == [True], results[0].detail
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        run_unit_tests(spark, reg, """
+unit_tests:
+  - name: bad
+    model: doubled
+    given:
+      - input: ref('nums')
+        format: sql
+        rows: select 1
+    expect: {rows: []}
+""")
+    with _pytest.raises(ValueError, match="inline"):
+        run_unit_tests(spark, reg, """
+unit_tests:
+  - name: bad2
+    model: doubled
+    given:
+      - input: ref('nums')
+        fixture: my_fixture
+    expect: {rows: []}
+""")

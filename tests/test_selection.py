@@ -419,3 +419,47 @@ def test_ls_lists_selected_nodes():
         == {"a", "b", "c"}
     with pytest.raises(ValueError, match="matched no models"):
         ls(reg, "typo")
+
+
+def test_package_selector_method():
+    """X92: package: selects by owning project; needs the owners map
+    (PortedProject.owner_of) and raises without one."""
+    from dbt_demo_spark.core.selection import ls, select_nodes
+
+    reg = _diamond()
+    owners = {"a": "rootp", "b": "rootp", "c": "util_pkg",
+              "d": "util_pkg", "e": "rootp"}
+    assert set(select_nodes(reg, "package:util_pkg", owners=owners)) \
+        == {"c", "d"}
+    assert set(select_nodes(reg, "package:util_pkg+", owners=owners)) \
+        == {"c", "d", "e"}
+    assert [r["name"] for r in ls(reg, "package:rootp",
+                                  owners=owners)] == ["a", "b", "e"]
+    with pytest.raises(ValueError, match="owners="):
+        select_nodes(reg, "package:util_pkg")
+
+
+def test_package_selector_from_ported_project(spark, tmp_path):
+    import textwrap
+
+    from dbt_demo_spark.core.project import port_dbt_project
+    from dbt_demo_spark.core.selection import select_nodes
+
+    root = tmp_path
+    (root / "dbt_project.yml").write_text(
+        "name: rootp\nmodel-paths: ['models']\nseed-paths: ['seeds']\n")
+    (root / "models").mkdir()
+    (root / "models" / "top.sql").write_text(
+        "select k from {{ ref('pkg_m') }}")
+    (root / "seeds").mkdir()
+    (root / "seeds" / "nums.csv").write_text("k\n1\n")
+    pkg = root / "dbt_packages" / "util_pkg"
+    (pkg / "models").mkdir(parents=True)
+    (pkg / "dbt_project.yml").write_text(
+        "name: util_pkg\nmodel-paths: ['models']\n")
+    (pkg / "models" / "pkg_m.sql").write_text(
+        "select k from {{ ref('nums') }}")
+    p = port_dbt_project(spark, str(root))
+    assert p.owner_of == {"top": "rootp", "pkg_m": "util_pkg"}
+    assert select_nodes(p.registry, "package:util_pkg",
+                        owners=p.owner_of) == ["pkg_m"]
