@@ -95,7 +95,17 @@ class Metric:
     numerator: str = ""         # ratio (X90): simple metric names
     denominator: str = ""
     window: str = ""            # cumulative (X90): "" = since ever,
-                                # else "N unit" (unit == query grain)
+                                # else "N unit" (unit == query grain);
+                                # conversion (X93): "" = ever-after,
+                                # else "N unit" after the base event
+    entity: str = ""            # conversion (X93): join entity
+    calculation: str = ""       # conversion: "conversions" |
+                                # "conversion_rate"
+    base_measure: str = ""      # conversion: locates base events
+    conversion_measure: str = ""
+    conversion_filter: str = ""  # lite extension: SQL predicate on the
+                                 # conversion model's rows (stands in
+                                 # for a filtered semantic model)
 
 
 @dataclass(frozen=True)
@@ -223,6 +233,21 @@ class MetricLayer:
         the join).  Lite errors retained: >2 models, or two models with
         NO shared entity, raise — that's a genuinely unjoinable set,
         not a guessable one."""
+        conv = [n for n in metrics
+                if self.metrics.get(n) is not None
+                and self.metrics[n].type == "conversion"]
+        if conv:
+            # X93: a conversion metric is an EVENT-LEVEL question (did a
+            # conversion follow each base event?), not a grain
+            # aggregation — it composes its own two-sided plan, so the
+            # lite layer answers it alone
+            if len(metrics) != 1:
+                raise ValueError(
+                    "conversion metrics compile to their own event-level "
+                    f"join — query {conv[0]!r} by itself")
+            return self._conversion_query(self.metrics[conv[0]],
+                                          relations, list(group_by),
+                                          grain)
         simples = self._simple_closure(list(metrics))
         owners: dict[str, list[Metric]] = {}
         for m in simples:
@@ -289,6 +314,99 @@ class MetricLayer:
         "month": lambda c: F.year(c) * 12 + F.month(c),
         "year": lambda c: F.year(c),
     }
+
+    # X93 conversion metrics [public MetricFlow surface: type:
+    # conversion — entity, calculation, base_measure,
+    # conversion_measure, window].  Lite semantics (documented, raise
+    # beyond): a BASE event converts when >= 1 conversion event for the
+    # same entity lands in (base_ts, base_ts + window]; `conversions`
+    # counts converted base events, `conversion_rate` divides by all
+    # base events.  Scale shape: ONE entity-keyed left-semi join (the
+    # range rides the join condition, never a cartesian) plus two grain
+    # aggregations of the tiny dim frames.  Metric-level `filter`
+    # narrows BASE rows (same contract as simple metrics);
+    # `conversion_filter` is the lite stand-in for a filtered
+    # conversion semantic model.
+
+    def _model_time_expr(self, sm: SemanticModel) -> str:
+        tds = [d for d in sm.dimensions.values() if d.type == "time"]
+        if len(tds) != 1:
+            raise ValueError(
+                f"conversion metrics need exactly ONE time dimension on "
+                f"semantic model {sm.name!r} to order events, found "
+                f"{[d.name for d in tds] or None}")
+        return tds[0].expr
+
+    def _conversion_query(self, m: Metric, relations: dict,
+                          group_by: list[str], grain: str | None
+                          ) -> DataFrame:
+        base_sm = self._owner(m.base_measure)
+        conv_sm = self._owner(m.conversion_measure)
+        for sm, meas in ((base_sm, m.base_measure),
+                         (conv_sm, m.conversion_measure)):
+            if sm.measures[meas].agg != "count":
+                raise ValueError(
+                    f"conversion metric {m.name!r}: measure {meas!r} "
+                    f"must be a count (events), got "
+                    f"{sm.measures[meas].agg!r}")
+        if m.calculation not in ("conversions", "conversion_rate"):
+            raise ValueError(
+                f"conversion metric {m.name!r}: calculation must be "
+                f"conversions | conversion_rate, got {m.calculation!r}")
+        for sm in (base_sm, conv_sm):
+            if m.entity not in sm.entities:
+                raise ValueError(
+                    f"conversion metric {m.name!r}: entity {m.entity!r} "
+                    f"not declared on semantic model {sm.name!r}")
+            if sm.model not in relations:
+                raise KeyError(
+                    f"semantic model {sm.name!r} needs relation "
+                    f"{sm.model!r}")
+        base = relations[base_sm.model]
+        if m.filter:
+            base = base.where(F.expr(m.filter))
+        conv = relations[conv_sm.model]
+        if m.conversion_filter:
+            conv = conv.where(F.expr(m.conversion_filter))
+        dims = [self._dim_col(base_sm, g, grain) for g in group_by]
+        bb = base.select(
+            F.expr(base_sm.entities[m.entity].expr).alias("__ent"),
+            F.expr(self._model_time_expr(base_sm)).alias("__bts"),
+            *dims)
+        cc = conv.select(
+            F.expr(conv_sm.entities[m.entity].expr).alias("__cent"),
+            F.expr(self._model_time_expr(conv_sm)).alias("__cts"))
+        cond = (bb["__ent"] == cc["__cent"]) & (cc["__cts"] > bb["__bts"])
+        if m.window:
+            try:
+                count_s, unit = m.window.split()
+                cond = cond & (
+                    cc["__cts"] <= bb["__bts"]
+                    + F.expr(f"INTERVAL {int(count_s)} "
+                             f"{unit.rstrip('s')}"))
+            except ValueError:
+                raise ValueError(
+                    f"conversion metric {m.name!r}: window "
+                    f"{m.window!r} — expected 'N unit'") from None
+        gcols = [F.col(g) for g in group_by]
+        converted = (bb.join(cc, cond, "left_semi")
+                     .groupBy(*gcols)
+                     .agg(F.count(F.lit(1)).alias("__conv")))
+        totals = bb.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__base"))
+        if group_by:
+            jcond = None
+            for g in group_by:
+                c = totals[g].eqNullSafe(converted[g])
+                jcond = c if jcond is None else (jcond & c)
+            joined = totals.join(converted, jcond, "left_outer")
+            keep = [totals[g].alias(g) for g in group_by]
+        else:
+            joined = totals.crossJoin(converted)
+            keep = []
+        n_conv = F.coalesce(converted["__conv"], F.lit(0))
+        out_col = (n_conv if m.calculation == "conversions"
+                   else n_conv.cast("double") / totals["__base"])
+        return joined.select(*keep, out_col.alias(m.name))
 
     def _time_dim(self, group_by: list[str]) -> str:
         """The single time dimension a cumulative metric orders by."""
@@ -418,7 +536,14 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             label=m.get("label", ""),
             numerator=_name_of(tp.get("numerator")),
             denominator=_name_of(tp.get("denominator")),
-            window=str(tp.get("window") or ""))
+            window=str(tp.get("window") or ""),
+            entity=str(tp.get("entity") or ""),
+            calculation=str(tp.get("calculation")
+                            or ("conversions"
+                                if m.get("type") == "conversion" else "")),
+            base_measure=_name_of(tp.get("base_measure")),
+            conversion_measure=_name_of(tp.get("conversion_measure")),
+            conversion_filter=str(tp.get("conversion_filter") or ""))
     for sq in doc.get("saved_queries", []) or []:
         qp = sq.get("query_params", {}) or {}
         layer.saved_queries[sq["name"]] = SavedQuery(
@@ -434,8 +559,15 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             raise ValueError(
                 f"ratio metric {m.name!r} needs numerator and "
                 "denominator")
-        if m.type not in ("simple", "derived", "ratio", "cumulative"):
+        if m.type == "conversion" and not (
+                m.entity and m.base_measure and m.conversion_measure):
             raise ValueError(
-                f"metric {m.name!r}: unsupported type {m.type!r} — "
-                "lite scope is simple | derived | ratio | cumulative")
+                f"conversion metric {m.name!r} needs entity, "
+                "base_measure, and conversion_measure")
+        if m.type not in ("simple", "derived", "ratio", "cumulative",
+                          "conversion"):
+            raise ValueError(
+                f"metric {m.name!r}: unsupported type {m.type!r} — lite "
+                "scope is simple | derived | ratio | cumulative | "
+                "conversion")
     return layer

@@ -353,3 +353,123 @@ def test_x90_error_matrix(spark, layer90):
     with pytest.raises(ValueError, match="must be a defined SIMPLE"):
         bad2.query(rels, ["bad_ratio"], group_by=["order_month"],
                    grain="month")
+
+
+# ----------------------------------------- X93 conversion metrics ----
+
+_CONV_YAML = """
+semantic_models:
+  - name: events_sm
+    model: ref('events')
+    entities:
+      - name: user
+        expr: user_id
+    dimensions:
+      - name: event_month
+        type: time
+        expr: ts
+        type_params: {time_granularity: month}
+    measures:
+      - name: n_events
+        agg: count
+        expr: 1
+metrics:
+  - name: view_to_purchase_7d
+    type: conversion
+    filter: "event_type = 'view'"
+    type_params:
+      entity: user
+      calculation: conversion_rate
+      base_measure: n_events
+      conversion_measure: n_events
+      conversion_filter: "event_type = 'purchase'"
+      window: 7 days
+  - name: view_conversions_ever
+    type: conversion
+    filter: "event_type = 'view'"
+    type_params:
+      entity: user
+      calculation: conversions
+      base_measure: n_events
+      conversion_measure: n_events
+      conversion_filter: "event_type = 'purchase'"
+"""
+
+_CONV_ORACLE = """
+    WITH base AS (
+        SELECT user_id, ts,
+               CAST(date_trunc('month', ts) AS DATE) AS event_month
+        FROM events WHERE event_type = 'view'
+    ), conv AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_month,
+           {select}
+    FROM base b GROUP BY 1
+"""
+
+
+def test_conversion_rate_matches_duckdb(spark):
+    layer = parse_metric_layer(_CONV_YAML)
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    out = layer.query(rels, ["view_to_purchase_7d"],
+                      group_by=["event_month"], grain="month")
+    con = duckdb_connection(SF_GATE)
+    r = compare("metrics_conversion_rate", out, con,
+                _CONV_ORACLE.format(select="""
+           CAST(COUNT(CASE WHEN EXISTS (
+                    SELECT 1 FROM conv c
+                    WHERE c.user_id = b.user_id AND c.ts > b.ts
+                      AND c.ts <= b.ts + INTERVAL 7 DAY) THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS view_to_purchase_7d"""))
+    assert r.ok, r.detail
+
+
+def test_conversion_counts_match_duckdb(spark):
+    layer = parse_metric_layer(_CONV_YAML)
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    out = layer.query(rels, ["view_conversions_ever"],
+                      group_by=["event_month"], grain="month")
+    con = duckdb_connection(SF_GATE)
+    r = compare("metrics_conversions", out, con,
+                _CONV_ORACLE.format(select="""
+           COUNT(CASE WHEN EXISTS (
+                    SELECT 1 FROM conv c
+                    WHERE c.user_id = b.user_id AND c.ts > b.ts)
+                 THEN 1 END) AS view_conversions_ever"""))
+    assert r.ok, r.detail
+
+
+def test_conversion_error_matrix(spark):
+    layer = parse_metric_layer(_CONV_YAML)
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    # conversion metrics compile alone
+    with pytest.raises(ValueError, match="by itself"):
+        layer.query(rels, ["view_to_purchase_7d",
+                           "view_conversions_ever"],
+                    group_by=["event_month"], grain="month")
+    with pytest.raises(ValueError, match="needs entity"):
+        parse_metric_layer("""
+metrics:
+  - name: broken
+    type: conversion
+    type_params: {calculation: conversions}
+""")
+    bad = parse_metric_layer(_CONV_YAML.replace(
+        "calculation: conversion_rate", "calculation: pct"))
+    with pytest.raises(ValueError, match="conversions | conversion_rate"):
+        bad.query(rels, ["view_to_purchase_7d"],
+                  group_by=["event_month"], grain="month")
+
+
+def test_conversion_plan_is_entity_keyed(spark):
+    """The range predicate rides the entity equi-join — never a
+    cartesian or nested-loop plan (the 100 TB shape)."""
+    layer = parse_metric_layer(_CONV_YAML)
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    out = layer.query(rels, ["view_to_purchase_7d"],
+                      group_by=["event_month"], grain="month")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
