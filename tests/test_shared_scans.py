@@ -12,12 +12,16 @@ from dbt_demo_spark.sources import parquet
 from dbt_demo_spark.sources.parquet import load_table, shared_scans
 from tests.conftest import SF_GATE
 
-QUERIES = ["tpch_q6_forecast_revenue", "agg_monthly_orders",
+# grain_check_fanout is the raw-orders representative: the agg_monthly_*
+# family moved onto the orderkey-bucketed MARTS (r12 grain pre-agg), so
+# their footprint no longer touches the sf_dir orders table at all —
+# exactly the behavior the workload footprint derives from the plans
+QUERIES = ["tpch_q6_forecast_revenue", "grain_check_fanout",
            "events_hourly_rollup", "text_quality"]
 
 COLUMNS = {
     "lineitem": ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
-    "orders": ["o_orderdate", "o_orderstatus", "o_orderkey", "o_totalprice"],
+    "orders": ["o_orderdate", "o_orderstatus"],
     "documents": ["doc_id", "text"],
     "events": None,
 }
@@ -130,7 +134,7 @@ def test_missing_column_fails_loudly_not_wrong(spark):
 
     with shared_scans(spark, SF_GATE, {"orders": ["o_orderkey"]}):
         with pytest.raises(AnalysisException):
-            CATALOG["agg_monthly_orders"].fn(spark, SF_GATE).collect()
+            CATALOG["grain_check_fanout"].fn(spark, SF_GATE).collect()
 
 
 def test_location_regex_matches_any_uri_scheme():
