@@ -98,6 +98,19 @@ def parse_macro_text(text: str, origin: str = "<text>") -> dict[str, Macro]:
     outside blocks is ignored (dbt allows comments/whitespace);
     a block with unparseable parameters raises."""
     out: dict[str, Macro] = {}
+    # fail-loud guard (review r12): a `{% macro %}` opener the full
+    # definition regex cannot consume (e.g. parentheses inside a default
+    # value) must raise here, not vanish — the alternative is a macro
+    # that silently never registers and a misleading leftover-Jinja
+    # error at some call site later
+    openers = len(re.findall(r"\{%-?\s*macro\b", text))
+    parsed = len(_MACRO_DEF_RE.findall(text))
+    if openers != parsed:
+        raise ValueError(
+            f"{origin}: {openers - parsed} {{% macro %}} definition(s) "
+            "could not be parsed — supported signatures are "
+            "comma-separated names with literal defaults containing no "
+            "parentheses")
     for m in _MACRO_DEF_RE.finditer(text):
         name, sig, body = m.group(1), m.group(2).strip(), m.group(3)
         if name in BUILTIN_MACROS:
@@ -225,8 +238,15 @@ def expand_macros(sql_text: str, macros: dict[str, Macro] | None,
         changed = False
         for name, mac in macros.items():
             pat = re.compile(_CALL_OPEN_RE_TMPL.format(name=re.escape(name)))
+            # scan position advances PAST each inserted body within a
+            # pass — a call the expansion itself re-introduces waits for
+            # the NEXT pass, so max_depth genuinely bounds recursion
+            # (review r12: a self-recursive macro `{% macro r(x) %}
+            # {{ r(x) }}{% endmacro %}` hung forever because re-searching
+            # from the start re-matched the call just inserted)
+            scan_from = 0
             while True:
-                m = pat.search(sql_text)
+                m = pat.search(sql_text, scan_from)
                 if not m:
                     break
                 # balanced-paren scan for the call's closing paren
@@ -283,6 +303,7 @@ def expand_macros(sql_text: str, macros: dict[str, Macro] | None,
                     body = _subst_in_jinja_spans(body, p, raw)
                 sql_text = (sql_text[:m.start()] + body
                             + sql_text[k + close.end():])
+                scan_from = m.start() + len(body)
                 changed = True
         if not changed:
             return sql_text

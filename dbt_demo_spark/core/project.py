@@ -293,22 +293,30 @@ def _scan_model_versions(model_dirs: list[str]
 
 def _project_policy(own_cfg: dict, own_name: str, root_models: dict
                     ) -> tuple[dict, str]:
-    """(policy path map, default materialization) for one project —
-    the package's own ``models: <name>:`` tree overridden path-by-path
-    by the ROOT project's ``models: <name>:`` tree (dbt precedence:
-    root config beats package config); a top-level ``+materialized``
-    under either ``models:`` sets that project's default."""
-    policy: dict[str, str] = {}
+    """(policy path map, default materialization) for one project.
+
+    dbt precedence [public knowledge: config precedence — root project
+    configs override installed-package configs at EVERY depth, because
+    each project file's folder cascade applies wholesale and the root's
+    applies last]: when the ROOT declares a default that cascades over
+    this project (a ``models: <name>: +materialized`` or a top-level
+    ``models: +materialized``), the package's own file contributes
+    NOTHING — only root keys refine the root default (review r12: the
+    old merge let a package's tree default beat the root's global
+    default).  Without a root default, root keys override the package's
+    path-by-path and the package default stands."""
+    own_tree: dict[str, str] = {}
     _walk_policy((own_cfg.get("models", {}) or {}).get(own_name, {}) or {},
-                 "", policy)
-    root_over: dict[str, str] = {}
-    _walk_policy(root_models.get(own_name, {}) or {}, "", root_over)
-    policy.update(root_over)
-    default = policy.pop(
-        "",
-        root_models.get("+materialized")
-        or (own_cfg.get("models", {}) or {}).get("+materialized", "view"))
-    return policy, default
+                 "", own_tree)
+    root_tree: dict[str, str] = {}
+    _walk_policy(root_models.get(own_name, {}) or {}, "", root_tree)
+    own_default = own_tree.pop(
+        "", (own_cfg.get("models", {}) or {}).get("+materialized"))
+    root_default = root_tree.pop("", root_models.get("+materialized"))
+    if root_default is not None:
+        return root_tree, root_default
+    policy = {**own_tree, **root_tree}
+    return policy, (own_default if own_default is not None else "view")
 
 
 def port_dbt_project(spark: SparkSession, project_dir: str,
@@ -566,9 +574,7 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
     their own names, so the compiled text runs as-is via spark.sql once
     the DAG is built).  Unknown refs raise at compile time — the same
     manifest validation dbt does."""
-    from .macros import expand_macros
-    from .sqlmodel import (parse_deps, render_env_vars, render_sql,
-                           render_vars, resolve_version_refs)
+    from .sqlmodel import parse_deps, preprocess_sql, render_sql
 
     out: dict[str, str] = {}
     for dirpath, _dirnames, filenames in sorted(os.walk(analyses_dir)):
@@ -577,9 +583,8 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
                 continue
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
-                text = resolve_version_refs(render_env_vars(
-                    render_vars(expand_macros(fh.read(), macros), vars),
-                    env), versions)
+                text = preprocess_sql(fh.read(), macros, vars, env,
+                                      versions)
             deps = parse_deps(text)
             known = set(registry.names()) | set(extra_relations)
             unknown = [d for d in deps if d not in known]
@@ -727,6 +732,14 @@ def _fixture_rows(block: dict, what: str):
     if not parsed:
         return []
     header, body = parsed[0], parsed[1:]
+    # ragged rows fail loud (review r12): zip(*body) truncates to the
+    # SHORTEST row, so one short line would silently drop trailing
+    # columns from EVERY row — a fixture typed wrong with no error
+    for i, r in enumerate(body, start=2):
+        if len(r) != len(header):
+            raise ValueError(
+                f"{what}: csv line {i} has {len(r)} fields, header "
+                f"declares {len(header)}")
     cols = list(zip(*body)) if body else [()] * len(header)
     convs = [_infer([v for v in col if v != ""])[1] for col in cols]
     return [{h: (None if v == "" else conv(v))
@@ -965,12 +978,13 @@ def _enforce_access(registry: ModelRegistry, owner_of: dict,
             raise ValueError(
                 f"model {name!r} is access: private but has no group — "
                 "private means same-group-only, so a group is required")
-    for name in registry.names():
+    known = set(registry.names())
+    for name in registry.names():  # registry order: deterministic raise
         mdef = registry[name]
         if "singular-test" in mdef.tags:
             continue
         for d in mdef.deps:
-            if d not in registry.names():
+            if d not in known:
                 continue  # seeds/sources carry no access level
             dd = registry[d]
             acc = dd.access or "protected"

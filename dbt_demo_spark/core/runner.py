@@ -954,6 +954,13 @@ class Runner:
             names = list(self.registry.names())
         elif isinstance(select, list):
             names = list(select)
+            if exclude:
+                # same narrowing run()/build() give a list select —
+                # ignoring exclude here would clone a relation the
+                # caller explicitly ruled out (review r12)
+                keep = set(select_nodes(self.registry, None, exclude,
+                                        state=state))
+                names = [n for n in names if n in keep]
         else:
             names = select_nodes(self.registry, select, exclude,
                                  state=state)

@@ -360,14 +360,17 @@ def _eval_definition(registry: ModelRegistry, defn,
                 f"a set block holds exactly one of union:/intersection:, "
                 f"got {sorted(defn)}")
         key = "union" if "union" in defn else "intersection"
+        # exclude members subtract AFTER all the other members combine
+        # (dbt semantics; review r12 — applying them positionally kept
+        # an excluded node when a later member re-matched it, and an
+        # exclude-first intersection seeded acc with the empty set)
         acc: set[str] | None = None
+        ex: set[str] = set()
         for mbr in defn[key] or []:
             if isinstance(mbr, dict) and set(mbr) == {"exclude"}:
-                ex: set[str] = set()
                 for e in mbr["exclude"] or []:
                     ex |= _eval_definition(registry, e, parents, kids,
                                            state, owners)
-                acc = (acc or set()) - ex
                 continue
             got = _eval_definition(registry, mbr, parents, kids, state,
                                    owners)
@@ -377,7 +380,7 @@ def _eval_definition(registry: ModelRegistry, defn,
                 acc |= got
             else:
                 acc &= got
-        return acc or set()
+        return (acc or set()) - ex
     if "exclude" in defn:
         raise ValueError(
             "exclude: is only valid as a member of a union:/intersection:"

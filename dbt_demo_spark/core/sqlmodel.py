@@ -354,6 +354,25 @@ def resolve_version_refs(sql_text: str, versions: dict | None) -> str:
     return _VREF_RE.sub(sub, sql_text)
 
 
+def preprocess_sql(sql_text: str, macros: dict | None = None,
+                   vars: dict | None = None, env: dict | None = None,
+                   versions: dict | None = None) -> str:
+    """The ONE compile pipeline every SQL-text surface shares (models,
+    singular tests, snapshots, analyses).  Ordering is an invariant:
+    macros expand FIRST so macro-emitted ref()/var()/env_var() calls
+    resolve in the later passes, then vars, then env, then versioned
+    refs rewrite to their concrete nodes.  Factored here (review r12)
+    so a fifth pass or a reorder happens in one place — four copies had
+    four chances to give tests/snapshots/analyses different compile
+    semantics than models."""
+    from .macros import expand_macros
+
+    return resolve_version_refs(
+        render_env_vars(
+            render_vars(expand_macros(sql_text, macros), vars), env),
+        versions)
+
+
 def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
                        *, materialized: str = "view",
                        vars: dict | None = None,
@@ -373,13 +392,9 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
     ``vars`` and ``env`` substitute.  All three happen before parsing,
     so a macro/var change re-fingerprints the model like any text
     edit."""
-    from .macros import expand_macros
     from .model import ModelDef
 
-    sql_text = resolve_version_refs(
-        render_env_vars(
-            render_vars(expand_macros(sql_text, macros), vars), env),
-        versions)
+    sql_text = preprocess_sql(sql_text, macros, vars, env, versions)
     cfg = parse_config(sql_text)
     materialized = cfg.pop("materialized", materialized)
     model_kwargs = {**model_kwargs, **cfg}
@@ -421,12 +436,9 @@ def register_test_dir(registry: ModelRegistry, tests_dir: str,
             if not f.endswith(".sql"):
                 continue
             name = f[:-len(".sql")]
-            from .macros import expand_macros
-
             with open(os.path.join(dirpath, f)) as fh:
-                sql_text = resolve_version_refs(render_env_vars(
-                    render_vars(expand_macros(fh.read(), macros), vars),
-                    env), versions)
+                sql_text = preprocess_sql(fh.read(), macros, vars, env,
+                                          versions)
             fn, deps = sql_model_fn(name, sql_text)
             registry.register(ModelDef(
                 name=name, deps=deps, materialized="ephemeral", fn=fn,
@@ -461,12 +473,8 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
     if not m:
         raise ValueError("not a snapshot file: no "
                          "{% snapshot name %} ... {% endsnapshot %} block")
-    from .macros import expand_macros
-
     name = m.group(1)
-    body = resolve_version_refs(render_env_vars(
-        render_vars(expand_macros(m.group(2), macros), vars), env),
-        versions)
+    body = preprocess_sql(m.group(2), macros, vars, env, versions)
     cfg = parse_config(body)
     check_cols = cfg.get("check_cols", ())
     if isinstance(check_cols, str) and check_cols != "all":

@@ -402,3 +402,29 @@ def test_clone_copies_prior_tables(spark, tmp_path):
     finally:
         prod.clean()
         dev.clean()
+
+
+def test_clone_list_select_honors_exclude(spark, tmp_path):
+    """Review r12: clone(select=[...], exclude=...) must narrow the
+    list — an explicitly excluded relation may not land in the dev
+    warehouse."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    reg = ModelRegistry()
+    for n in ("t1", "t2"):
+        reg.register(ModelDef(
+            name=n, deps=("src",), materialized="table",
+            fn=lambda refs: refs["src"]))
+    src = {"src": spark.range(3).selectExpr("id as k")}
+    prod = Runner(spark, reg, str(tmp_path / "prod"))
+    dev = Runner(spark, reg, str(tmp_path / "dev"))
+    try:
+        prior = prod.run(dict(src))
+        report = dev.clone(prior, select=["t1", "t2"], exclude="t2")
+        assert report["cloned"] == ["t1"]
+        import os
+        assert not os.path.exists(tmp_path / "dev" / "t2")
+    finally:
+        prod.clean()
+        dev.clean()

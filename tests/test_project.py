@@ -1692,3 +1692,74 @@ unit_tests:
         fixture: my_fixture
     expect: {rows: []}
 """)
+
+
+# --------------------------------- r12 self-review regression tests ----
+
+def test_self_recursive_macro_raises_not_hangs():
+    """Review r12: a macro whose body calls itself must hit the
+    max_depth recursion guard, not loop forever."""
+    from dbt_demo_spark.core.macros import expand_macros, parse_macro_text
+
+    macros = parse_macro_text(
+        "{% macro r(x) %}{{ r(x) }}{% endmacro %}")
+    with pytest.raises(ValueError, match="did not terminate"):
+        expand_macros("{{ r(1) }}", macros, max_depth=3)
+    # mutual recursion hits the same guard
+    macros2 = parse_macro_text(
+        "{% macro a(x) %}{{ b(x) }}{% endmacro %}"
+        "{% macro b(x) %}{{ a(x) }}{% endmacro %}")
+    with pytest.raises(ValueError, match="did not terminate"):
+        expand_macros("{{ a(1) }}", macros2, max_depth=4)
+
+
+def test_unparseable_macro_definition_raises():
+    """Review r12: a {% macro %} opener the definition regex cannot
+    consume (parens in a default) must raise at parse, not silently
+    skip the macro."""
+    from dbt_demo_spark.core.macros import parse_macro_text
+
+    with pytest.raises(ValueError, match="could not be parsed"):
+        parse_macro_text("{% macro f(x=('a')) %}{{ x }}{% endmacro %}")
+
+
+def test_ragged_csv_fixture_raises(spark):
+    """Review r12: a short CSV fixture row must raise, not silently
+    truncate every row's trailing columns."""
+    from dbt_demo_spark.core.project import _fixture_rows
+
+    with pytest.raises(ValueError, match="csv line 3 has 1 fields"):
+        _fixture_rows({"format": "csv", "rows": "id,amt\n1,2\n3\n"},
+                      "t")
+    # well-formed parses typed
+    rows = _fixture_rows({"format": "csv", "rows": "id,amt\n1,2\n3,4\n"},
+                         "t")
+    assert rows == [{"id": 1, "amt": 2}, {"id": 3, "amt": 4}]
+
+
+def test_root_global_default_beats_package_tree(spark, tmp_path):
+    """Review r12: dbt precedence — the ROOT project's models-level
+    +materialized cascades over an installed package at every depth,
+    beating the package's own tree config."""
+    _write_project(tmp_path, """\
+        name: 'rootp'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        models:
+          +materialized: view
+        """, {
+        "seeds/nums.csv": "k\n1\n",
+        "models/top.sql": "select k from {{ ref('pkg_m') }}",
+    })
+    _write_package(tmp_path, "util_pkg", """\
+        name: 'util_pkg'
+        model-paths: ["models"]
+        models:
+          util_pkg:
+            +materialized: table
+        """, {
+        "models/pkg_m.sql": "select k from {{ ref('nums') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.registry["pkg_m"].materialized == "view"   # root cascade wins
+    assert p.registry["top"].materialized == "view"

@@ -463,3 +463,38 @@ def test_package_selector_from_ported_project(spark, tmp_path):
     assert p.owner_of == {"top": "rootp", "pkg_m": "util_pkg"}
     assert select_nodes(p.registry, "package:util_pkg",
                         owners=p.owner_of) == ["pkg_m"]
+
+
+def test_yaml_exclude_applies_after_all_members(tmp_path):
+    """Review r12: an exclude member subtracts from the union of ALL
+    other members (dbt semantics), regardless of position — and an
+    exclude-first intersection must not seed the set with empty."""
+    from dbt_demo_spark.core.selection import eval_selector
+
+    reg = _diamond()
+    book = _book("""\
+        selectors:
+          - name: exclude_mid
+            definition:
+              union:
+                - method: tag
+                  value: staging
+                - exclude:
+                    - method: fqn
+                      value: b
+                - method: fqn
+                  value: b
+          - name: exclude_first_intersection
+            definition:
+              intersection:
+                - exclude:
+                    - method: fqn
+                      value: d
+                - method: tag
+                  value: mart
+        """, tmp_path)
+    # b re-matched by a LATER member still ends up excluded
+    assert set(eval_selector(reg, book, "exclude_mid")) == {"a"}
+    # exclude-first intersection: mart minus d = {e}, not empty
+    assert set(eval_selector(reg, book,
+                             "exclude_first_intersection")) == {"e"}
