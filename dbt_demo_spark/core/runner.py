@@ -928,6 +928,33 @@ class Runner:
         shutil.rmtree(stage, ignore_errors=True)
         return self._read_back(name, path, merge_schema=merge_schema)
 
+    def show(self, sources: dict[str, DataFrame], name: str,
+             n: int = 5) -> list:
+        """``dbt show`` analog (X89 family [public dbt surface: dbt show
+        — compile one model and preview rows without materializing]):
+        build the model's upstream closure in-memory only (every node
+        forced ephemeral — nothing written to the warehouse, no
+        catalog/table side effects) and return the first ``n`` rows.
+        The preview is a peek, not a build: tests don't run, hooks
+        don't fire, and the warehouse is untouched."""
+        from dataclasses import replace as _replace
+
+        if name not in self.registry.names():
+            raise ValueError(f"show: unknown model {name!r} "
+                             f"(registry: {sorted(self.registry.names())})")
+        shadow = type(self.registry)()
+        for nm in self.registry.names():
+            m = self.registry[nm]
+            shadow.register(_replace(
+                m, materialized="ephemeral", tests=(), pre_hook=(),
+                post_hook=()))
+        peek = Runner(self.spark, shadow)
+        try:
+            rels = peek.run(dict(sources), select=[name])
+            return rels[name].limit(n).collect()
+        finally:
+            peek.clean()
+
     def clone(self, relations: dict[str, DataFrame],
               select: str | list[str] | None = None,
               exclude: str | None = None,

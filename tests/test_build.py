@@ -428,3 +428,36 @@ def test_clone_list_select_honors_exclude(spark, tmp_path):
     finally:
         prod.clean()
         dev.clean()
+
+
+def test_show_previews_without_materializing(spark, tmp_path):
+    """dbt show analog: previews N rows of a model through an all-
+    ephemeral shadow build — no warehouse writes, no tests, no hooks."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+    import os
+
+    fired = []
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="stage", deps=("src",), materialized="table",
+        post_hook=(lambda s, r: fired.append("hook"),),
+        fn=lambda refs: refs["src"].selectExpr("k", "k * 10 as v")))
+    reg.register(ModelDef(
+        name="tip", deps=("stage",), materialized="table",
+        fn=lambda refs: refs["stage"].where("v >= 20")))
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        rows = r.show({"src": spark.range(5).selectExpr("id as k")},
+                      "tip", n=2)
+        assert len(rows) == 2
+        assert all(row.v >= 20 for row in rows)
+        # nothing materialized, no hooks fired
+        assert not os.path.exists(tmp_path / "wh" / "stage")
+        assert not os.path.exists(tmp_path / "wh" / "tip")
+        assert fired == []
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown model"):
+            r.show({}, "nope")
+    finally:
+        r.clean()
