@@ -261,13 +261,14 @@ def _scan_model_versions(model_dirs: list[str]
                 by_v: dict[int, str] = {}
                 for ventry in m["versions"] or []:
                     unknown = set(ventry) - {"v", "defined_in",
-                                             "deprecation_date"}
+                                             "deprecation_date",
+                                             "columns"}
                     if unknown:
                         raise ValueError(
                             f"{props}: model {nm!r} version entry has "
                             f"unsupported keys {sorted(unknown)} — "
-                            "per-version column/config overrides are "
-                            "out of the lite scope")
+                            "per-version config overrides are out of "
+                            "the lite scope (columns: is supported)")
                     v = int(ventry["v"])
                     if v in by_v:
                         raise ValueError(
@@ -896,12 +897,17 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
         # version (dbt's default; per-version overrides are out of the
         # lite scope and _scan_model_versions raises on them)
         if "versions" in m:
-            targets = [f"{m['name']}_v{int(v['v'])}"
-                       for v in m["versions"] or []]
+            for v in m["versions"] or []:
+                name = f"{m['name']}_v{int(v['v'])}"
+                entry = m
+                if "columns" in v:
+                    # per-version column override [public dbt surface:
+                    # versioned-model columns with include/exclude]
+                    entry = {**m, "columns": _version_columns(
+                        m.get("columns") or [], v["columns"], name)}
+                _attach_model_props(registry, entry, name, applied)
         else:
-            targets = [m["name"]]
-        for name in targets:
-            _attach_model_props(registry, m, name, applied)
+            _attach_model_props(registry, m, m["name"], applied)
 
     applied["freshness"] = []
     for src in doc.get("sources", []) or []:
@@ -1004,6 +1010,50 @@ def _enforce_access(registry: ModelRegistry, owner_of: dict,
                     f"refs protected model {d!r} of project "
                     f"{owner_of.get(d)!r}, which sets restrict-access: "
                     "true — mark the model access: public to expose it")
+
+
+def _version_columns(base: list, vcols, name: str) -> list:
+    """One version entry's effective column list [public dbt surface:
+    versioned-model ``columns:`` — an ``include:``/``exclude:`` element
+    pulls the MODEL-level columns in (include '*'/'all' or a name
+    list, exclude subtracts), and plain column defs add to or override
+    the pulled set].  Without an include element, exactly the listed
+    columns apply — a version that restates its columns owns them."""
+    by_name = {c["name"]: c for c in base}
+    out: list = []
+    pulled = False
+    for c in vcols or []:
+        if "include" in c or "exclude" in c:
+            if pulled:
+                raise ValueError(
+                    f"{name}: more than one include/exclude element in "
+                    "a version's columns:")
+            pulled = True
+            inc = c.get("include", "*")
+            excl = set(c.get("exclude", []) or [])
+            if inc in ("*", "all"):
+                names = [b["name"] for b in base]
+            elif isinstance(inc, list):
+                missing = [i for i in inc if i not in by_name]
+                if missing:
+                    raise ValueError(
+                        f"{name}: include: names {missing} not among "
+                        f"the model-level columns {sorted(by_name)}")
+                names = inc
+            else:
+                raise ValueError(
+                    f"{name}: include: must be '*', 'all', or a list, "
+                    f"got {inc!r}")
+            unknown_ex = [e for e in excl if e not in by_name]
+            if unknown_ex:
+                raise ValueError(
+                    f"{name}: exclude: names {unknown_ex} not among "
+                    f"the model-level columns {sorted(by_name)}")
+            out += [by_name[n] for n in names if n not in excl]
+        else:
+            out = [o for o in out if o["name"] != c["name"]]
+            out.append(c)
+    return out
 
 
 def _attach_model_props(registry: ModelRegistry, m: dict, name: str,

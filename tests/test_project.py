@@ -1763,3 +1763,64 @@ def test_root_global_default_beats_package_tree(spark, tmp_path):
     p = port_dbt_project(spark, str(tmp_path))
     assert p.registry["pkg_m"].materialized == "view"   # root cascade wins
     assert p.registry["top"].materialized == "view"
+
+
+def test_per_version_column_overrides(spark, tmp_path):
+    """dbt versioned-model columns: a version's include/exclude element
+    pulls the model-level columns minus the dropped one, plain defs add
+    or override — tests attach per-version accordingly."""
+    _write_project(tmp_path, """\
+        name: 'vproj'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        """, {
+        "seeds/nums.csv": "k,legacy\n1,a\n2,b\n",
+        "models/dim_k_v1.sql":
+            "select k, legacy from {{ ref('nums') }}",
+        "models/dim_k_v2.sql":
+            "select k, k * 2 as fresh from {{ ref('nums') }}",
+        "models/schema.yml": """\
+            models:
+              - name: dim_k
+                columns:
+                  - name: k
+                    tests: [not_null]
+                  - name: legacy
+                    tests: [not_null]
+                versions:
+                  - v: 1
+                  - v: 2
+                    columns:
+                      - include: '*'
+                        exclude: [legacy]
+                      - name: fresh
+                        tests: [not_null]
+        """,
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    v1 = {t.name for t in p.registry["dim_k_v1"].tests}
+    v2 = {t.name for t in p.registry["dim_k_v2"].tests}
+    assert any("legacy" in t for t in v1)
+    assert not any("legacy" in t for t in v2)
+    assert any("fresh" in t for t in v2)
+    # the attached tests actually run green on the per-version shapes
+    from dbt_demo_spark.core.runner import Runner
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        assert runner.build(dict(p.seeds)).ok
+    finally:
+        runner.clean()
+
+    # unknown exclude name raises
+    (tmp_path / "models" / "schema.yml").write_text(textwrap.dedent("""\
+        models:
+          - name: dim_k
+            columns: [{name: k}]
+            versions:
+              - v: 1
+              - v: 2
+                columns:
+                  - {include: '*', exclude: [nope]}
+    """))
+    with pytest.raises(ValueError, match="nope"):
+        port_dbt_project(spark, str(tmp_path))
