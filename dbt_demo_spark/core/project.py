@@ -894,8 +894,9 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
 
     for m in doc.get("models", []) or []:
         # X87: a versioned entry's properties apply to EVERY declared
-        # version (dbt's default; per-version overrides are out of the
-        # lite scope and _scan_model_versions raises on them)
+        # version; a version's own `columns:` resolves against the
+        # model-level set first (_version_columns — include/exclude
+        # pulls, plain defs override by name)
         if "versions" in m:
             for v in m["versions"] or []:
                 name = f"{m['name']}_v{int(v['v'])}"
@@ -1020,40 +1021,49 @@ def _version_columns(base: list, vcols, name: str) -> list:
     the pulled set].  Without an include element, exactly the listed
     columns apply — a version that restates its columns owns them."""
     by_name = {c["name"]: c for c in base}
-    out: list = []
-    pulled = False
+    pulled: list = []
+    plain: dict = {}    # per-version defs override by NAME, not position
+    seen_include = False
     for c in vcols or []:
         if "include" in c or "exclude" in c:
-            if pulled:
+            if seen_include:
                 raise ValueError(
                     f"{name}: more than one include/exclude element in "
                     "a version's columns:")
-            pulled = True
+            seen_include = True
             inc = c.get("include", "*")
-            excl = set(c.get("exclude", []) or [])
+            excl = c.get("exclude") or []
+            if isinstance(excl, str):   # YAML scalar shorthand — one
+                excl = [excl]           # name, never its characters
             if inc in ("*", "all"):
                 names = [b["name"] for b in base]
-            elif isinstance(inc, list):
+            else:
+                if isinstance(inc, str):
+                    inc = [inc]
+                if not isinstance(inc, list):
+                    raise ValueError(
+                        f"{name}: include: must be '*', 'all', a name, "
+                        f"or a list, got {inc!r}")
                 missing = [i for i in inc if i not in by_name]
                 if missing:
                     raise ValueError(
                         f"{name}: include: names {missing} not among "
                         f"the model-level columns {sorted(by_name)}")
                 names = inc
-            else:
-                raise ValueError(
-                    f"{name}: include: must be '*', 'all', or a list, "
-                    f"got {inc!r}")
             unknown_ex = [e for e in excl if e not in by_name]
             if unknown_ex:
                 raise ValueError(
                     f"{name}: exclude: names {unknown_ex} not among "
                     f"the model-level columns {sorted(by_name)}")
-            out += [by_name[n] for n in names if n not in excl]
+            pulled = [by_name[n] for n in names if n not in set(excl)]
         else:
-            out = [o for o in out if o["name"] != c["name"]]
-            out.append(c)
-    return out
+            plain[c["name"]] = c
+    # a plain def beats the inherited def of the same name regardless
+    # of where it appears relative to the include element (review r12:
+    # positional handling duplicated the column and attached both defs'
+    # tests); defs for columns the include didn't pull append after
+    out = [plain.pop(c["name"], c) for c in pulled]
+    return out + list(plain.values())
 
 
 def _attach_model_props(registry: ModelRegistry, m: dict, name: str,

@@ -46,6 +46,7 @@ import shutil
 import tempfile
 import threading
 import time
+from dataclasses import dataclass, field, replace
 from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
@@ -53,9 +54,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .datatests import DataTestResult, run_data_tests
 from .model import ModelRegistry
-
-
-from dataclasses import dataclass, field
 
 
 @dataclass
@@ -936,18 +934,38 @@ class Runner:
         forced ephemeral — nothing written to the warehouse, no
         catalog/table side effects) and return the first ``n`` rows.
         The preview is a peek, not a build: tests don't run, hooks
-        don't fire, and the warehouse is untouched."""
-        from dataclasses import replace as _replace
-
+        don't fire, and the warehouse is untouched.  Only the target's
+        UPSTREAM CLOSURE is shadowed (an unrelated model elsewhere in
+        the registry cannot break a preview), and the
+        materialization-coupled layout/refresh fields are stripped with
+        the materialization they belong to — ModelRegistry.register
+        validates watermark_col/merge/unique_key/zorder against the
+        declared mode, so forcing ephemeral without stripping raised
+        (review r12).  An incremental model previews its FIRST-BUILD
+        branch (no existing relation to refresh against)."""
         if name not in self.registry.names():
             raise ValueError(f"show: unknown model {name!r} "
                              f"(registry: {sorted(self.registry.names())})")
+        closure, stack = set(), [name]
+        while stack:
+            node = stack.pop()
+            if node in closure:
+                continue
+            closure.add(node)
+            stack += [d for d in self.registry[node].deps
+                      if d in self.registry.names()]
         shadow = type(self.registry)()
-        for nm in self.registry.names():
+        for nm in self.registry.names():     # registry order
+            if nm not in closure:
+                continue
             m = self.registry[nm]
-            shadow.register(_replace(
+            shadow.register(replace(
                 m, materialized="ephemeral", tests=(), pre_hook=(),
-                post_hook=()))
+                post_hook=(), partition_by=(), bucket_by=(),
+                n_buckets=0, watermark_col="",
+                incremental_strategy="insert_overwrite", unique_key=(),
+                on_schema_change="ignore", zorder_by=(),
+                zorder_files=0))
         peek = Runner(self.spark, shadow)
         try:
             rels = peek.run(dict(sources), select=[name])

@@ -461,3 +461,33 @@ def test_show_previews_without_materializing(spark, tmp_path):
             r.show({}, "nope")
     finally:
         r.clean()
+
+
+def test_show_survives_incremental_and_layout_models(spark, tmp_path):
+    """Review r12: show() shadows only the target's upstream closure and
+    strips materialization-coupled fields — an unrelated incremental
+    watermark model (or a bucketed mart) elsewhere in the registry must
+    not break a preview, and previewing the incremental itself runs its
+    first-build branch."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="inc", deps=("src",), materialized="incremental",
+        partition_by=("p",), watermark_col="p",
+        fn=lambda refs, ctx=None: refs["src"].selectExpr(
+            "k", "k % 2 as p")))
+    reg.register(ModelDef(
+        name="plain", deps=("src",), materialized="view",
+        fn=lambda refs: refs["src"].selectExpr("k * 3 as k3")))
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        rows = r.show({"src": spark.range(4).selectExpr("id as k")},
+                      "plain", n=10)
+        assert sorted(row.k3 for row in rows) == [0, 3, 6, 9]
+        rows2 = r.show({"src": spark.range(4).selectExpr("id as k")},
+                       "inc", n=10)
+        assert len(rows2) == 4
+    finally:
+        r.clean()

@@ -1824,3 +1824,28 @@ def test_per_version_column_overrides(spark, tmp_path):
     """))
     with pytest.raises(ValueError, match="nope"):
         port_dbt_project(spark, str(tmp_path))
+
+
+def test_version_columns_override_position_independent():
+    """Review r12: a plain per-version column def beats the inherited
+    def of the same name no matter where it sits relative to the
+    include element; scalar exclude strings mean one NAME, never their
+    characters."""
+    from dbt_demo_spark.core.project import _version_columns
+
+    base = [{"name": "k", "tests": ["not_null"]},
+            {"name": "legacy", "tests": ["not_null"]}]
+    # override BEFORE the include element
+    out = _version_columns(
+        base, [{"name": "k", "tests": ["unique"]}, {"include": "*"}],
+        "m_v2")
+    ks = [c for c in out if c["name"] == "k"]
+    assert len(ks) == 1 and ks[0]["tests"] == ["unique"]
+    # scalar exclude = one name
+    out2 = _version_columns(
+        base, [{"include": "*", "exclude": "legacy"}], "m_v2")
+    assert [c["name"] for c in out2] == ["k"]
+    # scalar include = one name
+    out3 = _version_columns(
+        base, [{"include": "legacy"}], "m_v2")
+    assert [c["name"] for c in out3] == ["legacy"]
