@@ -427,3 +427,67 @@ def test_qchunk_finds_pairs_shingle_blocking_cannot(spark):
     assert got == {(0, 1): 1}
     with pytest.raises(ValueError, match="unsound"):
         edit_distance_near_dups_qchunk(docs, 2, q=9)
+
+
+# ------------------------------- X82 macro expansion properties ----
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+_LITERAL = st.one_of(
+    st.integers(-999, 999),
+    st.text(alphabet="abcxyz_ ", min_size=0, max_size=8),
+    st.booleans(),
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(params=st.lists(_IDENT, min_size=1, max_size=4, unique=True),
+       vals=st.lists(_LITERAL, min_size=4, max_size=4),
+       sep=st.sampled_from([" + ", ", ", " || "]))
+def test_macro_expansion_matches_reference_substitution(params, vals,
+                                                        sep):
+    """Pure-Python reference property: expanding {{ m(args...) }} over a
+    body that's a separator-join of its parameter slots equals direct
+    text substitution — for any parameter names, literal argument
+    values, and separator.  Also exercises keyword binding on the last
+    parameter and confirms expansion terminates (the r12 hang guard)."""
+    from dbt_demo_spark.core.macros import (_literal_text,
+                                            expand_macros,
+                                            parse_macro_text)
+
+    vals = vals[:len(params)]
+    params = params[:len(vals)]
+    body = sep.join("{{ %s }}" % p for p in params)
+    macros = parse_macro_text(
+        "{%% macro m(%s) %%}%s{%% endmacro %%}" % (", ".join(params),
+                                                   body))
+    arg_txt = ", ".join(repr(v) for v in vals)
+    got = expand_macros("select {{ m(%s) }} as x" % arg_txt, macros)
+    want = "select %s as x" % sep.join(_literal_text(v) for v in vals)
+    assert got == want
+    # keyword form binds the same
+    kw_txt = ", ".join(
+        [repr(v) for v in vals[:-1]]
+        + ["%s=%r" % (params[-1], vals[-1])])
+    assert expand_macros("select {{ m(%s) }} as x" % kw_txt,
+                         macros) == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(args=st.lists(
+    st.one_of(
+        st.integers(-99, 99).map(repr),
+        st.text(alphabet="ab,() c", min_size=0, max_size=6).map(repr),
+        st.sampled_from(["ref('x')", "var('y')", "this",
+                         "source('a', 'b')"]),
+    ), min_size=1, max_size=5))
+def test_split_args_respects_quotes_and_parens(args):
+    """_split_args inverts a comma-join for any mix of quoted literals
+    (including ones CONTAINING commas and parens) and call-shaped
+    arguments — the grammar run_operation and every call site bind
+    through."""
+    from dbt_demo_spark.core.macros import _split_args
+
+    joined = ", ".join(args)
+    assert _split_args(joined) == [a.strip() for a in args]
