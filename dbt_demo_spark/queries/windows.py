@@ -252,7 +252,18 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unknown-length callers get the same width from interval stats via
     ``bucket_width=None``.  At 100 TB the shuffle distributes on
     (key, bucket), so a hot user's windows spread across its time cells
-    instead of one reducer."""
+    instead of one reducer.
+
+    Measured floor (r12): under the bench conf the exploded-intervals
+    side broadcasts (BroadcastHashJoin, zero exchanges), and the two
+    event_type-pruned scans dominate (~0.38s of ~0.61s at sf1).  A
+    ONE-SCAN variant — group (user, bucket) cells, collect_list both
+    event classes, pair row-locally with higher-order filter/transform
+    — measured 2x SLOWER at both sfs (sf0.1 0.65 vs 0.28; sf1 1.15 vs
+    0.52): the groupBy shuffle plus list building costs more than the
+    second pruned scan, and it adds a hot-cell skew surface the join
+    doesn't have.  The remaining gap to DuckDB's IEJoin at this row's
+    sub-second absolute scale is engine constants, with receipts."""
     from ..operators.asof import range_join
 
     ev = load_events(spark, sf_dir)
