@@ -144,12 +144,61 @@ def _node_card(name: str, node: dict, results: dict | None) -> str:
     return "\n".join(rows)
 
 
+def _metrics_section(layer) -> str:
+    """Semantic-layer page section (X62 + X77 family): the declared
+    semantic models (their measures/dimensions/entities) and every
+    metric with its type and definition facts — the catalog a metrics
+    consumer browses before writing a query."""
+    e = html.escape
+    parts = ["<h2>Semantic layer</h2>"]
+    for sm in sorted(layer.semantic_models.values(), key=lambda s: s.name):
+        parts.append(
+            f"<p><b>{e(sm.name)}</b> over <code>{e(sm.model)}</code>"
+            f" — measures: " + ", ".join(
+                f"<code>{e(m.name)}</code> ({e(m.agg)})"
+                for m in sm.measures.values())
+            + (" · dimensions: " + ", ".join(
+                f"<code>{e(d.name)}</code>"
+                + (f" (time/{e(d.grain)})" if d.type == "time" else "")
+                for d in sm.dimensions.values())
+               if sm.dimensions else "")
+            + (" · entities: " + ", ".join(
+                f"<code>{e(x.name)}</code>" for x in sm.entities.values())
+               if sm.entities else "") + "</p>")
+    rows = []
+    for m in sorted(layer.metrics.values(), key=lambda m: m.name):
+        what = {"simple": f"measure {m.measure}"
+                          + (f" where {m.filter}" if m.filter else ""),
+                "derived": m.expr,
+                "ratio": f"{m.numerator} / {m.denominator}",
+                "cumulative": f"measure {m.measure}"
+                              + (f", trailing {m.window}" if m.window
+                                 else ", since ever"),
+                "conversion": (f"{m.calculation}: {m.base_measure} -> "
+                               f"{m.conversion_measure} by {m.entity}"
+                               + (f" within {m.window}" if m.window
+                                  else ""))}.get(m.type, "")
+        rows.append(f"<tr><td><code>{e(m.name)}</code></td>"
+                    f"<td>{e(m.type)}</td><td>{e(what)}</td></tr>")
+    if rows:
+        parts.append("<table><tr><th>metric</th><th>type</th>"
+                     "<th>definition</th></tr>" + "".join(rows)
+                     + "</table>")
+    if layer.saved_queries:
+        parts.append("<p class='meta'>saved queries: " + ", ".join(
+            f"<code>{e(n)}</code>" for n in sorted(layer.saved_queries))
+            + "</p>")
+    return "".join(parts)
+
+
 def generate_docs_site(manifest: dict, out_dir: str,
-                       run_results: dict | None = None) -> str:
+                       run_results: dict | None = None,
+                       metric_layer=None) -> str:
     """Render ``manifest`` (+ optional run_results node map) into
     ``out_dir/index.html``; returns the file path.  ``run_results`` is
     the ``{"nodes": {...}}`` artifact Runner.build writes — passed either
-    as that dict or as the inner node map."""
+    as that dict or as the inner node map.  ``metric_layer`` (a
+    core/metrics.MetricLayer) adds the semantic-layer section."""
     if run_results and "nodes" in run_results:
         run_results = run_results["nodes"]
     nodes = manifest["nodes"]
@@ -185,6 +234,8 @@ def generate_docs_site(manifest: dict, out_dir: str,
                          + list(nodes[n].get("tags", ()))).lower())
             + "'>" + _node_card(n, nodes[n], run_results) + "</section>"
             for n in manifest.get("execution_order", sorted(nodes))))
+    metrics_html = (_metrics_section(metric_layer)
+                    if metric_layer is not None else "")
     expo = ""
     if manifest.get("exposures"):
         expo = "<h2>Exposures</h2>" + "".join(
@@ -210,7 +261,7 @@ def generate_docs_site(manifest: dict, out_dir: str,
         "n.textContent=t?shown+' / '+cards.length+' models':'';});"
         "})()</script>")
     with open(tmp, "w") as fh:
-        fh.write(head + summary + dag + cards + expo + script
+        fh.write(head + summary + dag + cards + metrics_html + expo + script
                  + "</body></html>")
     os.replace(tmp, path)
     # machine-readable copy next to the page, like dbt's target/ dir

@@ -139,3 +139,45 @@ def test_docs_show_governance_badges(spark, tmp_path):
     html_text = open(path).read()
     assert "group: finance" in html_text
     assert "access: private" in html_text
+
+
+def test_docs_semantic_layer_section(spark, tmp_path):
+    """The metric layer renders into the docs site: semantic models
+    with their measures, every metric with type + definition facts,
+    saved queries — and the section is absent when no layer passes."""
+    from dbt_demo_spark.core.docs import generate_docs_site
+    from dbt_demo_spark.core.metrics import parse_metric_layer
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    layer = parse_metric_layer("""
+semantic_models:
+  - name: orders_sm
+    model: ref('orders')
+    entities: [{name: customer, expr: o_custkey}]
+    dimensions:
+      - {name: month, type: time, expr: o_orderdate,
+         type_params: {time_granularity: month}}
+    measures: [{name: n, agg: count, expr: 1}]
+metrics:
+  - {name: orders_count, type: simple, type_params: {measure: n}}
+  - name: orders_mtd
+    type: cumulative
+    type_params: {measure: n, window: 3 months}
+saved_queries:
+  - name: monthly
+    query_params: {metrics: [orders_count], group_by: [month]}
+""")
+    reg = ModelRegistry()
+    reg.register(ModelDef(name="orders", deps=("src",),
+                          materialized="view",
+                          fn=lambda refs: refs["src"]))
+    page = open(generate_docs_site(
+        reg.manifest(), str(tmp_path / "d"),
+        metric_layer=layer)).read()
+    assert "Semantic layer" in page
+    assert "orders_sm" in page and "orders_mtd" in page
+    assert "trailing 3 months" in page
+    assert "monthly" in page
+    page2 = open(generate_docs_site(
+        reg.manifest(), str(tmp_path / "d2"))).read()
+    assert "Semantic layer" not in page2
