@@ -98,6 +98,10 @@ class Metric:
                                 # else "N unit" (unit == query grain);
                                 # conversion (X93): "" = ever-after,
                                 # else "N unit" after the base event
+    grain_to_date: str = ""     # cumulative (X90 extension, r12): the
+                                # accumulation RESETS at each boundary
+                                # of this grain (month-to-date etc.);
+                                # mutually exclusive with window
     entity: str = ""            # conversion (X93): join entity
     calculation: str = ""       # conversion: "conversions" |
                                 # "conversion_rate"
@@ -433,6 +437,27 @@ class MetricLayer:
         tdim = self._time_dim(group_by)
         part = [g for g in group_by if g != tdim]
         acc = self._CUM_ACC[meas.agg]
+        if m.grain_to_date:
+            # period-to-date [public MetricFlow surface: grain_to_date]:
+            # accumulation restarts at each boundary of the named grain
+            # — an extra PARTITION key (the truncated time dim), still
+            # one window function over the grain frame
+            if m.window:
+                raise ValueError(
+                    f"cumulative metric {m.name!r}: window and "
+                    "grain_to_date are mutually exclusive")
+            if m.grain_to_date.rstrip("s") not in self._PERIOD_IDX:
+                raise ValueError(
+                    f"cumulative metric {m.name!r}: grain_to_date "
+                    f"{m.grain_to_date!r} — expected one of "
+                    f"{sorted(self._PERIOD_IDX)}")
+            boundary = F.date_trunc(m.grain_to_date.rstrip("s"),
+                                    F.col(tdim))
+            w = (Window.partitionBy(*part, boundary)
+                 .orderBy(F.col(tdim))
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+            return acc(F.col(m.name)).over(w)
         if not m.window:
             w = (Window.partitionBy(*part).orderBy(F.col(tdim))
                  .rowsBetween(Window.unboundedPreceding,
@@ -537,6 +562,7 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             numerator=_name_of(tp.get("numerator")),
             denominator=_name_of(tp.get("denominator")),
             window=str(tp.get("window") or ""),
+            grain_to_date=str(tp.get("grain_to_date") or ""),
             entity=str(tp.get("entity") or ""),
             calculation=str(tp.get("calculation")
                             or ("conversions"

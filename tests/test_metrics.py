@@ -473,3 +473,52 @@ def test_conversion_plan_is_entity_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_grain_to_date_cumulative_matches_duckdb(spark):
+    """X90 extension: grain_to_date resets the running total at each
+    boundary (month-to-date at day grain) — DuckDB twin partitions the
+    window by the truncated month."""
+    layer = parse_metric_layer(LAYER_YAML + """
+  - name: revenue_mtd
+    type: cumulative
+    type_params: {measure: order_total_units, grain_to_date: month}
+""")
+    rels = {"orders": load_table(spark, SF_GATE, "orders")}
+    out = layer.query(rels, ["revenue_mtd"],
+                      group_by=["order_month"], grain="day")
+    con = duckdb_connection(SF_GATE)
+    r = compare("metrics_mtd", out, con, """
+        WITH grain AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+                       AS order_month,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS bucket_units
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month,
+               CAST(SUM(bucket_units) OVER (
+                   PARTITION BY date_trunc('month', order_month)
+                   ORDER BY order_month
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS revenue_mtd
+        FROM grain
+    """)
+    assert r.ok, r.detail
+    # window and grain_to_date are mutually exclusive; bad grain raises
+    bad = parse_metric_layer(LAYER_YAML + """
+  - name: broken
+    type: cumulative
+    type_params: {measure: order_total_units, grain_to_date: month,
+                  window: 3 months}
+""")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        bad.query(rels, ["broken"], group_by=["order_month"],
+                  grain="day")
+    bad2 = parse_metric_layer(LAYER_YAML + """
+  - name: broken2
+    type: cumulative
+    type_params: {measure: order_total_units, grain_to_date: fortnight}
+""")
+    with pytest.raises(ValueError, match="fortnight"):
+        bad2.query(rels, ["broken2"], group_by=["order_month"],
+                   grain="day")
