@@ -177,7 +177,11 @@ def _metrics_section(layer) -> str:
                 "conversion": (f"{m.calculation}: {m.base_measure} -> "
                                f"{m.conversion_measure} by {m.entity}"
                                + (f" within {m.window}" if m.window
-                                  else ""))}.get(m.type, "")
+                                  else "")
+                               + " (window inclusive of base ts; no "
+                                 "conversion-event attribution dedup — "
+                                 "deviation from full MetricFlow)")
+                }.get(m.type, "")
         rows.append(f"<tr><td><code>{e(m.name)}</code></td>"
                     f"<td>{e(m.type)}</td><td>{e(what)}</td></tr>")
     if rows:

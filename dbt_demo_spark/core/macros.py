@@ -103,11 +103,16 @@ def parse_macro_text(text: str, origin: str = "<text>") -> dict[str, Macro]:
     # value) must raise here, not vanish — the alternative is a macro
     # that silently never registers and a misleading leftover-Jinja
     # error at some call site later
-    openers = len(re.findall(r"\{%-?\s*macro\b", text))
-    parsed = len(_MACRO_DEF_RE.findall(text))
-    if openers != parsed:
+    # ...but only openers OUTSIDE already-matched definition spans count
+    # (ADVICE r11): a macro whose BODY legitimately contains the literal
+    # text `{% macro` (docs, a commented-out definition) is a file dbt
+    # accepts — the guard is for openers the parser left dangling.
+    spans = [m.span() for m in _MACRO_DEF_RE.finditer(text)]
+    dangling = [o.start() for o in re.finditer(r"\{%-?\s*macro\b", text)
+                if not any(a <= o.start() < b for a, b in spans)]
+    if dangling:
         raise ValueError(
-            f"{origin}: {openers - parsed} {{% macro %}} definition(s) "
+            f"{origin}: {len(dangling)} {{% macro %}} definition(s) "
             "could not be parsed — supported signatures are "
             "comma-separated names with literal defaults containing no "
             "parentheses")

@@ -323,9 +323,15 @@ class MetricLayer:
     # conversion — entity, calculation, base_measure,
     # conversion_measure, window].  Lite semantics (documented, raise
     # beyond): a BASE event converts when >= 1 conversion event for the
-    # same entity lands in (base_ts, base_ts + window]; `conversions`
-    # counts converted base events, `conversion_rate` divides by all
-    # base events.  Scale shape: ONE entity-keyed left-semi join (the
+    # same entity lands in [base_ts, base_ts + window] — INCLUSIVE of
+    # the base timestamp, matching MetricFlow's window start (ADVICE
+    # r11); `conversions` counts converted base events,
+    # `conversion_rate` divides by all base events.  Documented
+    # deviation from full MetricFlow: no conversion-event attribution
+    # dedup — one conversion event may convert several base events of
+    # the same entity (MetricFlow attributes each conversion event to
+    # at most one base event); the docs-site metric card carries the
+    # same note.  Scale shape: ONE entity-keyed left-semi join (the
     # range rides the join condition, never a cartesian) plus two grain
     # aggregations of the tiny dim frames.  Metric-level `filter`
     # narrows BASE rows (same contract as simple metrics);
@@ -380,7 +386,7 @@ class MetricLayer:
         cc = conv.select(
             F.expr(conv_sm.entities[m.entity].expr).alias("__cent"),
             F.expr(self._model_time_expr(conv_sm)).alias("__cts"))
-        cond = (bb["__ent"] == cc["__cent"]) & (cc["__cts"] > bb["__bts"])
+        cond = (bb["__ent"] == cc["__cent"]) & (cc["__cts"] >= bb["__bts"])
         if m.window:
             try:
                 count_s, unit = m.window.split()

@@ -208,18 +208,22 @@ class PortedProject:
 
 
 def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
-                  overrides: dict | None) -> dict:
+                  overrides: dict | None,
+                  project_names: set | frozenset = frozenset()) -> dict:
     """var() namespace for one PACKAGE's models — dbt precedence
     [public knowledge: dbt package vars]: the package's own ``vars:``
     are defaults, the root project's plain vars override them globally,
     a root ``vars: {<package>: {...}}`` scoped block wins for this
-    package, CLI-style overrides win over everything."""
+    package, CLI-style overrides win over everything.  A dict-valued
+    root var is a SCOPE BLOCK only when its key names a known
+    project/package; any other dict var (``vars: {thresholds: {a: 1}}``)
+    is an ordinary global value and propagates like one (ADVICE r11)."""
     own = dict(own_cfg.get("vars", {}) or {})
     if isinstance(own.get(own_name), dict):
         own = {**{k: v for k, v in own.items() if k != own_name},
                **own[own_name]}
     root_plain = {k: v for k, v in root_vars_raw.items()
-                  if not isinstance(v, dict)}
+                  if not (isinstance(v, dict) and k in project_names)}
     scoped = root_vars_raw.get(own_name)
     scoped = scoped if isinstance(scoped, dict) else {}
     return {**own, **root_plain, **scoped, **(overrides or {})}
@@ -379,10 +383,12 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     macros.update({f"{name}.{n}": m for n, m in macros.items()
                    if "." not in n})
     pkg_claims: dict[str, str] = {}  # unqualified name -> claiming pkg
+    own_macros: dict[str, dict] = {name: dict(macros)}  # per-project
     for pkg in packages:
         pkg_macros = load_macro_dirs(
             [os.path.join(pkg.path, mp)
              for mp in pkg.cfg.get("macro-paths", ["macros"])])
+        own_macros[pkg.name] = pkg_macros
         for n, m in pkg_macros.items():
             macros[f"{pkg.name}.{n}"] = m
             if n in pkg_claims:
@@ -392,6 +398,17 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                 macros[n] = m
                 pkg_claims[n] = pkg.name
 
+    def _macro_view(pname: str) -> dict:
+        """dbt macro resolution order for a project's OWN nodes
+        [public knowledge: dbt macro dispatch — package-local first,
+        then root/global, ADVICE r11]: a bare macro name inside a
+        package's models/tests/snapshots resolves to that package's
+        own macro even when the root project defines the same name;
+        qualified ``pkg.macro`` calls are unaffected."""
+        local = own_macros.get(pname, {})
+        return {**macros,
+                **{n: m for n, m in local.items() if "." not in n}}
+
     registry = registry if registry is not None else ModelRegistry()
     model_names: list[str] = []
     freshness: list = []
@@ -400,10 +417,11 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     analyses_dirs: list[tuple[str, dict]] = []  # deferred to phase 2
     hooks = {"on-run-start": [], "on-run-end": []}
 
+    all_project_names = {name} | {p.name for p in packages}
     proj_list = ([(cfg, project_dir, vars_)]
                  + [(p.cfg, p.path,
                      _project_vars(p.cfg, p.name, root_vars_raw,
-                                   vars_overrides))
+                                   vars_overrides, all_project_names))
                     for p in packages])
 
     # X87 pre-scan: version maps must cover EVERY project before any
@@ -436,6 +454,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         if proj_cfg.get("restrict-access"):
             restricted.add(pname)
         names_before = len(model_names)
+        pmacros = _macro_view(pname)
         policy, default_mat = _project_policy(proj_cfg, pname,
                                               root_models)
         for mp in proj_cfg.get("model-paths", ["models"]):
@@ -444,7 +463,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                 model_names += register_sql_dir(
                     registry, mdir, materialized_by_subdir=policy,
                     default_materialized=default_mat, vars=proj_vars,
-                    macros=macros, env=env_vars,
+                    macros=pmacros, env=env_vars,
                     versions=versions, rename=rename)
                 # dbt accepts both .yml and .yaml properties files;
                 # globbing only one silently drops the other's
@@ -463,7 +482,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
             if os.path.isdir(tdir):
                 model_names += register_test_dir(
                     registry, tdir, vars=proj_vars,
-                    macros=macros, env=env_vars, versions=versions)
+                    macros=pmacros, env=env_vars, versions=versions)
 
         # seeds: config tree — `+column_types` at the project level keys
         # "" (applies to every seed where the column exists), per-seed
@@ -505,7 +524,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                             with open(os.path.join(dirpath, f)) as fh:
                                 sdef, fn, deps = parse_snapshot_sql(
                                     fh.read(), vars=proj_vars,
-                                    macros=macros, env=env_vars,
+                                    macros=pmacros, env=env_vars,
                                     versions=versions)
                             if sdef.name in snapshots:
                                 raise ValueError(
@@ -515,7 +534,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         for apath in proj_cfg.get("analysis-paths", ["analyses"]):
             adir = os.path.join(proj_dir, apath)
             if os.path.isdir(adir):
-                analyses_dirs.append((adir, proj_vars))
+                analyses_dirs.append((adir, proj_vars, pmacros))
 
         # package on-run-* hooks run too [public dbt surface]; root's
         # first, then packages in load order — deterministic either way
@@ -531,10 +550,10 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
     # analyses compile LAST: a root analysis may ref() a package model
     # and vice versa, and the compiled text may name any seed
     analyses: dict[str, str] = {}
-    for adir, proj_vars in analyses_dirs:
+    for adir, proj_vars, pmacros in analyses_dirs:
         compiled = compile_analyses(
             registry, adir, vars=proj_vars,
-            extra_relations=set(seeds), macros=macros, env=env_vars,
+            extra_relations=set(seeds), macros=pmacros, env=env_vars,
             versions=versions)
         dup = set(compiled) & set(analyses)
         if dup:

@@ -419,7 +419,7 @@ def test_conversion_rate_matches_duckdb(spark):
                 _CONV_ORACLE.format(select="""
            CAST(COUNT(CASE WHEN EXISTS (
                     SELECT 1 FROM conv c
-                    WHERE c.user_id = b.user_id AND c.ts > b.ts
+                    WHERE c.user_id = b.user_id AND c.ts >= b.ts
                       AND c.ts <= b.ts + INTERVAL 7 DAY) THEN 1 END)
                 AS DOUBLE) / COUNT(*) AS view_to_purchase_7d"""))
     assert r.ok, r.detail
@@ -435,7 +435,7 @@ def test_conversion_counts_match_duckdb(spark):
                 _CONV_ORACLE.format(select="""
            COUNT(CASE WHEN EXISTS (
                     SELECT 1 FROM conv c
-                    WHERE c.user_id = b.user_id AND c.ts > b.ts)
+                    WHERE c.user_id = b.user_id AND c.ts >= b.ts)
                  THEN 1 END) AS view_conversions_ever"""))
     assert r.ok, r.detail
 
@@ -522,3 +522,23 @@ def test_grain_to_date_cumulative_matches_duckdb(spark):
     with pytest.raises(ValueError, match="fortnight"):
         bad2.query(rels, ["broken2"], group_by=["order_month"],
                    grain="day")
+
+
+def test_conversion_same_timestamp_counts(spark):
+    """ADVICE r11: MetricFlow's conversion window is INCLUSIVE of the
+    base timestamp — a purchase logged at the exact instant of the view
+    converts it.  Pinned with a two-row frame where the strict `>` of
+    r11 produced 0.0."""
+    import datetime as _dt
+
+    rows = [(7, "view", _dt.datetime(2024, 3, 1, 12, 0, 0)),
+            (7, "purchase", _dt.datetime(2024, 3, 1, 12, 0, 0))]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    layer = parse_metric_layer(_CONV_YAML)
+    out = layer.query({"events": df}, ["view_to_purchase_7d"],
+                      group_by=["event_month"], grain="month")
+    [(month, rate)] = [(r.event_month, r.view_to_purchase_7d)
+                       for r in out.collect()]
+    assert month == _dt.date(2024, 3, 1)
+    assert rate == 1.0

@@ -1849,3 +1849,82 @@ def test_version_columns_override_position_independent():
     out3 = _version_columns(
         base, [{"include": "legacy"}], "m_v2")
     assert [c["name"] for c in out3] == ["legacy"]
+
+
+# --------------------------------------------------- ADVICE r11 fixes ----
+
+def test_dict_valued_root_var_propagates_to_packages():
+    """ADVICE r11: a dict-valued root var whose key is NOT a project
+    name is an ordinary global value — dbt propagates it to package
+    models like any other; only project-named dicts are scope blocks."""
+    from dbt_demo_spark.core.project import _project_vars
+
+    out = _project_vars(
+        {"vars": {"rate": 1}}, "pkg",
+        {"thresholds": {"a": 1, "b": 2},   # plain dict var — propagates
+         "pkg": {"rate": 9},               # scope block — unpacks
+         "other_pkg": {"rate": 5}},        # other scope — dropped
+        None, {"rootp", "pkg", "other_pkg"})
+    assert out["thresholds"] == {"a": 1, "b": 2}
+    assert out["rate"] == 9
+    assert "other_pkg" not in out
+
+
+def test_package_local_macro_beats_root_for_package_nodes(spark, tmp_path):
+    """ADVICE r11: dbt resolves a bare macro name inside a package's own
+    nodes package-local FIRST, then root — a root macro sharing the name
+    must not change the package's compiled SQL.  Root nodes still get
+    the root macro."""
+    _write_project(tmp_path, """\
+        name: 'rootp'
+        model-paths: ["models"]
+        macro-paths: ["macros"]
+        seed-paths: ["seeds"]
+        """, {
+        "seeds/nums.csv": "k,v\n1,10\n2,20\n",
+        "macros/fmt.sql":
+            "{% macro scale(col) %}{{ col }} * 100{% endmacro %}",
+        "models/root_scaled.sql":
+            "select k, {{ scale('v') }} as sv from {{ ref('nums') }}",
+    })
+    _write_package(tmp_path, "pkgm", """\
+        name: 'pkgm'
+        model-paths: ["models"]
+        macro-paths: ["macros"]
+        """, {
+        "macros/fmt.sql":
+            "{% macro scale(col) %}{{ col }} * 2{% endmacro %}",
+        "models/pkg_scaled.sql":
+            "select k, {{ scale('v') }} as sv from {{ ref('nums') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        # package node: its OWN scale() (×2), not root's (×100)
+        assert {(r.k, r.sv) for r in rels["pkg_scaled"].collect()} \
+            == {(1, 20), (2, 40)}
+        # root node: root's scale()
+        assert {(r.k, r.sv) for r in rels["root_scaled"].collect()} \
+            == {(1, 1000), (2, 2000)}
+    finally:
+        runner.clean()
+
+
+def test_macro_body_containing_macro_literal_parses():
+    """ADVICE r11: the dangling-opener guard must count only openers
+    OUTSIDE matched definition spans — a body that legitimately contains
+    the literal text `{% macro` (a usage note, a string) is a file dbt
+    accepts."""
+    from dbt_demo_spark.core.macros import parse_macro_text
+
+    text = (
+        "{% macro marker() %}\n"
+        "select '{% macro' as opener_text\n"
+        "{% endmacro %}\n")
+    out = parse_macro_text(text)
+    assert set(out) == {"marker"}
+    # a genuinely dangling opener still raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="could not be parsed"):
+        parse_macro_text("{% macro broken(a=f(1)) %}x{% endmacro %}")
