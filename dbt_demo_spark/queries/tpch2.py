@@ -319,16 +319,51 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (GROUP BY CUBE): the pricing summary at
     every granularity — (flag, status), per-flag, per-status, and the
-    grand total — in ONE pass.  Spark plans CUBE / ROLLUP / GROUPING SETS
-    as a single Expand (each row replicated once per grouping set, 4x
-    here) feeding one partial+final HashAggregate: one scan and one
-    shuffle instead of four of each, which is exactly the subtotal-report
-    shape a 100 TB reporting mart wants.  grouping_id() disambiguates
-    subtotal rows from natural NULL groups, and both engines encode it
-    with the same bitmask (last grouping column = LSB), so `lvl` matches
-    the DuckDB GROUPING() twin bit-for-bit.  ROLLUP and explicit GROUPING
-    SETS run through the identical Expand machinery and keep their own
-    DuckDB differentials in tests/test_sql_surface.py."""
+    grand total.  Spark plans CUBE as one Expand: every input row
+    replicated once per grouping set (4x here) BEFORE the partial
+    HashAggregate, so the map side processes 4x the scan output.  When
+    the grouping keys are LOW-CARDINALITY the finest grain subsumes every
+    coarser set and SUM/COUNT are algebraic, so a grain pre-agg is exact:
+    groupBy(flag, status) collapses each map partition to <=|grain| rows
+    (6 here — pinned in the receipt) before one tiny shuffle, and the
+    cube()'s Expand then multiplies 6 rows instead of the fact
+    (CUBE_RECEIPT.json, r12: sf1 0.618 -> 0.294s min-of-7 interleaved;
+    the per-level-UNION variant measured 0.365s and lost — 4 jobs over
+    the grain cost more than one 6-row Expand).  grouping_id() over the
+    re-agg keeps DuckDB's GROUPING() bitmask bit-for-bit (last grouping
+    column = LSB), and natural NULL keys survive as grain rows, so
+    subtotal disambiguation is unchanged.  100 TB note: this rewrite is
+    right ONLY while |grain| << |fact| — for high-cardinality grouping
+    keys the grain approaches the fact and the single-pass Expand plan
+    (kept as cube_pricing_levels_expand below) wins.  ROLLUP and explicit
+    GROUPING SETS keep their own Expand-plan DuckDB differentials in
+    tests/test_sql_surface.py."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02")
+    qty = F.col("l_quantity").cast("long")
+    grain = (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"),
+                   F.col("l_linestatus").alias("line_status"))
+        .agg(F.sum(qty).alias("q"),
+             F.sum(_revenue_cents()).alias("r"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grain.cube("return_flag", "line_status")
+        .agg(F.grouping_id().cast("int").alias("lvl"),
+             F.sum("q").alias("sum_qty"),
+             (F.sum("r") / 10000.0).alias("revenue"),
+             F.sum("n").alias("n_lines"))
+    )
+
+
+def cube_pricing_levels_expand(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Single-pass Expand twin of cube_pricing_levels — the plan Spark
+    gives cube() natively, and the RIGHT plan when grouping keys are
+    high-cardinality (the grain pre-agg's premise |grain| << |fact|
+    fails).  Kept for the CUBE_RECEIPT comparison and the equivalence
+    pytest."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02")
     qty = F.col("l_quantity").cast("long")

@@ -234,3 +234,22 @@ def test_layout_served_tpch_rows_match_rawscan_twins(spark):
         a = sorted(map(tuple, served.collect()))
         b = sorted(map(tuple, twin.collect()))
         assert a == b, f"{name}: layout-served result diverged from rawscan"
+
+
+def test_cube_grain_preagg_matches_expand_twin(spark):
+    """r12 (VERDICT r11 item 2): cube_pricing_levels is served as a
+    finest-grain pre-agg + cube-over-the-grain (CUBE_RECEIPT.json, sf1
+    0.618 -> 0.294s); the native single-Expand twin must produce
+    identical rows — the algebraic rewrite must never change answers.
+    The DuckDB oracle remains the primary gate."""
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.queries.tpch2 import cube_pricing_levels_expand
+    from tests.conftest import SF_GATE
+
+    served = CATALOG["cube_pricing_levels"].fn(spark, SF_GATE)
+    twin = cube_pricing_levels_expand(spark, SF_GATE)
+    assert served.columns == twin.columns
+    key = lambda r: tuple((v is None, str(v)) for v in r)  # noqa: E731
+    a = sorted(map(tuple, served.collect()), key=key)
+    b = sorted(map(tuple, twin.collect()), key=key)
+    assert a == b, "grain pre-agg cube diverged from Expand plan"
