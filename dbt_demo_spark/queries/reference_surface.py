@@ -475,7 +475,7 @@ def bucketed_order_marts(spark: SparkSession, sf_dir: str):
     session catalog.
 
     The marts carry the column union needed by every row they serve
-    (mart_bucketed_revenue + the orderkey-join TPC-H tail q3/q18/q21 —
+    (mart_bucketed_revenue + the orderkey-join TPC-H tail q3/q9/q18/q21 —
     the r9 layout decision, VERDICT r8 item 2): parquet is columnar, so
     each query's scan still prunes to exactly the columns it projects,
     while the orderkey clustering removes the join/agg exchanges that
@@ -516,8 +516,8 @@ def _build_bucketed_order_marts(spark: SparkSession, sf_dir: str):
     reg.register(ModelDef(
         name=l_name, deps=("lineitem",), materialized="table",
         fn=lambda refs: refs["lineitem"].select(
-            "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
-            "l_discount", "l_shipdate"),
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate"),
         bucket_by=("l_orderkey",), n_buckets=8))
     wh = mart_cache_dir(sf_dir, "bucketed")
     out = Runner(spark, reg, warehouse_dir=wh).run({

@@ -222,12 +222,14 @@ def test_layout_served_tpch_rows_match_rawscan_twins(spark):
     from dbt_demo_spark.queries import CATALOG
     from dbt_demo_spark.queries.tpch import (tpch_q3_rawscan,
                                              tpch_q18_rawscan)
-    from dbt_demo_spark.queries.tpch2 import tpch_q21_rawscan
+    from dbt_demo_spark.queries.tpch2 import (tpch_q9_rawscan,
+                                              tpch_q21_rawscan)
     from tests.conftest import SF_GATE
 
     for name, raw in (("tpch_q3_shipping_priority", tpch_q3_rawscan),
                       ("tpch_q18_large_volume_customer", tpch_q18_rawscan),
-                      ("tpch_q21_waiting_suppliers", tpch_q21_rawscan)):
+                      ("tpch_q21_waiting_suppliers", tpch_q21_rawscan),
+                      ("tpch_q9_product_profit", tpch_q9_rawscan)):
         served = CATALOG[name].fn(spark, SF_GATE)
         twin = raw(spark, SF_GATE)
         assert served.columns == twin.columns, name
