@@ -120,6 +120,12 @@ def _node_card(name: str, node: dict, results: dict | None) -> str:
         meta.append(f"access: {e(node['access'])}")
     if node.get("n_buckets"):
         meta.append(f"n_buckets: {node['n_buckets']}")
+    # compile-artifact link (r12): present when the manifest came from
+    # compilation.compile_project — the docs site links each model's
+    # rendered SQL under target/
+    if node.get("compiled_path"):
+        meta.append(f"compiled: <a href='{e(node['compiled_path'])}'>"
+                    f"{e(node['compiled_path'])}</a>")
     if meta:
         rows.append("<p class='meta'>" + " · ".join(meta) + "</p>")
     if node.get("contract"):
