@@ -205,6 +205,10 @@ class PortedProject:
     # X92: model name -> owning project (root or package) — feeds the
     # `package:` selector method (selection owners=)
     owner_of: dict = field(default_factory=dict)
+    # r12: sources-YAML metadata — "<source>.<table>" -> {database,
+    # schema, identifier, quoting}; database/schema/quoting recorded
+    # INERTLY (flat relation namespace), identifier drives source()
+    sources: dict = field(default_factory=dict)
 
 
 def _project_vars(own_cfg: dict, own_name: str, root_vars_raw: dict,
@@ -442,6 +446,25 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         deprecations.update(d)
         renames.append(r)
 
+    # r12 pre-scan: sources-YAML identifier/quoting — the source()
+    # rewrite map must cover every project before any model registers
+    # (dbt's source namespace is global across a project + packages)
+    source_map: dict = {}
+    sources_meta: dict = {}
+    for proj_cfg, proj_dir, _pv in proj_list:
+        sm, meta = _scan_sources(
+            [os.path.join(proj_dir, mp)
+             for mp in proj_cfg.get("model-paths", ["models"])])
+        dup = {k for k in sm
+               if k in source_map and source_map[k] != sm[k]}
+        if dup:
+            raise ValueError(
+                f"sources {sorted(dup)} declared by more than one "
+                "project with different identifiers — dbt's source "
+                "namespace is global")
+        source_map.update(sm)
+        sources_meta.update(meta)
+
     # root project first, then packages in name order — dbt's flat
     # global namespace means later collisions raise, and root-first
     # makes the raise name the package as the newcomer
@@ -464,7 +487,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                     registry, mdir, materialized_by_subdir=policy,
                     default_materialized=default_mat, vars=proj_vars,
                     macros=pmacros, env=env_vars,
-                    versions=versions, rename=rename)
+                    versions=versions, rename=rename,
+                    source_map=source_map)
                 # dbt accepts both .yml and .yaml properties files;
                 # globbing only one silently drops the other's
                 # tests/contracts (ADVICE r10)
@@ -482,7 +506,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
             if os.path.isdir(tdir):
                 model_names += register_test_dir(
                     registry, tdir, vars=proj_vars,
-                    macros=pmacros, env=env_vars, versions=versions)
+                    macros=pmacros, env=env_vars, versions=versions,
+                    source_map=source_map)
 
         # seeds: config tree — `+column_types` at the project level keys
         # "" (applies to every seed where the column exists), per-seed
@@ -525,7 +550,8 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                                 sdef, fn, deps = parse_snapshot_sql(
                                     fh.read(), vars=proj_vars,
                                     macros=pmacros, env=env_vars,
-                                    versions=versions)
+                                    versions=versions,
+                                    source_map=source_map)
                             if sdef.name in snapshots:
                                 raise ValueError(
                                     f"duplicate snapshot {sdef.name!r}")
@@ -554,7 +580,7 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         compiled = compile_analyses(
             registry, adir, vars=proj_vars,
             extra_relations=set(seeds), macros=pmacros, env=env_vars,
-            versions=versions)
+            versions=versions, source_map=source_map)
         dup = set(compiled) & set(analyses)
         if dup:
             raise ValueError(f"duplicate analyses {sorted(dup)}")
@@ -577,7 +603,80 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
         freshness=tuple(freshness),
         packages=tuple(p.name for p in packages),
         selectors=selectors, deprecations=deprecations, groups=groups,
-        owner_of=owner_of)
+        owner_of=owner_of, sources=sources_meta)
+
+
+_PLAIN_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _scan_sources(model_dirs: list[str]) -> tuple[dict, dict]:
+    """Pre-scan a project's properties files for ``sources:`` blocks
+    (r12, VERDICT r11 item 5 [public dbt surface: sources YAML —
+    ``database`` / ``schema`` / ``identifier`` / ``quoting``]).
+
+    Returns ``(source_map, sources_meta)``: ``source_map`` maps
+    ``(source_name, table_name) -> physical identifier`` for the
+    text-level ``source()`` rewrite; ``sources_meta`` records the full
+    declared address per ``"<source>.<table>"`` — database, schema
+    (defaulting to the source name, as dbt does), identifier, and the
+    merged quoting flags — INERTLY: this engine's relation namespace is
+    flat, so database/schema are documentation the manifest carries,
+    not routing.  Quoting raises ONLY where semantics would change:
+    ``quoting: {identifier: true}`` on a name that is not a plain SQL
+    identifier would need backtick-quoting at every substitution site,
+    which the flat-text renderer does not do — failing loud beats
+    registering a relation the compiled SQL cannot reference.  A plain
+    name under identifier-quoting is a no-op and stays inert."""
+    import yaml
+
+    source_map: dict = {}
+    meta: dict = {}
+    for mdir in model_dirs:
+        if not os.path.isdir(mdir):
+            continue
+        for props in sorted(
+                glob.glob(os.path.join(mdir, "**", "*.yml"),
+                          recursive=True)
+                + glob.glob(os.path.join(mdir, "**", "*.yaml"),
+                            recursive=True)):
+            with open(props) as fh:
+                doc = yaml.safe_load(fh) or {}
+            for src in doc.get("sources", []) or []:
+                sname = src["name"]
+                s_quoting = dict(src.get("quoting", {}) or {})
+                for tbl in src.get("tables", []) or []:
+                    tname = tbl["name"]
+                    ident = tbl.get("identifier", tname)
+                    quoting = {**s_quoting,
+                               **(tbl.get("quoting", {}) or {})}
+                    key = (sname, tname)
+                    if key in source_map and source_map[key] != ident:
+                        raise ValueError(
+                            f"{props}: source {sname}.{tname} declared "
+                            f"twice with different identifiers "
+                            f"({source_map[key]!r} vs {ident!r})")
+                    if (quoting.get("identifier")
+                            and not _PLAIN_IDENT_RE.match(ident)):
+                        raise ValueError(
+                            f"{props}: source {sname}.{tname}: quoted "
+                            f"identifier {ident!r} is not a plain SQL "
+                            "identifier — the flat-text renderer cannot "
+                            "backtick-quote substitution sites; rename "
+                            "the relation or drop the quoting flag")
+                    if not _PLAIN_IDENT_RE.match(ident):
+                        raise ValueError(
+                            f"{props}: source {sname}.{tname}: "
+                            f"identifier {ident!r} is not a plain SQL "
+                            "identifier — it cannot be referenced by "
+                            "the rendered SQL")
+                    source_map[key] = ident
+                    meta[f"{sname}.{tname}"] = {
+                        "database": src.get("database", ""),
+                        "schema": src.get("schema", sname),
+                        "identifier": ident,
+                        "quoting": quoting,
+                    }
+    return source_map, meta
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,
@@ -585,7 +684,8 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
                      extra_relations: set[str] = frozenset(),
                      macros: dict | None = None,
                      env: dict | None = None,
-                     versions: dict | None = None) -> dict[str, str]:
+                     versions: dict | None = None,
+                     source_map: dict | None = None) -> dict[str, str]:
     """dbt analyses [public knowledge: analysis-paths — SQL that compiles
     with the project's context but is NEVER run or materialized; the
     reference declares analyses/ at dbt_project.yml:7 and ships none]:
@@ -604,7 +704,7 @@ def compile_analyses(registry: ModelRegistry, analyses_dir: str,
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
                 text = preprocess_sql(fh.read(), macros, vars, env,
-                                      versions)
+                                      versions, source_map)
             deps = parse_deps(text)
             known = set(registry.names()) | set(extra_relations)
             unknown = [d for d in deps if d not in known]
@@ -962,8 +1062,11 @@ def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
                 raise ValueError(
                     f"source table {tbl['name']!r}: freshness needs "
                     "warn_after and/or error_after")
+            # the spec keys the PHYSICAL relation: after the r12
+            # identifier rewrite, that is the name the engine serves
             applied["freshness"].append(FreshnessSpec(
-                source=tbl["name"], loaded_at_col=loaded,
+                source=tbl.get("identifier", tbl["name"]),
+                loaded_at_col=loaded,
                 warn_after_s=warn, error_after_s=error))
 
     # X88: group declarations [public dbt surface: model governance,

@@ -354,9 +354,38 @@ def resolve_version_refs(sql_text: str, versions: dict | None) -> str:
     return _VREF_RE.sub(sub, sql_text)
 
 
+_SOURCE2_RE = re.compile(
+    r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
+
+
+def resolve_source_identifiers(sql_text: str,
+                               source_map: dict | None) -> str:
+    """dbt sources-YAML ``identifier`` override (r12, VERDICT r11 item
+    5) [public knowledge: a source table may declare ``identifier:`` —
+    the physical relation name — while models keep calling
+    ``source('src', '<name>')`` by its declared name].  TEXT-level
+    rewrite, before parse_deps, so the dep edge and the rendered
+    relation both land on the PHYSICAL name — exactly where dbt's
+    compile resolves it.  ``source_map`` keys are ``(source_name,
+    table_name)``; unmapped calls pass through untouched (a source
+    with no identifier override resolves to its own name, as before).
+    """
+    if not source_map:
+        return sql_text
+
+    def sub(m: re.Match) -> str:
+        ident = source_map.get((m.group(1), m.group(2)))
+        if ident is None or ident == m.group(2):
+            return m.group(0)
+        return f"{{{{ source('{m.group(1)}', '{ident}') }}}}"
+
+    return _SOURCE2_RE.sub(sub, sql_text)
+
+
 def preprocess_sql(sql_text: str, macros: dict | None = None,
                    vars: dict | None = None, env: dict | None = None,
-                   versions: dict | None = None) -> str:
+                   versions: dict | None = None,
+                   source_map: dict | None = None) -> str:
     """The ONE compile pipeline every SQL-text surface shares (models,
     singular tests, snapshots, analyses).  Ordering is an invariant:
     macros expand FIRST so macro-emitted ref()/var()/env_var() calls
@@ -367,10 +396,12 @@ def preprocess_sql(sql_text: str, macros: dict | None = None,
     semantics than models."""
     from .macros import expand_macros
 
-    return resolve_version_refs(
-        render_env_vars(
-            render_vars(expand_macros(sql_text, macros), vars), env),
-        versions)
+    return resolve_source_identifiers(
+        resolve_version_refs(
+            render_env_vars(
+                render_vars(expand_macros(sql_text, macros), vars), env),
+            versions),
+        source_map)
 
 
 def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
@@ -379,6 +410,7 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
                        macros: dict | None = None,
                        env: dict | None = None,
                        versions: dict | None = None,
+                       source_map: dict | None = None,
                        **model_kwargs) -> None:
     """``registry.sql_model(...)`` body: register SQL text as a model.
     ``model_kwargs`` pass through to ModelDef (partition_by, tests,
@@ -394,7 +426,8 @@ def register_sql_model(registry: ModelRegistry, name: str, sql_text: str,
     edit."""
     from .model import ModelDef
 
-    sql_text = preprocess_sql(sql_text, macros, vars, env, versions)
+    sql_text = preprocess_sql(sql_text, macros, vars, env, versions,
+                              source_map)
     cfg = parse_config(sql_text)
     materialized = cfg.pop("materialized", materialized)
     model_kwargs = {**model_kwargs, **cfg}
@@ -413,7 +446,8 @@ def register_test_dir(registry: ModelRegistry, tests_dir: str,
                       vars: dict | None = None,
                       macros: dict | None = None,
                       env: dict | None = None,
-                      versions: dict | None = None) -> list[str]:
+                      versions: dict | None = None,
+                      source_map: dict | None = None) -> list[str]:
     """Port a dbt project's ``test-paths`` directory: every ``*.sql``
     file is a SINGULAR data test [public knowledge: dbt singular tests —
     a SELECT returning violating rows; any row is a failure]
@@ -438,7 +472,7 @@ def register_test_dir(registry: ModelRegistry, tests_dir: str,
             name = f[:-len(".sql")]
             with open(os.path.join(dirpath, f)) as fh:
                 sql_text = preprocess_sql(fh.read(), macros, vars, env,
-                                          versions)
+                                          versions, source_map)
             fn, deps = sql_model_fn(name, sql_text)
             registry.register(ModelDef(
                 name=name, deps=deps, materialized="ephemeral", fn=fn,
@@ -458,7 +492,8 @@ _SNAPSHOT_BLOCK_RE = re.compile(
 def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
                        macros: dict | None = None,
                        env: dict | None = None,
-                       versions: dict | None = None):
+                       versions: dict | None = None,
+                       source_map: dict | None = None):
     """One dbt ``snapshots/*.sql`` file -> (SnapshotDef, source_fn, deps)
     [public knowledge: dbt snapshot blocks — `{% snapshot name %}` +
     config(strategy/unique_key/updated_at/check_cols) + a SELECT].
@@ -474,7 +509,8 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
         raise ValueError("not a snapshot file: no "
                          "{% snapshot name %} ... {% endsnapshot %} block")
     name = m.group(1)
-    body = preprocess_sql(m.group(2), macros, vars, env, versions)
+    body = preprocess_sql(m.group(2), macros, vars, env, versions,
+                          source_map)
     cfg = parse_config(body)
     check_cols = cfg.get("check_cols", ())
     if isinstance(check_cols, str) and check_cols != "all":
@@ -500,7 +536,8 @@ def register_sql_dir(registry: ModelRegistry, models_dir: str,
                      macros: dict | None = None,
                      env: dict | None = None,
                      versions: dict | None = None,
-                     rename: dict | None = None) -> list[str]:
+                     rename: dict | None = None,
+                     source_map: dict | None = None) -> list[str]:
     """Port a dbt project's models/ directory wholesale: every ``*.sql``
     file registers under its stem, materialization chosen by the DEEPEST
     matching policy path — the dbt_project.yml folder policy
@@ -531,6 +568,7 @@ def register_sql_dir(registry: ModelRegistry, models_dir: str,
                 register_sql_model(registry, name, fh.read(),
                                    materialized=mat, vars=vars,
                                    macros=macros, env=env,
-                                   versions=versions)
+                                   versions=versions,
+                                   source_map=source_map)
             registered.append(name)
     return registered

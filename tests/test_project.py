@@ -1928,3 +1928,113 @@ def test_macro_body_containing_macro_literal_parses():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="could not be parsed"):
         parse_macro_text("{% macro broken(a=f(1)) %}x{% endmacro %}")
+
+
+# -------------------------------- r12: sources-YAML identifier/quoting ----
+
+def test_source_identifier_override_resolves(spark, tmp_path):
+    """r12 (VERDICT r11 item 5): a source table declaring `identifier:`
+    resolves source() calls to the PHYSICAL relation — dep edges, the
+    rendered SQL, freshness specs, and the recorded metadata all land on
+    the identifier, while models keep the declared name."""
+    _write_project(tmp_path, """\
+        name: 'p'
+        model-paths: ["models"]
+        """, {
+        "models/props.yml": """\
+            sources:
+              - name: raw
+                database: prod
+                quoting: {database: false, schema: false}
+                tables:
+                  - name: loans
+                    identifier: loans_v2
+                    freshness: {warn_after: {count: 1, period: day}}
+                    loaded_at_field: updated_at
+                  - name: rates
+        """,
+        "models/staged.sql":
+            "select k, v from {{ source('raw', 'loans') }}",
+        "models/rates_used.sql":
+            "select k from {{ source('raw', 'rates') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    # dep edge lands on the physical name; unmapped source keeps its own
+    assert p.registry["staged"].deps == ("loans_v2",)
+    assert p.registry["rates_used"].deps == ("rates",)
+    # freshness keys the physical relation
+    assert [f.source for f in p.freshness] == ["loans_v2"]
+    # metadata recorded inertly (schema defaults to the source name)
+    assert p.sources["raw.loans"] == {
+        "database": "prod", "schema": "raw", "identifier": "loans_v2",
+        "quoting": {"database": False, "schema": False}}
+    # and the project RUNS against the physical relation
+    phys = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    rates = spark.createDataFrame([(1,)], "k long")
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run({"loans_v2": phys, "rates": rates})
+        assert {(r.k, r.v) for r in rels["staged"].collect()} \
+            == {(1, 10), (2, 20)}
+    finally:
+        runner.clean()
+
+
+def test_source_quoting_and_identifier_error_matrix(spark, tmp_path):
+    """Quoting flags are inert for plain names; a QUOTED identifier that
+    is not a plain SQL identifier raises at port (the renderer cannot
+    backtick-quote substitution sites), as does any non-identifier
+    physical name, and conflicting duplicate declarations."""
+    def _port(props_yaml):
+        import shutil
+        root = tmp_path / "m"
+        if root.exists():
+            shutil.rmtree(root)
+        _write_project(tmp_path, """\
+            name: 'p'
+            model-paths: ["m"]
+            """, {"m/props.yml": props_yaml,
+                  "m/use.sql":
+                  "select 1 as x from {{ source('raw', 't') }}"})
+        return port_dbt_project(spark, str(tmp_path))
+
+    # inert: identifier-quoting on a plain name is a no-op
+    p = _port("""\
+        sources:
+          - name: raw
+            tables:
+              - name: t
+                identifier: t_real
+                quoting: {identifier: true}
+        """)
+    assert p.registry["use"].deps == ("t_real",)
+
+    with pytest.raises(ValueError, match="not a plain SQL identifier"):
+        _port("""\
+            sources:
+              - name: raw
+                tables:
+                  - name: t
+                    identifier: "t-with-dashes"
+                    quoting: {identifier: true}
+            """)
+    with pytest.raises(ValueError, match="not a plain SQL identifier"):
+        _port("""\
+            sources:
+              - name: raw
+                tables:
+                  - name: t
+                    identifier: "has space"
+            """)
+    with pytest.raises(ValueError, match="declared twice"):
+        _port("""\
+            sources:
+              - name: raw
+                tables:
+                  - name: t
+                    identifier: a1
+              - name: raw
+                tables:
+                  - name: t
+                    identifier: a2
+            """)
