@@ -52,6 +52,15 @@ class ModelDef:
     incremental_strategy: str = "insert_overwrite"  # or "merge" (upsert)
     unique_key: tuple[str, ...] = ()     # merge strategy's row identity
     on_schema_change: str = "ignore"     # | "fail" | "append_new_columns"
+    # microbatch strategy (X96 [public dbt surface: dbt-core 1.9
+    # microbatch — event_time / batch_size / lookback / begin]).
+    # event_time may be declared on ANY model (it marks the column a
+    # DOWNSTREAM microbatch model filters this relation by); the other
+    # three only configure a microbatch model itself.
+    event_time: str = ""                 # the row-timestamp column
+    batch_size: str = ""                 # hour | day | month | year
+    lookback: int = 1                    # periods re-processed for late data
+    begin: str = ""                      # first-build start timestamp
     tags: tuple[str, ...] = ()           # dbt tags (selection: tag:x)
     zorder_by: tuple[str, ...] = ()      # Morton-clustered file layout
     zorder_files: int = 0                # target file count (0 = let AQE)
@@ -91,10 +100,44 @@ class ModelRegistry:
             raise ValueError(
                 f"model {mdef.name}: watermark_col only applies to "
                 "incremental materialization")
-        if mdef.incremental_strategy not in ("insert_overwrite", "merge"):
+        if mdef.incremental_strategy not in ("insert_overwrite", "merge",
+                                             "microbatch"):
             raise ValueError(
                 f"model {mdef.name}: unknown incremental_strategy "
                 f"{mdef.incremental_strategy!r}")
+        if mdef.incremental_strategy == "microbatch":
+            if mdef.materialized != "incremental":
+                raise ValueError(
+                    f"model {mdef.name}: the microbatch strategy only "
+                    "applies to incremental materialization")
+            if not mdef.event_time or not mdef.batch_size:
+                raise ValueError(
+                    f"model {mdef.name}: microbatch requires event_time "
+                    "and batch_size")
+            if mdef.batch_size not in ("hour", "day", "month", "year"):
+                raise ValueError(
+                    f"model {mdef.name}: batch_size must be hour | day | "
+                    f"month | year, got {mdef.batch_size!r}")
+            if not mdef.partition_by:
+                raise ValueError(
+                    f"model {mdef.name}: microbatch requires partition_by "
+                    "(each batch replaces its period's partitions)")
+            if mdef.lookback < 0:
+                raise ValueError(
+                    f"model {mdef.name}: lookback must be >= 0")
+            if mdef.watermark_col:
+                raise ValueError(
+                    f"model {mdef.name}: watermark_col and microbatch are "
+                    "mutually exclusive refresh bounds")
+        else:
+            if mdef.batch_size or mdef.begin:
+                raise ValueError(
+                    f"model {mdef.name}: batch_size/begin only apply to "
+                    "the microbatch strategy")
+            if mdef.lookback != 1:
+                raise ValueError(
+                    f"model {mdef.name}: lookback only applies to the "
+                    "microbatch strategy")
         if mdef.incremental_strategy == "merge":
             if mdef.materialized != "incremental":
                 raise ValueError(

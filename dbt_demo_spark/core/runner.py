@@ -110,9 +110,15 @@ class Runner:
                  catalog_namespace: str | None = None,
                  on_run_start: tuple = (),
                  on_run_end: tuple = (),
-                 store_failures: bool = False) -> None:
+                 store_failures: bool = False,
+                 source_event_time: dict | None = None) -> None:
         self.spark = spark
         self.registry = registry
+        # X96 microbatch: event_time declarations for RAW sources (plain
+        # DataFrames handed to run(), which carry no ModelDef) — dbt's
+        # sources-YAML `event_time` analog.  Registry models declare
+        # theirs on ModelDef.event_time.
+        self.source_event_time = dict(source_event_time or {})
         # dbt's project-level on-run-start / on-run-end hooks [public
         # knowledge: dbt_project.yml on-run-start/on-run-end] — SQL
         # strings or (spark, relations) callables, run once around every
@@ -153,6 +159,8 @@ class Runner:
         self._fp_memo: dict[str, str | None] = {}
         self._fp_lock = threading.Lock()
         self.last_refresh_report: dict = {"built": [], "skipped": []}
+        # X96: model -> list of "[lo .. hi)" batch windows built last run
+        self.last_microbatch_report: dict = {}
 
     @property
     def _state_path(self) -> str:
@@ -603,6 +611,27 @@ class Runner:
         self._run_hooks(mdef.pre_hook, name, dict(relations))
         wants_ctx = bool(mdef.watermark_col) or getattr(
             mdef.fn, "__wants_incremental_ctx__", False)
+        if (mdef.materialized == "incremental"
+                and mdef.incremental_strategy == "microbatch"):
+            if wants_ctx:
+                raise ValueError(
+                    f"model {name}: is_incremental()/{{{{ this }}}} inside "
+                    "a microbatch model is unsupported — microbatch "
+                    "models are plain per-batch transformations; the "
+                    "batch window replaces the watermark idiom")
+            df = self._materialize_microbatch(name, mdef, refs)
+            if mdef.contract:
+                self._enforce_contract(name, df, mdef.contract)
+            if mdef.post_hook:
+                rels = dict(relations)
+                rels[name] = df
+                self._run_hooks(mdef.post_hook, name, rels)
+            self.last_refresh_report["built"].append(name)
+            if state_tracked:
+                fp = self._fingerprint(name, relations)
+                if fp is not None:
+                    self._save_state(name, fp)
+            return df
         if mdef.materialized == "incremental" and wants_ctx:
             from .model import IncrementalContext
 
@@ -847,6 +876,163 @@ class Runner:
             .parquet(path)
         )
         return self._read_back(name, path, merge_schema=merge_schema)
+
+    def _materialize_microbatch(self, name: str, mdef,
+                                relations: dict) -> DataFrame:
+        """dbt's ``microbatch`` incremental strategy (X96 [public dbt
+        surface: dbt-core 1.9 — incremental_strategy='microbatch' with
+        event_time / batch_size / lookback / begin]): the refresh splits
+        into INDEPENDENT per-period batches; for each batch, every
+        upstream that declares an ``event_time`` (ModelDef.event_time
+        for registry models, Runner(source_event_time=...) for raw
+        sources — dbt's sources-YAML event_time analog) is filtered to
+        the batch window before the model fn runs, and the batch's
+        output replaces exactly its period's partitions (dynamic
+        partition overwrite).  Upstreams without an event_time pass
+        through whole — dims join fully in every batch, exactly dbt's
+        behavior.
+
+        DETERMINISM (this repo's discipline: no wall clocks): dbt bounds
+        batches at ``now()``; here the upper bound is the MAX event_time
+        observed across the filtered upstreams — data-driven, so a rerun
+        over the same inputs enumerates the same batches.  First build
+        starts at ``begin`` (required, as in dbt); a refresh reprocesses
+        from ``lookback`` periods before the existing table's own max
+        event_time (late-arriving data lands without a full rebuild).
+        Each batch is independently retryable: a failure raises naming
+        the batch window, with prior batches already committed —
+        re-running resumes from the recorded bookmark.
+        ``last_microbatch_report[name]`` lists the windows built.
+
+        100 TB shape: this is the training-data backfill pattern — the
+        event-time filter prunes the upstream scan to one period's
+        partitions, each batch's shuffle is O(period) not O(table), and
+        a year-long backfill is N independent period jobs."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        def _et_of(dep: str) -> str | None:
+            if dep in self.registry.names():
+                return self.registry[dep].event_time or None
+            return self.source_event_time.get(dep)
+
+        dep_et = {d: _et_of(d) for d in mdef.deps}
+        if not any(dep_et.values()):
+            raise ValueError(
+                f"model {name}: microbatch has no upstream with an "
+                "event_time to filter — declare event_time on an "
+                "upstream model or pass source_event_time to the Runner")
+
+        def _trunc(ts: _dt.datetime) -> _dt.datetime:
+            if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
+                ts = _dt.datetime(ts.year, ts.month, ts.day)
+            parts = {"hour": ts.replace(minute=0, second=0, microsecond=0),
+                     "day": ts.replace(hour=0, minute=0, second=0,
+                                       microsecond=0)}
+            if mdef.batch_size in parts:
+                return parts[mdef.batch_size]
+            if mdef.batch_size == "month":
+                return _dt.datetime(ts.year, ts.month, 1)
+            return _dt.datetime(ts.year, 1, 1)
+
+        def _shift(ts: _dt.datetime, periods: int) -> _dt.datetime:
+            if mdef.batch_size == "hour":
+                return ts + _dt.timedelta(hours=periods)
+            if mdef.batch_size == "day":
+                return ts + _dt.timedelta(days=periods)
+            if mdef.batch_size == "month":
+                t = ts.year * 12 + (ts.month - 1) + periods
+                return _dt.datetime(t // 12, t % 12 + 1, 1)
+            return _dt.datetime(ts.year + periods, 1, 1)
+
+        upstream_max = None
+        for d, et in dep_et.items():
+            if et is None:
+                continue
+            if et not in relations[d].columns:
+                raise ValueError(
+                    f"model {name}: upstream {d!r} declares event_time "
+                    f"{et!r} but has no such column")
+            mx = relations[d].agg(F.max(et)).first()[0]
+            if mx is not None and (upstream_max is None or mx > upstream_max):
+                upstream_max = mx
+
+        path = os.path.join(self.warehouse_dir, name)
+        existing = os.path.isdir(path)
+        if upstream_max is None:
+            if existing:  # quiet upstreams: nothing new to process
+                self.last_microbatch_report[name] = []
+                return self._read_back(name, path)
+            raise ValueError(
+                f"model {name}: no upstream rows carry an event_time — "
+                "cannot enumerate the first build's batches")
+
+        if existing:
+            own_max = self.spark.read.parquet(path) \
+                .agg(F.max(mdef.event_time)).first()[0]
+            if own_max is None:
+                existing = False
+        end_batch = _trunc(upstream_max)
+        if existing:
+            # resume from the BOOKMARK batch (own max event_time — an
+            # outage never skips periods, unlike a pure now-lookback
+            # window) and additionally reprocess `lookback` periods
+            # before the data's current edge for late arrivals; late
+            # data older than both windows needs an explicit backfill,
+            # exactly dbt's posture
+            start = min(_trunc(own_max), _shift(end_batch, -mdef.lookback))
+            if mdef.begin:
+                start = max(start,
+                            _trunc(_dt.datetime.fromisoformat(mdef.begin)))
+        else:
+            if not mdef.begin:
+                raise ValueError(
+                    f"model {name}: microbatch first build requires "
+                    "begin (the backfill start timestamp)")
+            start = _trunc(_dt.datetime.fromisoformat(mdef.begin))
+
+        batches: list[tuple] = []
+        b = start
+        while b <= end_batch:
+            batches.append((b, _shift(b, 1)))
+            b = _shift(b, 1)
+            if len(batches) > 100_000:
+                raise ValueError(
+                    f"model {name}: >100k batches between {start} and "
+                    f"{end_batch} — wrong batch_size for this span")
+
+        checked_schema = False
+        built: list[str] = []
+        for lo, hi in batches:
+            refs_f = {
+                d: (relations[d].filter((F.col(et) >= F.lit(lo))
+                                        & (F.col(et) < F.lit(hi)))
+                    if et else relations[d])
+                for d, et in dep_et.items()}
+            try:
+                out = mdef.fn(refs_f)
+                if mdef.event_time not in out.columns:
+                    raise ValueError(
+                        f"output is missing the declared event_time "
+                        f"column {mdef.event_time!r} — the refresh "
+                        "bookmark reads it")
+                if not checked_schema:
+                    self._check_schema_change(name, out, path,
+                                              mdef.on_schema_change)
+                    checked_schema = True
+                (out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*mdef.partition_by)
+                    .parquet(path))
+            except Exception as exc:
+                raise RuntimeError(
+                    f"microbatch {name}: batch [{lo} .. {hi}) failed "
+                    f"({len(built)} prior batches committed; re-running "
+                    "resumes from the bookmark): {0}".format(exc)) from exc
+            built.append(f"[{lo} .. {hi})")
+        self.last_microbatch_report[name] = built
+        return self._read_back(name, path)
 
     def _materialize_merge(self, name: str, df: DataFrame,
                            partition_by: tuple[str, ...],
