@@ -130,6 +130,7 @@ class Runner:
         # test's violating rows under <warehouse>/_test_failures/<name>
         self.store_failures = store_failures
         self._full_refresh = False
+        self._empty = False
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
         # Catalog-table namespace: the session catalog is GLOBAL, so two
         # runners materializing a same-named bucketed model would silently
@@ -209,10 +210,19 @@ class Runner:
             cache_sources: bool = False,
             refresh: str = "full",
             state: dict | None = None,
-            full_refresh: bool = False) -> dict[str, DataFrame]:
+            full_refresh: bool = False,
+            empty: bool = False) -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
+
+        ``empty=True`` is dbt's ``--empty`` flag (X97 [public dbt
+        surface: dbt-core 1.8 — schema-only dry runs for CI]): every
+        model's refs are LIMIT-0'd before its fn runs, so the full DAG
+        compiles, analyzes, materializes (empty relations with the real
+        schemas), and enforces contracts without reading data — the
+        cheap pre-merge gate.  Microbatch models raise under empty (no
+        event_time rows means no batches to enumerate — documented).
 
         ``select`` / ``exclude`` take dbt's node-selection grammar when
         given as strings (``"+mart_x tag:nightly"``, ``"stg_*+2"``,
@@ -270,6 +280,7 @@ class Runner:
                                       state=state)
         self._refresh_changed = refresh == "changed"
         self._full_refresh = full_refresh
+        self._empty = empty
         self._fp_memo: dict[str, str | None] = {}
         self.last_refresh_report = {"built": [], "skipped": []}
         caches = []
@@ -301,7 +312,8 @@ class Runner:
               threads: int = 1,
               refresh: str = "full",
               state: dict | None = None,
-              full_refresh: bool = False) -> BuildResult:
+              full_refresh: bool = False,
+              empty: bool = False) -> BuildResult:
         """The ``dbt build`` analog [public knowledge: dbt build runs
         models and their tests interleaved in DAG order]: materialize each
         model, IMMEDIATELY run its attached ``tests`` (ModelDef.tests),
@@ -333,6 +345,7 @@ class Runner:
                                       state=state)
         self._refresh_changed = refresh == "changed"
         self._full_refresh = full_refresh
+        self._empty = empty
         self._fp_memo = {}
         self.last_refresh_report = {"built": [], "skipped": []}
 
@@ -600,6 +613,11 @@ class Runner:
             self.last_refresh_report["skipped"].append(name)
             return skipped
         refs = {d: relations[d] for d in mdef.deps}
+        if getattr(self, "_empty", False):
+            # dbt --empty (X97): LIMIT 0 on every ref — the model's
+            # transformations analyze and the write produces an empty
+            # relation with the REAL schema; contracts still enforce
+            refs = {d: df.limit(0) for d, df in refs.items()}
         state_tracked = (mdef.materialized in ("table", "incremental")
                          and not mdef.bucket_by)
         if state_tracked:

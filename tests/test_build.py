@@ -491,3 +491,51 @@ def test_show_survives_incremental_and_layout_models(spark, tmp_path):
         assert len(rows2) == 4
     finally:
         r.clean()
+
+
+def test_empty_flag_dry_runs_with_real_schemas(spark, tmp_path):
+    """X97 dbt --empty [public dbt surface: dbt-core 1.8 schema-only dry
+    runs]: every ref is LIMIT-0'd — the DAG compiles, materializes empty
+    relations with the REAL schemas, and contracts still enforce; a
+    normal run afterwards is unaffected."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    calls = []
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="staged", deps=("src",), materialized="view",
+        fn=lambda refs: refs["src"].select(
+            "k", (F.col("v") * 2).alias("v2"))))
+    reg.register(ModelDef(
+        name="mart", deps=("staged",), materialized="table",
+        contract=(("k", "bigint"), ("v2", "bigint")),
+        fn=lambda refs: (calls.append(1) or refs["staged"])))
+    src = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        rels = r.run({"src": src}, empty=True)
+        # real schema, zero rows, table actually materialized
+        assert rels["mart"].columns == ["k", "v2"]
+        assert rels["mart"].count() == 0
+        assert (tmp_path / "wh" / "mart").is_dir()
+        # a SUBSEQUENT normal run sees data (the flag does not stick)
+        rels = r.run({"src": src})
+        assert rels["mart"].count() == 2
+    finally:
+        r.clean()
+
+    # a contract violation still fails the dry run — the CI value
+    reg2 = ModelRegistry()
+    reg2.register(ModelDef(
+        name="bad", deps=("src",), materialized="table",
+        contract=(("missing_col", "bigint"),),
+        fn=lambda refs: refs["src"]))
+    r2 = Runner(spark, reg2, str(tmp_path / "wh2"))
+    try:
+        res = r2.build({"src": src}, empty=True)
+        assert res.nodes["bad"].status == "fail"
+        assert "missing_col" in (res.nodes["bad"].error or "")
+    finally:
+        r2.clean()
