@@ -473,3 +473,116 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str,
     return (docs.select("doc_id", "lang",
                         F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= k).select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (X98 — retrieval-style data selection)
+# ---------------------------------------------------------------------------
+
+# Fixed query term set, mixed document frequencies so the idf term does
+# real work; scores are a pure function of the corpus (no RNG, no clock).
+BM25_QUERY_TERMS = ("join", "hash", "broadcast", "shuffle", "pipeline")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_sql_tf(term: str) -> str:
+    return (f"len(list_filter({sql_tokens('text')}, "
+            f"x -> x = '{term}'))")
+
+
+def _bm25_oracle() -> str:
+    tfs = ", ".join(f"{_bm25_sql_tf(t)} AS tf_{i}"
+                    for i, t in enumerate(BM25_QUERY_TERMS))
+    dfs = ", ".join(f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                    for i in range(len(BM25_QUERY_TERMS)))
+    contribs = " + ".join(
+        f"(CASE WHEN b.tf_{i} > 0 THEN "
+        f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0) * "
+        f"(b.tf_{i} * ({BM25_K1} + 1.0)) / "
+        f"(b.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * b.dl "
+        f"/ (s.sum_dl * 1.0 / s.n_docs))) ELSE 0.0 END)"
+        for i in range(len(BM25_QUERY_TERMS)))
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({sql_tokens('text')}) AS dl,
+                   {tfs}
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {dfs} FROM base
+        )
+        SELECT b.doc_id AS doc_id,
+               {sql_round2(contribs)} AS bm25
+        FROM base b CROSS JOIN stats s
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """
+
+
+CORPUS_BM25_ORACLE = _bm25_oracle()
+
+
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str,
+                     k: int = 20) -> DataFrame:
+    """BM25 top-k document retrieval against a fixed query term set
+    (X98 [public knowledge: Robertson & Zaragoza 2009, the BM25
+    probabilistic relevance function] — the scoring step of
+    retrieval-based data selection: picking the corpus documents most
+    relevant to a target domain/query is a standard curation move for
+    pretraining mixtures).
+
+    Spark-first shape, two tiny jobs over one scan pattern:
+
+      * per-document term frequencies are ROW-LOCAL higher-order
+        functions (``F.filter`` + ``size`` over the token array, one
+        expression per query term — the query is small, so there is NO
+        explode and NO (doc, term) shuffle at all);
+      * corpus statistics (N, total length, per-term document
+        frequencies) reduce to ONE scalar row, broadcast back via a
+        1-row cross join — never a re-scan;
+      * the score is a closed-form expression over (tf_i, dl) and the
+        broadcast stats; top-k is orderBy + limit, which Spark executes
+        as TakeOrdered (per-partition heaps + driver merge of k rows,
+        no full sort at 100 TB).
+
+    Engine parity: both engines round the final score with the exact
+    floor-trick (functions/numeric.round2) and order by the ROUNDED
+    score with a doc_id tiebreak, so the returned k-set is identical
+    even when raw doubles differ in the last ulp (ln/division are the
+    only transcendental steps; inputs to them are exact integers)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+
+    def _tf(term: str):
+        # closure factory, NOT a default-arg lambda: F.filter treats a
+        # 2-parameter lambda as (element, index) and would bind the
+        # index column over the default
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}")
+               for i, t in enumerate(BM25_QUERY_TERMS)]
+    base = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(BM25_QUERY_TERMS))])
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    contribs = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                    / (F.col(f"df_{i}") + 0.5) + 1.0)
+        c = F.when(tf > 0,
+                   idf * (tf * (BM25_K1 + 1.0))
+                   / (tf + BM25_K1 * (1.0 - BM25_B
+                                      + BM25_B * F.col("dl") / avgdl))
+                   ).otherwise(F.lit(0.0))
+        contribs = c if contribs is None else contribs + c
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", round2(contribs).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

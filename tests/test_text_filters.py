@@ -167,3 +167,29 @@ def test_row_local_plan_has_no_exchange(spark):
     if "Exchange" in plan:
         assert "REPARTITION_BY_NUM" in plan, (
             f"text_repetition's exchange is not the spread repartition:\n{plan}")
+
+
+def test_bm25_topk_matches_oracle_and_plan(spark):
+    """X98 BM25 top-k: DuckDB differential at the gate scale (identical
+    rounded scores AND identical k-set under the rounded-score+doc_id
+    order), plus the scale-shape asserts — no explode (term frequencies
+    are row-local higher-order functions), stats reach the scorer as a
+    1-row broadcast, and top-k executes as TakeOrdered, not a full
+    sort."""
+    from dbt_demo_spark.queries.text_filters import (CORPUS_BM25_ORACLE,
+                                                     corpus_bm25_topk)
+
+    con = duckdb_connection(SF_GATE)
+    out = corpus_bm25_topk(spark, SF_GATE)
+    res = compare("corpus_bm25_topk", out, con, CORPUS_BM25_ORACLE)
+    assert res.ok, res.detail
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan          # no explode
+    assert "BroadcastExchange" in plan     # stats row broadcast
+    assert "TakeOrderedAndProject" in plan # top-k, not global sort
+    # larger scale too: same differential at sf0.1
+    con1 = duckdb_connection("/root/testdata/sf0.1")
+    res1 = compare("corpus_bm25_topk_sf01",
+                   corpus_bm25_topk(spark, "/root/testdata/sf0.1"),
+                   con1, CORPUS_BM25_ORACLE)
+    assert res1.ok, res1.detail
