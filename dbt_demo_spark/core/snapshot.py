@@ -42,6 +42,15 @@ class SnapshotDef:
     strategy: str                       # "timestamp" | "check"
     updated_at: str | None = None       # timestamp strategy source column
     check_cols: tuple[str, ...] = ()    # check strategy compare columns
+    # X99 [public dbt surface: dbt-core 1.9 snapshot hard_deletes]:
+    #   ignore     — a key absent from source keeps its current row
+    #                (dbt's historical default, what this runner always did)
+    #   invalidate — the absent key's current row CLOSES (dbt_valid_to =
+    #                run timestamp) and leaves the current set
+    #   new_record — invalidate + a deletion-marker row is inserted
+    #                (dbt_is_deleted = 'True'; every row gains the
+    #                dbt_is_deleted column, 'False' elsewhere)
+    hard_deletes: str = "ignore"
 
     def __post_init__(self) -> None:
         if self.strategy == "timestamp" and not self.updated_at:
@@ -53,6 +62,10 @@ class SnapshotDef:
         if self.strategy not in ("timestamp", "check"):
             raise ValueError(f"snapshot {self.name}: unknown strategy "
                              f"{self.strategy}")
+        if self.hard_deletes not in ("ignore", "invalidate", "new_record"):
+            raise ValueError(
+                f"snapshot {self.name}: hard_deletes must be ignore | "
+                f"invalidate | new_record, got {self.hard_deletes!r}")
 
 
 class SnapshotRunner:
@@ -88,6 +101,9 @@ class SnapshotRunner:
             F.sha2(F.concat_ws("||", F.col(key).cast("string"),
                                F.col("dbt_valid_from").cast("string")), 256),
         ).withColumn("dbt_is_current", F.lit(1))
+        if sdef.hard_deletes == "new_record":
+            # dbt spells the marker as a string, not a boolean
+            stamped = stamped.withColumn("dbt_is_deleted", F.lit("False"))
 
         if not os.path.isdir(path):
             # first run: every source row is the current version
@@ -114,7 +130,21 @@ class SnapshotRunner:
             changed = diffs[0]
             for d in diffs[1:]:
                 changed = changed | d
+        if sdef.hard_deletes == "new_record":
+            # a key reappearing after a deletion record must re-version
+            # even when its data columns equal the pre-delete values
+            # (dbt's check-strategy revive rule); timestamp strategy
+            # already revives via updated_at > deletion time
+            changed = changed | (F.col("old.dbt_is_deleted") == "True")
 
+        if (sdef.hard_deletes == "new_record"
+                and "dbt_is_deleted" not in cur.columns):
+            # table predates the new_record setting: existing rows are live
+            cur = cur.withColumn("dbt_is_deleted", F.lit("False"))
+        # read-back puts the partition column (dbt_is_current) LAST; align
+        # the fresh side's column ORDER to the table's so struct("old.*")
+        # and struct("new.*") below are the same struct type
+        stamped = stamped.select(*cur.columns)
         old, new = cur.alias("old"), stamped.alias("new")
         joined = old.join(new, F.col(f"old.{key}") == F.col(f"new.{key}"),
                           "full_outer")
@@ -122,19 +152,49 @@ class SnapshotRunner:
         is_gone = F.col(f"new.{key}").isNull()
 
         # current partition after this run: inserts + changed rows' new
-        # versions + unchanged rows carried over (hard-deleted keys keep
-        # their current row — dbt's default, no invalidate_hard_deletes)
+        # versions + unchanged rows carried over.  Hard-deleted keys:
+        # ignore keeps their current row (dbt's historical default);
+        # invalidate / new_record drop them from the current set (their
+        # close lands in the history increment below)
         next_current = joined.select(
             F.when(is_insert | (~is_gone & changed), F.struct("new.*"))
-             .otherwise(F.struct("old.*")).alias("r")
-        ).select("r.*")
+             .otherwise(F.struct("old.*")).alias("r"),
+            is_gone.alias("_gone")
+        )
+        if sdef.hard_deletes != "ignore":
+            next_current = next_current.filter(~F.col("_gone"))
+        next_current = next_current.select("r.*")
+        if sdef.hard_deletes == "new_record":
+            # deletion-marker rows: the old data columns, re-stamped as a
+            # NEW current version at the run timestamp, marked deleted
+            as_of_ts = as_of.cast("timestamp")
+            marker = (
+                joined.filter(is_gone).select(F.struct("old.*").alias("r"))
+                .select("r.*")
+                .withColumn("dbt_updated_at", as_of_ts)
+                .withColumn("dbt_valid_from", as_of_ts)
+                .withColumn("dbt_valid_to",
+                            F.lit(None).cast("timestamp"))
+                .withColumn("dbt_scd_id", F.sha2(
+                    F.concat_ws("||", F.col(key).cast("string"),
+                                as_of_ts.cast("string")), 256))
+                .withColumn("dbt_is_current", F.lit(1))
+                .withColumn("dbt_is_deleted", F.lit("True"))
+            )
+            next_current = next_current.unionByName(marker)
 
-        # history increment: the versions closed by this run, append-only
+        # history increment: the versions closed by this run, append-only;
+        # under invalidate / new_record a hard-deleted key's current row
+        # closes AT THE RUN TIMESTAMP (dbt_valid_to = as_of)
+        close_gone = (F.lit(False) if sdef.hard_deletes == "ignore"
+                      else is_gone)
+        closes_at = F.when(is_gone, as_of.cast("timestamp")) \
+            .otherwise(F.col("new.dbt_valid_from"))
         closed = (
-            joined.filter(~is_insert & ~is_gone & changed)
+            joined.filter((~is_insert & ~is_gone & changed) | close_gone)
             .select(
                 F.struct("old.*").alias("r"),
-                F.col("new.dbt_valid_from").alias("_closes_at"))
+                closes_at.alias("_closes_at"))
             .select("r.*", "_closes_at")
             .withColumn("dbt_valid_to", F.col("_closes_at"))
             .drop("_closes_at")

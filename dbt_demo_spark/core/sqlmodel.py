@@ -520,11 +520,18 @@ def parse_snapshot_sql(sql_text: str, vars: dict | None = None,
             f"snapshot {name}: check_cols='all' is not supported — "
             "name the columns (an 'all' snapshot re-versions on any "
             "schema change)")
+    # X99: hard_deletes config [public dbt surface, dbt-core 1.9];
+    # the legacy boolean spelling `invalidate_hard_deletes: true`
+    # (pre-1.9) maps onto hard_deletes='invalidate', as dbt does
+    hard = cfg.get("hard_deletes",
+                   "invalidate" if cfg.get("invalidate_hard_deletes")
+                   else "ignore")
     sdef = SnapshotDef(
         name=name, unique_key=cfg["unique_key"],
         strategy=cfg.get("strategy", "timestamp"),
         updated_at=cfg.get("updated_at"),
-        check_cols=tuple(check_cols) if check_cols else ())
+        check_cols=tuple(check_cols) if check_cols else (),
+        hard_deletes=hard)
     fn, deps = sql_model_fn(name, body)
     return sdef, fn, deps
 

@@ -630,3 +630,100 @@ def test_on_schema_change_validation():
         @reg.model("b2", materialized="table", on_schema_change="fail")
         def b2(refs):
             return None
+
+
+def test_snapshot_hard_deletes_invalidate(spark, tmp_path):
+    """X99 hard_deletes='invalidate' [public dbt surface, dbt-core 1.9]:
+    a key absent from the source CLOSES (dbt_valid_to = run timestamp)
+    and leaves the current set; default 'ignore' keeps it (pinned by the
+    two-run test above)."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    sdef = SnapshotDef("s", unique_key="loan_id", strategy="timestamp",
+                       updated_at="updated_at", hard_deletes="invalidate")
+    sr.run(sdef, _loans(spark, [("L1", 100, "active", "2023-01-01 00:00:00"),
+                                ("L2", 200, "active", "2023-01-01 00:00:00")]))
+    snap = sr.run(sdef,
+                  _loans(spark, [("L2", 200, "active", "2023-01-01 00:00:00")]),
+                  as_of=F.lit("2023-03-01 00:00:00"))
+    rows = {r.loan_id: r for r in snap.collect()}
+    assert len(rows) == 2
+    assert rows["L1"].dbt_is_current == 0
+    assert str(rows["L1"].dbt_valid_to) == "2023-03-01 00:00:00"
+    assert rows["L2"].dbt_is_current == 1 and rows["L2"].dbt_valid_to is None
+    assert sr.current("s").count() == 1
+    # idempotent re-run: nothing new closes
+    again = sr.run(sdef,
+                   _loans(spark, [("L2", 200, "active",
+                                   "2023-01-01 00:00:00")]),
+                   as_of=F.lit("2023-04-01 00:00:00"))
+    assert again.count() == 2
+
+
+def test_snapshot_hard_deletes_new_record_and_revive(spark, tmp_path):
+    """X99 hard_deletes='new_record': the absent key closes AND gains a
+    deletion-marker current row (dbt_is_deleted='True'; every row carries
+    the column); a key reappearing later re-versions even with identical
+    data columns (the check-strategy revive rule)."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    sdef = SnapshotDef("s", unique_key="loan_id", strategy="check",
+                       check_cols=("amount", "status"),
+                       hard_deletes="new_record")
+    sr.run(sdef, _loans(spark, [("L1", 100, "active", "x"),
+                                ("L2", 200, "active", "x")]),
+           as_of=F.lit("2023-01-01 00:00:00"))
+    # run 2: L1 vanishes
+    snap = sr.run(sdef, _loans(spark, [("L2", 200, "active", "x")]),
+                  as_of=F.lit("2023-02-01 00:00:00"))
+    cur = {r.loan_id: r for r in sr.current("s").collect()}
+    assert cur["L1"].dbt_is_deleted == "True"
+    assert str(cur["L1"].dbt_valid_from) == "2023-02-01 00:00:00"
+    assert cur["L1"].amount == 100            # marker copies the old data
+    assert cur["L2"].dbt_is_deleted == "False"
+    closed = [r for r in snap.collect()
+              if r.loan_id == "L1" and r.dbt_is_current == 0]
+    assert len(closed) == 1
+    assert str(closed[0].dbt_valid_to) == "2023-02-01 00:00:00"
+
+    # run 3: L1 REVIVES with identical data columns -> the deletion
+    # marker closes and a live version is inserted
+    snap3 = sr.run(sdef, _loans(spark, [("L1", 100, "active", "x"),
+                                        ("L2", 200, "active", "x")]),
+                   as_of=F.lit("2023-03-01 00:00:00"))
+    cur3 = {r.loan_id: r for r in sr.current("s").collect()}
+    assert cur3["L1"].dbt_is_deleted == "False"
+    assert str(cur3["L1"].dbt_valid_from) == "2023-03-01 00:00:00"
+    marker_closed = [r for r in snap3.collect()
+                     if r.loan_id == "L1" and r.dbt_is_deleted == "True"]
+    assert len(marker_closed) == 1 and marker_closed[0].dbt_is_current == 0
+
+
+def test_snapshot_hard_deletes_config_plumbs(spark):
+    """The snapshot-block config accepts hard_deletes and maps the
+    legacy invalidate_hard_deletes boolean; bad values raise."""
+    import pytest as _pytest
+
+    from dbt_demo_spark.core.snapshot import SnapshotDef
+    from dbt_demo_spark.core.sqlmodel import parse_snapshot_sql
+
+    txt = """{% snapshot snap1 %}
+    {{ config(unique_key='k', strategy='timestamp', updated_at='ts',
+              hard_deletes='new_record') }}
+    select k, ts from {{ ref('src') }}
+    {% endsnapshot %}"""
+    sdef, _fn, _deps = parse_snapshot_sql(txt)
+    assert sdef.hard_deletes == "new_record"
+    legacy = txt.replace("hard_deletes='new_record'",
+                         "invalidate_hard_deletes=True")
+    sdef2, _f, _d = parse_snapshot_sql(legacy)
+    assert sdef2.hard_deletes == "invalidate"
+    with _pytest.raises(ValueError, match="hard_deletes must be"):
+        SnapshotDef("b", unique_key="k", strategy="timestamp",
+                    updated_at="ts", hard_deletes="drop")
