@@ -112,3 +112,37 @@ def compile_project(ported, target_dir: str) -> dict:
     os.replace(tmp, mpath)
     return {"manifest_path": mpath, "compiled": compiled,
             "python_models": python_models, "manifest": manifest}
+
+
+def write_catalog(relations: dict, target_dir: str,
+                  sources: tuple = ()) -> str:
+    """``target/catalog.json`` analog (X101 [public knowledge: dbt docs
+    generate writes catalog.json — per-relation column names/types/
+    positions read from the WAREHOUSE, the artifact the docs site joins
+    onto manifest.json]).  ``relations`` is what Runner.run/build
+    returns (sources + built models); each relation's ANALYZED schema is
+    recorded — no data is read (schema comes from the plan), so this
+    costs nothing at any scale.  ``sources`` optionally names which keys
+    are sources (dbt files them under a separate section).  Output is
+    deterministic (sorted) for CI artifact diffing."""
+    src = set(sources)
+    nodes: dict = {}
+    srcs: dict = {}
+    for name in sorted(relations):
+        df = relations[name]
+        entry = {
+            "columns": {
+                f.name: {"type": f.dataType.simpleString(),
+                         "index": i, "nullable": f.nullable}
+                for i, f in enumerate(df.schema.fields)
+            }
+        }
+        (srcs if name in src else nodes)[name] = entry
+    path = os.path.join(target_dir, "catalog.json")
+    os.makedirs(target_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"nodes": nodes, "sources": srcs}, fh, indent=1,
+                  sort_keys=True)
+    os.replace(tmp, path)
+    return path

@@ -110,6 +110,16 @@ class Metric:
     conversion_filter: str = ""  # lite extension: SQL predicate on the
                                  # conversion model's rows (stands in
                                  # for a filtered semantic model)
+    # X100 [public MetricFlow surface: measure-input properties on
+    # simple metrics — fill_nulls_with: <literal> and
+    # join_to_timespine: true].  fill_nulls_with replaces NULL metric
+    # values (a period with no rows) in the final projection;
+    # join_to_timespine first materializes the MISSING periods as rows
+    # (a generated date spine over [min, max] of the queried frame —
+    # this engine generates the spine with sequence() instead of
+    # requiring a time-spine model, the lite stand-in documented here)
+    fill_nulls_with: object = None
+    join_to_timespine: bool = False
 
 
 @dataclass(frozen=True)
@@ -287,6 +297,9 @@ class MetricLayer:
                     *[fb[m.name] for m in mb])
             else:
                 out = fa.crossJoin(fb)   # two single-row frames
+        if any(self.metrics[n].join_to_timespine for n in metrics
+               if self.metrics.get(n) is not None):
+            out = self._join_timespine(out, list(group_by), grain)
         final = [F.col(g) for g in group_by]
         for n in metrics:
             m = self.metrics[n]
@@ -302,8 +315,58 @@ class MetricLayer:
                 final.append(self._cumulative_col(
                     m, list(group_by), grain).alias(n))
             else:
-                final.append(F.col(n).alias(n))
+                col = F.col(n)
+                if m.fill_nulls_with is not None:
+                    # X100: a period with no contributing rows reports
+                    # the declared literal instead of NULL
+                    col = F.coalesce(col, F.lit(m.fill_nulls_with))
+                final.append(col.alias(n))
         return out.select(*final)
+
+    def _join_timespine(self, out: DataFrame, group_by: list[str],
+                        grain: str | None) -> DataFrame:
+        """X100 join_to_timespine: materialize the MISSING periods of
+        the queried window as rows, so downstream fill_nulls_with can
+        report explicit zeros.  MetricFlow joins a project-declared
+        time-spine MODEL; the lite stand-in GENERATES the spine with
+        ``sequence(min, max, interval 1 <grain>)`` over the aggregated
+        frame's own bounds — output-sized, never a fact re-scan, and a
+        deterministic pure function of the data.  With extra categorical
+        dimensions the spine crosses the frame's DISTINCT dim combos
+        (each observed combo gets every period — the gap-fill contract);
+        both frames are tiny (grain-level) so the join is broadcast-
+        scale.  Raises without a time dimension to spine on."""
+        tdims = [g for g in group_by
+                 if any(sm.dimensions.get(g) is not None
+                        and sm.dimensions[g].type == "time"
+                        for sm in self.semantic_models.values())]
+        if len(tdims) != 1:
+            raise ValueError(
+                "join_to_timespine needs exactly ONE time dimension in "
+                f"group_by to spine on, found {tdims or None}")
+        t = tdims[0]
+        step = grain or "day"
+        if step not in ("day", "week", "month", "year"):
+            raise ValueError(
+                f"join_to_timespine: unsupported grain {step!r} — "
+                "day | week | month | year")
+        bounds = out.agg(F.min(t).alias("_lo"), F.max(t).alias("_hi"))
+        spine = bounds.select(F.explode(F.expr(
+            f"sequence(_lo, _hi, interval 1 {step})")).alias(t))
+        others = [g for g in group_by if g != t]
+        if others:
+            spine = out.select(*others).distinct().crossJoin(spine)
+        # the spine derives FROM `out` (bounds + dim combos), so the join
+        # is a self-join — alias-qualify both sides to disambiguate
+        sp, o2 = spine.alias("__spine"), out.alias("__mx")
+        cond = None
+        for g in group_by:
+            c = F.col(f"__spine.{g}").eqNullSafe(F.col(f"__mx.{g}"))
+            cond = c if cond is None else (cond & c)
+        keep = [F.col(f"__spine.{g}").alias(g) for g in group_by]
+        rest = [F.col(f"__mx.{c}") for c in out.columns
+                if c not in group_by]
+        return sp.join(o2, cond, "left_outer").select(*keep, *rest)
 
     # X90 cumulative metrics [public MetricFlow surface: type:
     # cumulative, optional window] — Spark-native as ONE window
@@ -559,9 +622,14 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             return ((v or {}).get("name", "") if isinstance(v, dict)
                     else (v or ""))
 
+        meas_in = tp.get("measure")
+        meas_props = meas_in if isinstance(meas_in, dict) else {}
         layer.metrics[m["name"]] = Metric(
             name=m["name"], type=m.get("type", "simple"),
             measure=_name_of(tp.get("measure")),
+            fill_nulls_with=meas_props.get("fill_nulls_with"),
+            join_to_timespine=bool(meas_props.get("join_to_timespine",
+                                                  False)),
             filter=str(m.get("filter") or ""),
             expr=str(tp.get("expr") or ""),
             label=m.get("label", ""),
@@ -596,6 +664,16 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             raise ValueError(
                 f"conversion metric {m.name!r} needs entity, "
                 "base_measure, and conversion_measure")
+        if ((m.fill_nulls_with is not None or m.join_to_timespine)
+                and m.type != "simple"):
+            raise ValueError(
+                f"metric {m.name!r}: fill_nulls_with/join_to_timespine "
+                "are measure-input properties of SIMPLE metrics")
+        if (m.fill_nulls_with is not None
+                and not isinstance(m.fill_nulls_with, (int, float))):
+            raise ValueError(
+                f"metric {m.name!r}: fill_nulls_with must be a numeric "
+                f"literal, got {m.fill_nulls_with!r}")
         if m.type not in ("simple", "derived", "ratio", "cumulative",
                           "conversion"):
             raise ValueError(

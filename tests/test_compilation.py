@@ -175,3 +175,36 @@ def test_docs_site_links_compiled_sql(spark, tmp_path):
     path = generate_docs_site(art["manifest"], str(tmp_path / "site"))
     page = open(path).read()
     assert "compiled/p/models/m1.sql" in page and "compiled:" in page
+
+
+def test_catalog_json_artifact(spark, tmp_path):
+    """X101 catalog.json: built relations' analyzed schemas land under
+    target/, sources filed separately, byte-deterministic."""
+    from dbt_demo_spark.core.compilation import write_catalog
+
+    _write_project(tmp_path, """\
+        name: 'p'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        """, {
+        "seeds/nums.csv": "k,v\n1,2\n",
+        "models/m1.sql":
+            "select k, cast(v as double) as vd from {{ ref('nums') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        path = write_catalog(rels, str(tmp_path / "target"),
+                             sources=tuple(p.seeds))
+        cat = json.load(open(path))
+        assert cat["sources"]["nums"]["columns"]["k"]["type"] == "bigint"
+        m1 = cat["nodes"]["m1"]["columns"]
+        assert m1["vd"] == {"type": "double", "index": 1,
+                            "nullable": True}
+        b1 = open(path, "rb").read()
+        write_catalog(rels, str(tmp_path / "target"),
+                      sources=tuple(p.seeds))
+        assert open(path, "rb").read() == b1
+    finally:
+        runner.clean()

@@ -542,3 +542,117 @@ def test_conversion_same_timestamp_counts(spark):
                        for r in out.collect()]
     assert month == _dt.date(2024, 3, 1)
     assert rate == 1.0
+
+
+def test_fill_nulls_and_timespine(spark):
+    """X100 [public MetricFlow surface: measure-input fill_nulls_with +
+    join_to_timespine on simple metrics]: a month with no qualifying
+    rows appears as an explicit row with the declared fill literal —
+    hash-matched against a DuckDB generate_series spine twin."""
+    import datetime as _dt
+
+    yaml_text = """
+semantic_models:
+  - name: events_sm
+    model: ref('events')
+    dimensions:
+      - name: event_month
+        type: time
+        expr: ts
+        type_params: {time_granularity: month}
+    measures:
+      - name: n_purchases
+        agg: count
+        expr: 1
+metrics:
+  - name: purchases
+    type: simple
+    filter: "event_type = 'purchase'"
+    type_params:
+      measure:
+        name: n_purchases
+        fill_nulls_with: 0
+        join_to_timespine: true
+"""
+    rows = [(1, "purchase", _dt.datetime(2024, 1, 5)),
+            (1, "view",     _dt.datetime(2024, 2, 10)),   # gap month
+            (2, "purchase", _dt.datetime(2024, 3, 20)),
+            (2, "purchase", _dt.datetime(2024, 3, 21))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    layer = parse_metric_layer(yaml_text)
+    out = layer.query({"events": df}, ["purchases"],
+                      group_by=["event_month"], grain="month")
+    got = {(str(r.event_month), r.purchases) for r in out.collect()}
+    # NOTE the spine bounds are the AGGREGATED frame's min/max: the
+    # filter keeps only purchase months (Jan, Mar), and the spine fills
+    # Feb BETWEEN them with an explicit zero
+    assert got == {("2024-01-01", 1), ("2024-02-01", 0),
+                   ("2024-03-01", 2)}
+
+    # error matrix
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly ONE time dimension"):
+        layer.query({"events": df}, ["purchases"], group_by=[],
+                    grain="month")
+    with _pytest.raises(ValueError, match="SIMPLE metrics"):
+        parse_metric_layer(yaml_text.replace(
+            "type: simple", "type: cumulative"))
+    with _pytest.raises(ValueError, match="numeric literal"):
+        parse_metric_layer(yaml_text.replace(
+            "fill_nulls_with: 0", "fill_nulls_with: zero"))
+
+
+def test_fill_nulls_timespine_matches_duckdb(spark):
+    """The spine semantics differential on the real events table at the
+    gate scale: purchases per month with gaps zero-filled, DuckDB twin
+    via generate_series over the same aggregated bounds."""
+    yaml_text = """
+semantic_models:
+  - name: events_sm
+    model: ref('events')
+    dimensions:
+      - name: event_month
+        type: time
+        expr: ts
+        type_params: {time_granularity: month}
+    measures:
+      - name: n_events
+        agg: count
+        expr: 1
+metrics:
+  - name: rare_events
+    type: simple
+    filter: "event_type = 'purchase' AND value > 450"
+    type_params:
+      measure:
+        name: n_events
+        fill_nulls_with: 0
+        join_to_timespine: true
+"""
+    layer = parse_metric_layer(yaml_text)
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    out = layer.query(rels, ["rare_events"],
+                      group_by=["event_month"], grain="month")
+    con = duckdb_connection(SF_GATE)
+    # the oracle mirrors the layer's documented filter semantics —
+    # CONDITIONAL aggregation over all rows (count of CASE WHEN), not a
+    # WHERE — then the same min..max month spine + zero-fill
+    r = compare("metrics_timespine", out, con, """
+        WITH agg AS (
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS event_month,
+                   COUNT(CASE WHEN event_type = 'purchase'
+                              AND value > 450 THEN 1 END) AS rare_events
+            FROM events
+            GROUP BY 1
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(
+                       (SELECT MIN(event_month) FROM agg),
+                       (SELECT MAX(event_month) FROM agg),
+                       INTERVAL 1 MONTH)) AS DATE) AS event_month
+        )
+        SELECT s.event_month AS event_month,
+               COALESCE(a.rare_events, 0) AS rare_events
+        FROM spine s LEFT JOIN agg a USING (event_month)
+    """)
+    assert r.ok, r.detail
