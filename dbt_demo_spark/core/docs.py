@@ -99,7 +99,8 @@ def _dag_svg(man: dict) -> str:
     return "".join(parts)
 
 
-def _node_card(name: str, node: dict, results: dict | None) -> str:
+def _node_card(name: str, node: dict, results: dict | None,
+               catalog_cols: dict | None = None) -> str:
     e = html.escape
     rows = [f"<h3 id='model-{e(name)}'>{e(name)} "
             f"<small>({e(node['materialized'])})</small></h3>"]
@@ -133,12 +134,19 @@ def _node_card(name: str, node: dict, results: dict | None) -> str:
             f"{e(c)}&nbsp;<code>{e(t)}</code>"
             for c, t in node["contract"]) + "</p>")
     if node.get("columns"):
+        # X101: catalog.json types join onto the lineage columns table
+        # (dbt docs joins catalog onto manifest the same way)
+        def _ty(c: str) -> str:
+            t = (catalog_cols or {}).get(c, {}).get("type")
+            return f"<td><code>{e(t)}</code></td>" if t else ""
+        ty_head = "<th>type</th>" if catalog_cols else ""
         body = "".join(
-            f"<tr><td><code>{e(c)}</code></td><td>" + ", ".join(
+            f"<tr><td><code>{e(c)}</code></td>{_ty(c)}<td>" + ", ".join(
                 f"<code>{e(ref)}.{e(col)}</code>"
                 for ref, col in parents) + "</td></tr>"
             for c, parents in node["columns"].items())
-        rows.append("<table><tr><th>column</th><th>derives from</th></tr>"
+        rows.append(f"<table><tr><th>column</th>{ty_head}"
+                    "<th>derives from</th></tr>"
                     + body + "</table>")
     if results and name in results:
         r = results[name]
@@ -203,14 +211,22 @@ def _metrics_section(layer) -> str:
 
 def generate_docs_site(manifest: dict, out_dir: str,
                        run_results: dict | None = None,
-                       metric_layer=None) -> str:
+                       metric_layer=None,
+                       catalog: dict | None = None) -> str:
     """Render ``manifest`` (+ optional run_results node map) into
     ``out_dir/index.html``; returns the file path.  ``run_results`` is
     the ``{"nodes": {...}}`` artifact Runner.build writes — passed either
     as that dict or as the inner node map.  ``metric_layer`` (a
-    core/metrics.MetricLayer) adds the semantic-layer section."""
+    core/metrics.MetricLayer) adds the semantic-layer section;
+    ``catalog`` (the write_catalog artifact dict or its parsed JSON)
+    joins warehouse column types onto each card's columns table —
+    exactly how dbt docs joins catalog.json onto manifest.json."""
     if run_results and "nodes" in run_results:
         run_results = run_results["nodes"]
+    cat_nodes = {}
+    if catalog:
+        cat_nodes = {**catalog.get("nodes", {}),
+                     **catalog.get("sources", {})}
     nodes = manifest["nodes"]
     e = html.escape
     head = (
@@ -242,7 +258,9 @@ def generate_docs_site(manifest: dict, out_dir: str,
             "<section class='card' data-search='"
             + e(" ".join([n, nodes[n].get("materialized", "")]
                          + list(nodes[n].get("tags", ()))).lower())
-            + "'>" + _node_card(n, nodes[n], run_results) + "</section>"
+            + "'>" + _node_card(
+                n, nodes[n], run_results,
+                cat_nodes.get(n, {}).get("columns")) + "</section>"
             for n in manifest.get("execution_order", sorted(nodes))))
     metrics_html = (_metrics_section(metric_layer)
                     if metric_layer is not None else "")

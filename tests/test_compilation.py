@@ -208,3 +208,35 @@ def test_catalog_json_artifact(spark, tmp_path):
         assert open(path, "rb").read() == b1
     finally:
         runner.clean()
+
+
+def test_docs_site_joins_catalog_types(spark, tmp_path):
+    """generate_docs_site(catalog=...) renders a type column in each
+    card's columns table — the manifest+catalog join dbt docs does."""
+    from dbt_demo_spark.core.compilation import write_catalog
+    from dbt_demo_spark.core.docs import generate_docs_site
+    from dbt_demo_spark.core.lineage import manifest_with_lineage
+
+    _write_project(tmp_path, """\
+        name: 'p'
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        """, {
+        "seeds/nums.csv": "k,v\n1,2\n",
+        "models/m1.sql":
+            "select k, cast(v as double) as vd from {{ ref('nums') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(dict(p.seeds))
+        cpath = write_catalog(rels, str(tmp_path / "target"),
+                              sources=tuple(p.seeds))
+        man = manifest_with_lineage(p.registry, p.seeds)
+        site = generate_docs_site(man, str(tmp_path / "site"),
+                                  catalog=json.load(open(cpath)))
+        page = open(site).read()
+        assert "<th>type</th>" in page
+        assert "<code>double</code>" in page
+    finally:
+        runner.clean()
