@@ -14,11 +14,33 @@ from __future__ import annotations
 
 import functools
 import operator
+import re
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+# dbt warn_if / error_if conditions [public knowledge: dbt test configs
+# — string comparisons evaluated against the failure COUNT, defaults
+# "!=0"]: a tiny explicit parser, never eval()
+_THRESH_RE = re.compile(r"^\s*(!=|>=|<=|=|>|<)\s*(\d+)\s*$")
+_THRESH_OPS = {"!=": operator.ne, ">=": operator.ge, "<=": operator.le,
+               "=": operator.eq, ">": operator.gt, "<": operator.lt}
+
+
+def _parse_threshold(cond: str):
+    m = _THRESH_RE.match(cond)
+    if not m:
+        raise ValueError(
+            f"unparseable test threshold {cond!r} — expected "
+            "'<op> <int>' with op in != >= <= = > <")
+    return _THRESH_OPS[m.group(1)], int(m.group(2))
+
+
+def eval_threshold(cond: str, n: int) -> bool:
+    op, k = _parse_threshold(cond)
+    return op(n, k)
 
 
 @dataclass(frozen=True)
@@ -29,6 +51,18 @@ class DataTest:
     # "error" (default) fails the node on violations; "warn" records the
     # violation count without poisoning the build
     severity: str = "error"
+    # X102 conditional thresholds [public dbt surface: warn_if /
+    # error_if — compared against the failure count; both default
+    # "!=0"].  severity=error checks error_if first, falling back to a
+    # WARN when only warn_if fires; severity=warn checks warn_if only.
+    # A count satisfying NEITHER passes even with violations — dbt's
+    # tolerance contract (e.g. error_if: ">100" tolerates 100 dupes).
+    warn_if: str = "!=0"
+    error_if: str = "!=0"
+
+    def __post_init__(self) -> None:
+        _parse_threshold(self.warn_if)    # fail-loud at declaration
+        _parse_threshold(self.error_if)
 
 
 @dataclass
@@ -48,7 +82,8 @@ class DataTestResult:
 
 
 def unique(relation: str, columns: Sequence[str],
-           severity: str = "error") -> DataTest:
+           severity: str = "error", warn_if: str = "!=0",
+           error_if: str = "!=0") -> DataTest:
     """dbt `unique` (multi-column = grain uniqueness): violating rows are the
     key groups appearing more than once.  One shuffle on the key.
 
@@ -74,11 +109,13 @@ def unique(relation: str, columns: Sequence[str],
         )
 
     return DataTest(f"unique__{relation}__{'_'.join(cols)}", fn,
-                    severity=severity)
+                    severity=severity, warn_if=warn_if,
+                    error_if=error_if)
 
 
 def not_null(relation: str, columns: Sequence[str],
-             severity: str = "error") -> DataTest:
+             severity: str = "error", warn_if: str = "!=0",
+             error_if: str = "!=0") -> DataTest:
     """dbt `not_null` over one or more columns: violations are rows where
     any listed column is NULL.  Pure scan-side filter."""
     cols = list(columns)
@@ -89,12 +126,14 @@ def not_null(relation: str, columns: Sequence[str],
         return rel[relation].filter(cond)
 
     return DataTest(f"not_null__{relation}__{'_'.join(cols)}", fn,
-                    severity=severity)
+                    severity=severity, warn_if=warn_if,
+                    error_if=error_if)
 
 
 def accepted_values(relation: str, column: str,
                     values: Sequence[str],
-                    severity: str = "error") -> DataTest:
+                    severity: str = "error", warn_if: str = "!=0",
+                    error_if: str = "!=0") -> DataTest:
     """dbt `accepted_values`: violations are non-NULL values outside the
     allowed set (dbt's version ignores NULLs — that's not_null's job)."""
 
@@ -103,12 +142,14 @@ def accepted_values(relation: str, column: str,
         return rel[relation].filter(c.isNotNull() & ~c.isin(*values))
 
     return DataTest(f"accepted_values__{relation}__{column}", fn,
-                    severity=severity)
+                    severity=severity, warn_if=warn_if,
+                    error_if=error_if)
 
 
 def relationships(relation: str, column: str,
                   to_relation: str, to_column: str,
-                  severity: str = "error") -> DataTest:
+                  severity: str = "error", warn_if: str = "!=0",
+                  error_if: str = "!=0") -> DataTest:
     """dbt `relationships` (referential integrity): violations are child
     rows whose non-NULL key has no parent — a LEFT ANTI join, which AQE
     broadcasts when the parent key set is small."""
@@ -120,7 +161,7 @@ def relationships(relation: str, column: str,
 
     return DataTest(
         f"relationships__{relation}__{column}__{to_relation}", fn,
-        severity=severity)
+        severity=severity, warn_if=warn_if, error_if=error_if)
 
 
 def run_data_tests(tests: list[DataTest],
@@ -143,5 +184,11 @@ def run_data_tests(tests: list[DataTest],
 
             (violations.write.mode("overwrite")
              .parquet(os.path.join(store_failures_dir, t.name)))
-        results.append(DataTestResult(t.name, n == 0, n, t.severity))
+        if t.severity == "error" and eval_threshold(t.error_if, n):
+            results.append(DataTestResult(t.name, False, n, "error"))
+        elif eval_threshold(t.warn_if, n):
+            results.append(DataTestResult(t.name, False, n, "warn"))
+        else:
+            # violations within the declared tolerance PASS (dbt)
+            results.append(DataTestResult(t.name, True, n, t.severity))
     return results

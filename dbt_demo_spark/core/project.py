@@ -975,24 +975,28 @@ def _build_test(model: str, column: str | None, spec) -> "datatests.DataTest":
     else:
         raise ValueError(f"model {model}: unparseable test spec {spec!r}")
     col = kw.pop("column_name", column)
-    # dbt severity config: either `severity: warn` or nested under config
-    severity = (kw.pop("config", {}) or {}).get(
-        "severity", kw.pop("severity", "error"))
+    # dbt severity/threshold configs: bare keys or nested under config
+    # (X102: warn_if / error_if compared against the failure count)
+    cfg = kw.pop("config", {}) or {}
+    tkw = {"severity": cfg.get("severity", kw.pop("severity", "error")),
+           "warn_if": str(cfg.get("warn_if", kw.pop("warn_if", "!=0"))),
+           "error_if": str(cfg.get("error_if",
+                                   kw.pop("error_if", "!=0")))}
     if kind not in _GENERIC:
         raise ValueError(
             f"model {model}: unknown generic test {kind!r} — "
             f"supported: {sorted(_GENERIC)}")
     if kind == "unique":
         cols = kw.pop("combination_of_columns", None) or [col]
-        return datatests.unique(model, cols, severity=severity)
+        return datatests.unique(model, cols, **tkw)
     if kind == "not_null":
-        return datatests.not_null(model, [col], severity=severity)
+        return datatests.not_null(model, [col], **tkw)
     if kind == "accepted_values":
         return datatests.accepted_values(model, col, kw.pop("values"),
-                                         severity=severity)
+                                         **tkw)
     to, field_ = kw.pop("to"), kw.pop("field")
     return datatests.relationships(
-        model, col, _dep_name(to), field_, severity=severity)
+        model, col, _dep_name(to), field_, **tkw)
 
 
 def attach_properties(registry: ModelRegistry, path_or_text: str) -> dict:
