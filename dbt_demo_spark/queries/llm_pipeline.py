@@ -917,10 +917,55 @@ _MARKER_VALUES = ", ".join(f"('{lang}', '{tok}')" for lang, tok in _LANG_MARKERS
     tags=("text", "langid", "window"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID: explode tokens, join a broadcast marker
-    lexicon, majority-vote per document with deterministic tie-break.
-    (The synthetic corpus shares one vocabulary across langs, so accuracy is
-    chance — the operator mechanics are what's under test.)"""
+    """Marker-token language ID, served ROW-LOCALLY since r12: with a
+    small FIXED lexicon (5 langs x 3 markers), per-language occurrence
+    counts are higher-order array filters over the token array — one
+    expression per language, so the whole vote is Scan -> Project with
+    ZERO explode and ZERO shuffle (the pre-r12 plan exploded every token
+    of every document, broadcast-joined the lexicon, shuffled on
+    (doc_id, cand) and ran a window: sf1 0.57 -> 0.26s min-of-7
+    interleaved, LANGID_RECEIPT.json; at 100 TB a narrow map beats a
+    corpus-wide explode outright).  The majority vote with the
+    deterministic tie-break is an array_min over (neg-count, lang)
+    structs — max matches, then lexicographically-smallest candidate,
+    exactly the window's ORDER BY.  The exploded twin is kept below for
+    the receipt and the equivalence pytest; the DuckDB oracle (explode +
+    join + window) is unchanged — plan shape must never change answers.
+    (The synthetic corpus shares one vocabulary across langs, so
+    accuracy is chance — the operator mechanics are what's under
+    test.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    toks = tokens(F.col("text"))
+    by_lang: dict[str, list[str]] = {}
+    for lang, tok in _LANG_MARKERS:
+        by_lang.setdefault(lang, []).append(tok)
+
+    def _count(marker_toks: list[str]):
+        # closure factory (a default-arg lambda would trip F.filter's
+        # (element, index) two-parameter form)
+        return F.size(F.filter(
+            toks, lambda x: x.isin(*marker_toks))).cast("long")
+
+    cands = [F.struct((-_count(by_lang[lang])).alias("neg"),
+                      F.lit(lang).alias("cand"),
+                      _count(by_lang[lang]).alias("matches"))
+             for lang in sorted(by_lang)]
+    best = F.array_min(F.array(*cands))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.when(best["matches"] > 0, best["cand"])
+         .otherwise(F.lit("unknown")).alias("predicted_lang"),
+        F.when(best["matches"] > 0, best["matches"])
+         .otherwise(F.lit(0).cast("long")).alias("marker_matches"),
+    )
+
+
+def text_lang_id_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r12 plan (explode + broadcast lexicon join + shuffle +
+    window) — kept for LANGID_RECEIPT.json and the equivalence
+    pytest."""
     spark_markers = F.array(*[
         F.struct(F.lit(lang).alias("lang"), F.lit(tok).alias("tok"))
         for lang, tok in _LANG_MARKERS])

@@ -193,3 +193,20 @@ def test_bm25_topk_matches_oracle_and_plan(spark):
                    corpus_bm25_topk(spark, "/root/testdata/sf0.1"),
                    con1, CORPUS_BM25_ORACLE)
     assert res1.ok, res1.detail
+
+
+def test_lang_id_row_local_matches_exploded_twin(spark):
+    """r12: text_lang_id serves a zero-shuffle row-local vote
+    (LANGID_RECEIPT.json, sf1 0.57 -> 0.26s); the pre-r12 exploded plan
+    must produce identical rows — ties, unknowns, and counts included.
+    The DuckDB oracle stays the primary gate."""
+    from dbt_demo_spark.queries.llm_pipeline import (text_lang_id,
+                                                     text_lang_id_exploded)
+
+    new = text_lang_id(spark, SF_GATE)
+    old = text_lang_id_exploded(spark, SF_GATE)
+    assert new.columns == old.columns
+    assert sorted(map(tuple, new.collect())) == \
+        sorted(map(tuple, old.collect()))
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
