@@ -556,6 +556,21 @@ def port_dbt_project(spark: SparkSession, project_dir: str,
                                 raise ValueError(
                                     f"duplicate snapshot {sdef.name!r}")
                             snapshots[sdef.name] = (sdef, fn, deps)
+                        elif f.endswith((".yml", ".yaml")):
+                            # X103 [public dbt surface: dbt-core 1.9
+                            # YAML-defined snapshots — snapshots: blocks
+                            # with relation: + config:]
+                            with open(os.path.join(dirpath, f)) as fh:
+                                ydoc = yaml.safe_load(fh) or {}
+                            for entry in _parse_snapshot_yaml(
+                                    ydoc, source_map,
+                                    os.path.join(dirpath, f)):
+                                sdef, fn, deps = entry
+                                if sdef.name in snapshots:
+                                    raise ValueError(
+                                        f"duplicate snapshot "
+                                        f"{sdef.name!r}")
+                                snapshots[sdef.name] = (sdef, fn, deps)
 
         for apath in proj_cfg.get("analysis-paths", ["analyses"]):
             adir = os.path.join(proj_dir, apath)
@@ -677,6 +692,59 @@ def _scan_sources(model_dirs: list[str]) -> tuple[dict, dict]:
                         "quoting": quoting,
                     }
     return source_map, meta
+
+
+def _parse_snapshot_yaml(doc: dict, source_map: dict | None,
+                         origin: str) -> list:
+    """dbt-core 1.9 YAML-defined snapshots (X103 [public dbt surface]):
+    ``snapshots:`` blocks in snapshot-paths properties files, each with
+    ``relation: ref('m') | source('src', 'tbl')`` and a ``config:``
+    carrying the same keys the SQL-block form passes to config().  The
+    relation resolves through the r12 sources identifier map like any
+    model text; the snapshot body is implicitly ``select * from
+    <relation>`` (exactly what dbt generates).  Returns a list of
+    ``(SnapshotDef, source_fn, deps)`` tuples."""
+    from .snapshot import SnapshotDef
+    from .sqlmodel import resolve_source_identifiers
+
+    out = []
+    for snap in doc.get("snapshots", []) or []:
+        name = snap.get("name")
+        rel_token = snap.get("relation")
+        if not name or not rel_token:
+            raise ValueError(
+                f"{origin}: a YAML snapshot needs name and relation")
+        cfg = dict(snap.get("config", {}) or {})
+        token = resolve_source_identifiers(
+            "{{ " + rel_token.strip() + " }}"
+            if not rel_token.strip().startswith("{{") else rel_token,
+            source_map)
+        dep = _dep_name(token)
+        check_cols = cfg.get("check_cols", ())
+        if isinstance(check_cols, str) and check_cols != "all":
+            check_cols = (check_cols,)
+        if check_cols == "all":
+            raise ValueError(
+                f"{origin}: snapshot {name}: check_cols='all' is not "
+                "supported — name the columns")
+        hard = cfg.get("hard_deletes",
+                       "invalidate" if cfg.get("invalidate_hard_deletes")
+                       else "ignore")
+        if "unique_key" not in cfg:
+            raise ValueError(
+                f"{origin}: snapshot {name}: config needs unique_key")
+        sdef = SnapshotDef(
+            name=name, unique_key=cfg["unique_key"],
+            strategy=cfg.get("strategy", "timestamp"),
+            updated_at=cfg.get("updated_at"),
+            check_cols=tuple(check_cols) if check_cols else (),
+            hard_deletes=hard)
+
+        def fn(refs: dict, _d=dep):
+            return refs[_d]
+
+        out.append((sdef, fn, (dep,)))
+    return out
 
 
 def compile_analyses(registry: ModelRegistry, analyses_dir: str,

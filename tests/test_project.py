@@ -2111,3 +2111,75 @@ def test_vendored_dbt_utils_style_package(spark, tmp_path):
         """, **good},
                "select {{ dbt_utils_lite.star('nums') }} "
                "from {{ ref('nums') }}")
+
+
+def test_yaml_defined_snapshots(spark, tmp_path):
+    """X103 [public dbt surface: dbt-core 1.9 YAML snapshots]: a
+    snapshots: block with relation + config ports like the SQL-block
+    form — the relation resolves through the sources identifier map,
+    and two runs capture changes via SnapshotRunner; error matrix for
+    missing keys."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.snapshot import SnapshotRunner
+
+    _write_project(tmp_path, """\
+        name: 'p'
+        model-paths: ["models"]
+        snapshot-paths: ["snapshots"]
+        """, {
+        "models/props.yml": """\
+            sources:
+              - name: raw
+                tables:
+                  - name: loans
+                    identifier: loans_v2
+        """,
+        "snapshots/snaps.yml": """\
+            snapshots:
+              - name: loans_snapshot
+                relation: source('raw', 'loans')
+                config:
+                  unique_key: loan_id
+                  strategy: timestamp
+                  updated_at: updated_at
+                  hard_deletes: invalidate
+        """,
+        "models/any.sql": "select 1 as one from {{ source('raw', 'loans') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert set(p.snapshots) == {"loans_snapshot"}
+    sdef, fn, deps = p.snapshots["loans_snapshot"]
+    assert deps == ("loans_v2",)          # identifier-resolved
+    assert sdef.hard_deletes == "invalidate"
+
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    src1 = spark.createDataFrame(
+        [("L1", 100, "2023-01-01 00:00:00")],
+        "loan_id string, amount long, updated_at string")
+    sr.run(sdef, fn({"loans_v2": src1}))
+    src2 = spark.createDataFrame(
+        [("L1", 150, "2023-02-01 00:00:00")],
+        "loan_id string, amount long, updated_at string")
+    snap = sr.run(sdef, fn({"loans_v2": src2}))
+    rows = {(r.loan_id, str(r.dbt_valid_from), r.dbt_is_current)
+            for r in snap.collect()}
+    assert rows == {("L1", "2023-01-01 00:00:00", 0),
+                    ("L1", "2023-02-01 00:00:00", 1)}
+
+    # error matrix: missing relation / unique_key
+    (tmp_path / "snapshots" / "snaps.yml").write_text(textwrap.dedent("""\
+        snapshots:
+          - name: broken
+            config: {unique_key: k}
+        """))
+    with pytest.raises(ValueError, match="needs name and relation"):
+        port_dbt_project(spark, str(tmp_path))
+    (tmp_path / "snapshots" / "snaps.yml").write_text(textwrap.dedent("""\
+        snapshots:
+          - name: broken
+            relation: ref('any')
+            config: {strategy: check, check_cols: [amount]}
+        """))
+    with pytest.raises(ValueError, match="needs unique_key"):
+        port_dbt_project(spark, str(tmp_path))
