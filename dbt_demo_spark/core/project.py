@@ -670,6 +670,12 @@ def _scan_sources(model_dirs: list[str]) -> tuple[dict, dict]:
                             f"{props}: source {sname}.{tname} declared "
                             f"twice with different identifiers "
                             f"({source_map[key]!r} vs {ident!r})")
+                    # validate only what the r12 surface INTRODUCES:
+                    # an explicit identifier override (it lands in
+                    # compiled SQL bare) or an identifier-quoting flag.
+                    # A plain declared table with an odd name keeps the
+                    # pre-r12 behavior — the run path substitutes
+                    # prefixed temp-view names, never the bare token
                     if (quoting.get("identifier")
                             and not _PLAIN_IDENT_RE.match(ident)):
                         raise ValueError(
@@ -678,7 +684,8 @@ def _scan_sources(model_dirs: list[str]) -> tuple[dict, dict]:
                             "identifier — the flat-text renderer cannot "
                             "backtick-quote substitution sites; rename "
                             "the relation or drop the quoting flag")
-                    if not _PLAIN_IDENT_RE.match(ident):
+                    if (ident != tname
+                            and not _PLAIN_IDENT_RE.match(ident)):
                         raise ValueError(
                             f"{props}: source {sname}.{tname}: "
                             f"identifier {ident!r} is not a plain SQL "

@@ -964,6 +964,15 @@ class Runner:
                 return _dt.datetime(t // 12, t % 12 + 1, 1)
             return _dt.datetime(ts.year + periods, 1, 1)
 
+        def _as_dt(ts):
+            # normalize DATE-typed event_time columns so upstream maxima
+            # from mixed date/timestamp columns compare (Python refuses
+            # date-vs-datetime comparisons)
+            if (isinstance(ts, _dt.date)
+                    and not isinstance(ts, _dt.datetime)):
+                return _dt.datetime(ts.year, ts.month, ts.day)
+            return ts
+
         upstream_max = None
         for d, et in dep_et.items():
             if et is None:
@@ -972,7 +981,7 @@ class Runner:
                 raise ValueError(
                     f"model {name}: upstream {d!r} declares event_time "
                     f"{et!r} but has no such column")
-            mx = relations[d].agg(F.max(et)).first()[0]
+            mx = _as_dt(relations[d].agg(F.max(et)).first()[0])
             if mx is not None and (upstream_max is None or mx > upstream_max):
                 upstream_max = mx
 
@@ -987,8 +996,8 @@ class Runner:
                 "cannot enumerate the first build's batches")
 
         if existing:
-            own_max = self.spark.read.parquet(path) \
-                .agg(F.max(mdef.event_time)).first()[0]
+            own_max = _as_dt(self.spark.read.parquet(path)
+                             .agg(F.max(mdef.event_time)).first()[0])
             if own_max is None:
                 existing = False
         end_batch = _trunc(upstream_max)
@@ -1047,7 +1056,7 @@ class Runner:
                 raise RuntimeError(
                     f"microbatch {name}: batch [{lo} .. {hi}) failed "
                     f"({len(built)} prior batches committed; re-running "
-                    "resumes from the bookmark): {0}".format(exc)) from exc
+                    f"resumes from the bookmark): {exc}") from exc
             built.append(f"[{lo} .. {hi})")
         self.last_microbatch_report[name] = built
         return self._read_back(name, path)

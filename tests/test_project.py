@@ -2183,3 +2183,31 @@ def test_yaml_defined_snapshots(spark, tmp_path):
         """))
     with pytest.raises(ValueError, match="needs unique_key"):
         port_dbt_project(spark, str(tmp_path))
+
+
+def test_source_without_override_keeps_pre_r12_behavior(spark, tmp_path):
+    """A declared source table with an odd (non-plain-identifier) NAME
+    and no identifier override still ports — only overrides and quoting
+    flags gate (the run path substitutes prefixed temp-view names, never
+    the bare token)."""
+    _write_project(tmp_path, """\
+        name: 'p'
+        model-paths: ["models"]
+        """, {
+        "models/props.yml": """\
+            sources:
+              - name: raw
+                tables:
+                  - name: 2024_data
+        """,
+        "models/m.sql": "select k from {{ source('raw', '2024_data') }}",
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    assert p.registry["m"].deps == ("2024_data",)
+    runner = Runner(spark, p.registry, str(tmp_path / "wh"))
+    try:
+        rels = runner.run(
+            {"2024_data": spark.createDataFrame([(1,)], "k long")})
+        assert rels["m"].count() == 1
+    finally:
+        runner.clean()
