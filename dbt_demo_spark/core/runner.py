@@ -606,8 +606,10 @@ class Runner:
         if missing:
             raise KeyError(f"model {name}: unresolved refs {missing}")
         # --full-refresh means REBUILD: a fingerprint match must not
-        # skip the rebuild the caller explicitly asked for (r11 review)
-        skipped = (None if self._full_refresh
+        # skip the rebuild the caller explicitly asked for (r11 review).
+        # --empty never reuses a prior FULL-data table either — the dry
+        # run's contract is empty relations with real schemas
+        skipped = (None if self._full_refresh or self._empty
                    else self._try_skip(name, mdef, relations))
         if skipped is not None:
             self.last_refresh_report["skipped"].append(name)

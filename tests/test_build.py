@@ -523,6 +523,9 @@ def test_empty_flag_dry_runs_with_real_schemas(spark, tmp_path):
         # a SUBSEQUENT normal run sees data (the flag does not stick)
         rels = r.run({"src": src})
         assert rels["mart"].count() == 2
+        # and an empty CHANGED-refresh run never reuses the full table
+        rels = r.run({"src": src}, empty=True, refresh="changed")
+        assert rels["mart"].count() == 0
     finally:
         r.clean()
 
