@@ -104,6 +104,18 @@ def compile_project(ported, target_dir: str) -> dict:
     manifest["project"] = ported.name
     manifest["packages"] = list(ported.packages)
     manifest["groups"] = dict(ported.groups)
+    # dbt's manifest carries snapshot nodes too [public knowledge:
+    # manifest.json node types]; ours records each ported snapshot's
+    # definition facts beside the model nodes
+    manifest["snapshots"] = {
+        name: {"unique_key": sdef.unique_key,
+               "strategy": sdef.strategy,
+               "updated_at": sdef.updated_at,
+               "check_cols": list(sdef.check_cols),
+               "hard_deletes": sdef.hard_deletes,
+               "depends_on": list(deps)}
+        for name, (sdef, _fn, deps)
+        in sorted(getattr(ported, "snapshots", {}).items())}
     mpath = os.path.join(target_dir, "manifest.json")
     os.makedirs(target_dir, exist_ok=True)
     tmp = mpath + ".tmp"

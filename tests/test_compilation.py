@@ -111,7 +111,7 @@ def test_compile_expands_user_macros_and_writes_manifest(spark, tmp_path):
     assert man["nodes"]["dollars"]["package_name"] == "rootp"
     assert man["nodes"]["doubled"]["package_name"] == "extras"
     assert man["project"] == "rootp" and man["packages"] == ["extras"]
-    assert "groups" in man
+    assert "groups" in man and man["snapshots"] == {}
 
     # determinism: recompile -> byte-identical manifest + SQL
     bytes1 = open(art["manifest_path"], "rb").read()
@@ -148,7 +148,8 @@ def test_compile_python_models_reported_not_silently_skipped(spark):
     with pytest.raises(ValueError, match="unknown model"):
         compile_model_sql(reg, "nope")
     fake = SimpleNamespace(registry=reg, owner_of={}, name="p",
-                           analyses={}, packages=(), groups={})
+                           analyses={}, packages=(), groups={},
+                           snapshots={})
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
@@ -240,3 +241,32 @@ def test_docs_site_joins_catalog_types(spark, tmp_path):
         assert "<code>double</code>" in page
     finally:
         runner.clean()
+
+
+def test_manifest_carries_snapshot_nodes(spark, tmp_path):
+    """The compile manifest records ported snapshots' definition facts
+    beside the model nodes (dbt's manifest node types)."""
+    _write_project(tmp_path, """\
+        name: 'p'
+        model-paths: ["models"]
+        snapshot-paths: ["snapshots"]
+        seeds-paths: ["seeds"]
+        """, {
+        "models/m.sql": "select 1 as k from {{ ref('src') }}",
+        "snapshots/s.yml": """\
+            snapshots:
+              - name: src_snap
+                relation: ref('src')
+                config:
+                  unique_key: k
+                  strategy: check
+                  check_cols: [k]
+                  hard_deletes: new_record
+        """,
+    })
+    p = port_dbt_project(spark, str(tmp_path))
+    art = compile_project(p, str(tmp_path / "target"))
+    snap = art["manifest"]["snapshots"]["src_snap"]
+    assert snap == {"unique_key": "k", "strategy": "check",
+                    "updated_at": None, "check_cols": ["k"],
+                    "hard_deletes": "new_record", "depends_on": ["src"]}
