@@ -300,6 +300,14 @@ class MetricLayer:
         if any(self.metrics[n].join_to_timespine for n in metrics
                if self.metrics.get(n) is not None):
             out = self._join_timespine(out, list(group_by), grain)
+            # fill BEFORE the final projection so a derived metric's
+            # expr sees the filled values on spine rows, as MetricFlow
+            # computes derived metrics over filled inputs
+            for m in simples:
+                if m.fill_nulls_with is not None and m.name in out.columns:
+                    out = out.withColumn(
+                        m.name, F.coalesce(F.col(m.name),
+                                           F.lit(m.fill_nulls_with)))
         final = [F.col(g) for g in group_by]
         for n in metrics:
             m = self.metrics[n]

@@ -656,3 +656,50 @@ metrics:
         FROM spine s LEFT JOIN agg a USING (event_month)
     """)
     assert r.ok, r.detail
+
+
+def test_derived_metric_sees_filled_values_on_spine_rows(spark):
+    """A derived metric computed over a timespine-joined, null-filled
+    simple metric reads the FILLED value on gap rows (MetricFlow
+    computes derived metrics over filled inputs)."""
+    import datetime as _dt
+
+    yaml_text = """
+semantic_models:
+  - name: events_sm
+    model: ref('events')
+    dimensions:
+      - name: event_month
+        type: time
+        expr: ts
+        type_params: {time_granularity: month}
+    measures:
+      - name: n_purchases
+        agg: count
+        expr: 1
+metrics:
+  - name: purchases
+    type: simple
+    filter: "event_type = 'purchase'"
+    type_params:
+      measure:
+        name: n_purchases
+        fill_nulls_with: 0
+        join_to_timespine: true
+  - name: purchases_plus_ten
+    type: derived
+    type_params: {expr: "purchases + 10"}
+"""
+    rows = [(1, "purchase", _dt.datetime(2024, 1, 5)),
+            (2, "purchase", _dt.datetime(2024, 3, 20))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    layer = parse_metric_layer(yaml_text)
+    out = layer.query({"events": df},
+                      ["purchases", "purchases_plus_ten"],
+                      group_by=["event_month"], grain="month")
+    got = {(str(r.event_month), r.purchases, r.purchases_plus_ten)
+           for r in out.collect()}
+    assert got == {("2024-01-01", 1, 11),
+                   ("2024-02-01", 0, 10),   # filled gap feeds derived
+                   ("2024-03-01", 1, 11)}
