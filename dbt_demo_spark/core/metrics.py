@@ -353,7 +353,29 @@ class MetricLayer:
                 "join_to_timespine needs exactly ONE time dimension in "
                 f"group_by to spine on, found {tdims or None}")
         t = tdims[0]
-        step = grain or "day"
+        # the spine step must be the SAME grain _dim_col truncated with
+        # (grain or the dimension's declared grain) — assuming 'day'
+        # would emit ~29 spurious zero rows per month under a month-grain
+        # dim, and an un-truncated timestamp dim would LOSE rows because
+        # only midnight values match the sequence spine (ADVICE r12)
+        step = grain
+        if step is None:
+            declared = {sm.dimensions[t].grain
+                        for sm in self.semantic_models.values()
+                        if sm.dimensions.get(t) is not None
+                        and sm.dimensions[t].type == "time"
+                        and sm.dimensions[t].grain}  # None/'' = ungrained
+            if not declared:
+                raise ValueError(
+                    f"join_to_timespine: time dimension {t!r} has no "
+                    "declared grain and the query passed none — an "
+                    "un-truncated timestamp has no spine step")
+            if len(declared) > 1:
+                raise ValueError(
+                    f"join_to_timespine: time dimension {t!r} declares "
+                    f"conflicting grains {sorted(declared)} across "
+                    "semantic models — pass an explicit query grain")
+            step = next(iter(declared))
         if step not in ("day", "week", "month", "year"):
             raise ValueError(
                 f"join_to_timespine: unsupported grain {step!r} — "

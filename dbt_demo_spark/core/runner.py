@@ -633,6 +633,16 @@ class Runner:
             mdef.fn, "__wants_incremental_ctx__", False)
         if (mdef.materialized == "incremental"
                 and mdef.incremental_strategy == "microbatch"):
+            if self._empty:
+                # documented in run(): microbatch is incompatible with
+                # --empty — LIMIT-0 refs carry no event_time rows, so
+                # batch enumeration is impossible; without this guard the
+                # 'quiet upstreams' branch would serve the prior FULL
+                # table during a dry run (ADVICE r12)
+                raise ValueError(
+                    f"model {name}: microbatch models cannot run under "
+                    "--empty — LIMIT-0 refs leave no event_time rows to "
+                    "enumerate batches from")
             if wants_ctx:
                 raise ValueError(
                     f"model {name}: is_incremental()/{{{{ this }}}} inside "
@@ -647,7 +657,7 @@ class Runner:
                 rels[name] = df
                 self._run_hooks(mdef.post_hook, name, rels)
             self.last_refresh_report["built"].append(name)
-            if state_tracked:
+            if state_tracked and not self._empty:
                 fp = self._fingerprint(name, relations)
                 if fp is not None:
                     self._save_state(name, fp)
@@ -671,6 +681,24 @@ class Runner:
                                          mdef.bucket_by, mdef.n_buckets,
                                          mdef.zorder_by, mdef.zorder_files)
         elif mdef.materialized == "incremental":
+            if self._empty:
+                # --empty dry run: NEVER route the LIMIT-0 output through
+                # the incremental/merge write paths — dynamic partition
+                # overwrite with zero partitions (and merge's keep-old
+                # union) leaves the existing FULL table in place, and
+                # _read_back would then serve prior full data during a
+                # dry run (ADVICE r12).  The dry run's contract is an
+                # empty relation with the real schema; the on-disk table
+                # is deliberately left untouched (non-destructive), and
+                # no build state is recorded below so the next real run
+                # rebuilds.
+                df.createOrReplaceTempView(name)
+                self.last_refresh_report["built"].append(name)
+                if mdef.post_hook:
+                    rels = dict(relations)
+                    rels[name] = df
+                    self._run_hooks(mdef.post_hook, name, rels)
+                return df
             if self._full_refresh:
                 path = os.path.join(self.warehouse_dir, name)
                 if os.path.isdir(path):
@@ -692,7 +720,13 @@ class Runner:
             rels[name] = df
             self._run_hooks(mdef.post_hook, name, rels)
         self.last_refresh_report["built"].append(name)
-        if state_tracked:
+        # NEVER record build state for an --empty run: the fingerprint
+        # covers code+upstream only, not the flag, so a later
+        # refresh="changed" run would false-skip and serve the EMPTY
+        # table as real data (ADVICE r12).  _drop_state above already
+        # cleared any prior state, which is exactly right — the next
+        # real run must rebuild.
+        if state_tracked and not self._empty:
             # record the build state on EVERY successful materialization
             # (not just refresh="changed" runs) so the first changed-mode
             # run over a warehouse built normally can already skip

@@ -141,6 +141,21 @@ class SnapshotRunner:
                 and "dbt_is_deleted" not in cur.columns):
             # table predates the new_record setting: existing rows are live
             cur = cur.withColumn("dbt_is_deleted", F.lit("False"))
+        elif (sdef.hard_deletes != "new_record"
+                and "dbt_is_deleted" in cur.columns):
+            # DOWNGRADE (table built under new_record, now ignore/
+            # invalidate): refuse with a clear error instead of the
+            # opaque missing-column AnalysisException from
+            # stamped.select(*cur.columns) — dbt likewise documents
+            # changing hard_deletes on an existing snapshot as
+            # unsupported, and silently treating deletion-marker rows
+            # as live data would corrupt the history (ADVICE r12)
+            raise ValueError(
+                f"snapshot {sdef.name}: hard_deletes downgrade not "
+                f"supported — the existing table was built with "
+                f"hard_deletes='new_record' (it carries dbt_is_deleted) "
+                f"but this run sets {sdef.hard_deletes!r}; keep "
+                "'new_record' or rebuild the snapshot from scratch")
         # read-back puts the partition column (dbt_is_current) LAST; align
         # the fresh side's column ORDER to the table's so struct("old.*")
         # and struct("new.*") below are the same struct type

@@ -542,3 +542,108 @@ def test_empty_flag_dry_runs_with_real_schemas(spark, tmp_path):
         assert "missing_col" in (res.nodes["bad"].error or "")
     finally:
         r2.clean()
+
+def test_empty_run_never_saves_build_state(spark, tmp_path):
+    """ADVICE r12 (high): an empty=True run must NOT record a build-state
+    fingerprint — the fingerprint covers code+upstream only, so a later
+    refresh="changed" run would false-skip and serve the EMPTY table as
+    real data."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="mart", deps=("src",), materialized="table",
+        fn=lambda refs: refs["src"].selectExpr("k", "v * 2 as v2")))
+    # file-backed source: in-memory relations fingerprint as None
+    # (unknowable) and would disable skipping altogether
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, v long") \
+        .write.parquet(str(tmp_path / "src"))
+    src = spark.read.parquet(str(tmp_path / "src"))
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        # normal build → state recorded; changed-refresh skips (sanity)
+        r.run({"src": src})
+        r.run({"src": src}, refresh="changed")
+        assert "mart" in r.last_refresh_report["skipped"]
+        # empty dry run materializes a 0-row table...
+        rels = r.run({"src": src}, empty=True)
+        assert rels["mart"].count() == 0
+        # ...and a later changed-refresh run must REBUILD (not serve it)
+        rels = r.run({"src": src}, refresh="changed")
+        assert "mart" in r.last_refresh_report["built"]
+        assert rels["mart"].count() == 2
+    finally:
+        r.clean()
+
+
+def test_empty_run_incremental_serves_empty_keeps_table(spark, tmp_path):
+    """ADVICE r12 (high): incremental models under empty=True must serve
+    an EMPTY relation (the --empty contract) — the LIMIT-0 output has no
+    partitions, so routing it through dynamic partition overwrite (or
+    merge) would leave the full table in place and _read_back would
+    serve prior FULL data during a dry run.  The on-disk table is left
+    untouched (dry runs are non-destructive) and no state is saved, so
+    the next real run refreshes normally."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="inc", deps=("src",), materialized="incremental",
+        partition_by=("p",),
+        fn=lambda refs: refs["src"].selectExpr("k", "k % 2 as p")))
+    reg.register(ModelDef(
+        name="mrg", deps=("src",), materialized="incremental",
+        incremental_strategy="merge", unique_key=("k",),
+        fn=lambda refs: refs["src"].selectExpr("k", "k * 10 as v")))
+    src = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        rels = r.run({"src": src})
+        assert rels["inc"].count() == 3 and rels["mrg"].count() == 3
+        # dry run: BOTH strategies serve empty with the real schema
+        rels = r.run({"src": src}, empty=True)
+        assert rels["inc"].count() == 0
+        assert rels["inc"].columns == ["k", "p"]
+        assert rels["mrg"].count() == 0
+        assert rels["mrg"].columns == ["k", "v"]
+        # on-disk tables untouched by the dry run (non-destructive)
+        assert spark.read.parquet(str(tmp_path / "wh" / "inc")).count() == 3
+        assert spark.read.parquet(str(tmp_path / "wh" / "mrg")).count() == 3
+        # a subsequent real run serves full data again
+        rels = r.run({"src": src})
+        assert rels["inc"].count() == 3 and rels["mrg"].count() == 3
+    finally:
+        r.clean()
+
+
+def test_empty_run_microbatch_raises(spark, tmp_path):
+    """ADVICE r12 (medium): microbatch models raise explicitly under
+    empty=True (documented in run()) — LIMIT-0 refs leave no event_time
+    rows, so batch enumeration is impossible; without the guard the
+    'quiet upstreams' branch served the prior FULL table in a dry run."""
+    import datetime as dt
+
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name="mb", deps=("ev",), materialized="incremental",
+        incremental_strategy="microbatch", event_time="ts",
+        batch_size="day", begin="2024-03-01", partition_by=("day",),
+        fn=lambda refs: refs["ev"].select(
+            F.col("ts").cast("date").alias("day"), "ts", "k")))
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1, 5))], "k long, ts timestamp")
+    r = Runner(spark, reg, str(tmp_path / "wh"),
+               source_event_time={"ev": "ts"})
+    try:
+        # first build (no table yet): clear error, not a misleading
+        # 'no upstream rows carry an event_time'
+        with pytest.raises(ValueError, match="--empty"):
+            r.run({"ev": ev}, empty=True)
+        # with a real table on disk: still raises — never serves it
+        r.run({"ev": ev})
+        with pytest.raises(ValueError, match="--empty"):
+            r.run({"ev": ev}, empty=True)
+    finally:
+        r.clean()

@@ -727,3 +727,29 @@ def test_snapshot_hard_deletes_config_plumbs(spark):
     with _pytest.raises(ValueError, match="hard_deletes must be"):
         SnapshotDef("b", unique_key="k", strategy="timestamp",
                     updated_at="ts", hard_deletes="drop")
+
+def test_snapshot_hard_deletes_downgrade_raises_clearly(spark, tmp_path):
+    """ADVICE r12 (low): running with hard_deletes='ignore'/'invalidate'
+    against a table built under 'new_record' (which carries
+    dbt_is_deleted) must raise a clear downgrade error, not an opaque
+    missing-column AnalysisException from stamped.select(*cur.columns).
+    The upgrade direction (ignore -> new_record) keeps working."""
+    import dataclasses
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from dbt_demo_spark.core.snapshot import SnapshotDef, SnapshotRunner
+
+    sr = SnapshotRunner(spark, str(tmp_path / "wh"))
+    sdef = SnapshotDef("s", unique_key="loan_id", strategy="timestamp",
+                       updated_at="updated_at", hard_deletes="new_record")
+    sr.run(sdef, _loans(spark, [("L1", 100, "active",
+                                 "2023-01-01 00:00:00")]),
+           as_of=F.lit("2023-01-01 00:00:00"))
+    for downgraded in ("ignore", "invalidate"):
+        bad = dataclasses.replace(sdef, hard_deletes=downgraded)
+        with _pytest.raises(ValueError, match="downgrade not supported"):
+            sr.run(bad, _loans(spark, [("L1", 100, "active",
+                                        "2023-01-01 00:00:00")]),
+                   as_of=F.lit("2023-02-01 00:00:00"))

@@ -703,3 +703,58 @@ metrics:
     assert got == {("2024-01-01", 1, 11),
                    ("2024-02-01", 0, 10),   # filled gap feeds derived
                    ("2024-03-01", 1, 11)}
+
+def test_timespine_step_follows_declared_dim_grain(spark):
+    """ADVICE r12 (medium): with no query grain, the spine step must be
+    the dimension's DECLARED grain (the same value _dim_col truncates
+    with) — a 'day' default would emit ~29 spurious zero rows per gap
+    month; and an un-grained timestamp dim must raise instead of
+    silently losing non-midnight rows to the midnight-valued spine."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    yaml_text = """
+semantic_models:
+  - name: events_sm
+    model: ref('events')
+    dimensions:
+      - name: event_month
+        type: time
+        expr: ts
+        type_params: {time_granularity: month}
+    measures:
+      - name: n_purchases
+        agg: count
+        expr: 1
+metrics:
+  - name: purchases
+    type: simple
+    filter: "event_type = 'purchase'"
+    type_params:
+      measure:
+        name: n_purchases
+        fill_nulls_with: 0
+        join_to_timespine: true
+"""
+    rows = [(1, "purchase", _dt.datetime(2024, 1, 5)),
+            (2, "purchase", _dt.datetime(2024, 3, 21))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    layer = parse_metric_layer(yaml_text)
+    # grain=None → the declared month grain drives BOTH the truncation
+    # and the spine step: exactly one gap row (Feb), not ~60 daily rows
+    out = layer.query({"events": df}, ["purchases"],
+                      group_by=["event_month"], grain=None)
+    got = {(str(r.event_month), r.purchases) for r in out.collect()}
+    assert got == {("2024-01-01", 1), ("2024-02-01", 0),
+                   ("2024-03-01", 1)}
+
+    # a time dim with NO declared grain and no query grain: raise —
+    # an un-truncated timestamp has no spine step
+    ungrained = yaml_text.replace(
+        "\n        type_params: {time_granularity: month}", "")
+    layer2 = parse_metric_layer(ungrained)
+    with _pytest.raises(ValueError, match="no\\s+declared grain"):
+        layer2.query({"events": df}, ["purchases"],
+                     group_by=["event_month"], grain=None)
