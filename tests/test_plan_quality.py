@@ -267,3 +267,24 @@ def test_layout_served_tpch_rows_plan_without_fact_shuffle(spark):
     mbr_plan = _plan(spark, "mart_bucketed_revenue")
     assert "SortMergeJoin" in mbr_plan, mbr_plan[:2000]
     assert "BroadcastExchange" not in mbr_plan, mbr_plan[:2000]
+
+def test_r13_mart_served_rows_plan_without_shuffle_exchange(spark):
+    """r13 mart adoptions (Q2_RECEIPT / Q11_HOURLY_RECEIPT): q2, q11 and
+    events_hourly_rollup serve from bucketed marts whose bucket keys
+    satisfy the downstream clustering (partition keys ⊆ group/window
+    keys), so NO shuffle exchange may survive in any of the three —
+    the per-query plan is scan + map-side work + broadcast dims.
+    q11 keeps exactly ONE SinglePartition exchange — the global scalar
+    threshold gathers the ~32 per-partition partial sums into one row
+    (bytes, not data); no hash/range exchange may appear anywhere."""
+    import re
+
+    for name, single_ok in (("tpch_q2_min_cost_supplier", 0),
+                            ("tpch_q11_important_parts", 1),
+                            ("events_hourly_rollup", 0)):
+        plan = _plan(spark, name)
+        hashed = len(re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning)", plan))
+        single = len(re.findall(r"Exchange SinglePartition", plan))
+        assert hashed == 0, (name, hashed, plan[:2000])
+        assert single <= single_ok, (name, single, plan[:2000])
