@@ -192,9 +192,17 @@ def _metrics_section(layer) -> str:
                                f"{m.conversion_measure} by {m.entity}"
                                + (f" within {m.window}" if m.window
                                   else "")
-                               + " (window inclusive of base ts; no "
-                                 "conversion-event attribution dedup — "
-                                 "deviation from full MetricFlow)")
+                               + (" (window inclusive of base ts; "
+                                  "first-touch attribution — each "
+                                  "conversion event counts at most one "
+                                  "base event, MetricFlow semantics)"
+                                  if m.attribution == "first_touch" else
+                                  " (window inclusive of base ts; "
+                                  "attribution: unattributed — one "
+                                  "conversion event may convert several "
+                                  "base events; deviation from full "
+                                  "MetricFlow, opt-out of the default "
+                                  "first_touch)"))
                 }.get(m.type, "")
         rows.append(f"<tr><td><code>{e(m.name)}</code></td>"
                     f"<td>{e(m.type)}</td><td>{e(what)}</td></tr>")

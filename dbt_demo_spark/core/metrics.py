@@ -110,6 +110,13 @@ class Metric:
     conversion_filter: str = ""  # lite extension: SQL predicate on the
                                  # conversion model's rows (stands in
                                  # for a filtered semantic model)
+    attribution: str = "first_touch"  # conversion (r13): "first_touch"
+                                 # (MetricFlow semantics — each
+                                 # conversion event attributed to at
+                                 # most one base event, the earliest in
+                                 # window) | "unattributed" (the pre-r13
+                                 # lite opt-out: one conversion event
+                                 # may convert several base events)
     # X100 [public MetricFlow surface: measure-input properties on
     # simple metrics — fill_nulls_with: <literal> and
     # join_to_timespine: true].  fill_nulls_with replaces NULL metric
@@ -414,20 +421,29 @@ class MetricLayer:
 
     # X93 conversion metrics [public MetricFlow surface: type:
     # conversion — entity, calculation, base_measure,
-    # conversion_measure, window].  Lite semantics (documented, raise
-    # beyond): a BASE event converts when >= 1 conversion event for the
-    # same entity lands in [base_ts, base_ts + window] — INCLUSIVE of
-    # the base timestamp, matching MetricFlow's window start (ADVICE
-    # r11); `conversions` counts converted base events,
-    # `conversion_rate` divides by all base events.  Documented
-    # deviation from full MetricFlow: no conversion-event attribution
-    # dedup — one conversion event may convert several base events of
-    # the same entity (MetricFlow attributes each conversion event to
-    # at most one base event); the docs-site metric card carries the
-    # same note.  Scale shape: ONE entity-keyed left-semi join (the
-    # range rides the join condition, never a cartesian) plus two grain
-    # aggregations of the tiny dim frames.  Metric-level `filter`
-    # narrows BASE rows (same contract as simple metrics);
+    # conversion_measure, window].  A BASE event converts when >= 1
+    # conversion event for the same entity lands in
+    # [base_ts, base_ts + window] — INCLUSIVE of the base timestamp,
+    # matching MetricFlow's window start (ADVICE r11); `conversions`
+    # counts converted base events, `conversion_rate` divides by all
+    # base events.
+    #
+    # ATTRIBUTION (r13, VERDICT r12 item 5): default `first_touch`
+    # matches MetricFlow — each conversion EVENT is attributed to at
+    # most one base event, the earliest base in its window (ties on
+    # base_ts broken by the lexicographically smallest dim tuple, a
+    # deterministic stand-in for MetricFlow's arbitrary row_number
+    # pick); a base event counts once however many conversions
+    # attribute to it, and identical duplicate base rows collapse to
+    # one attribution target.  The pre-r13 lite semantics — one
+    # conversion event may convert several base events of the same
+    # entity — remain as the documented opt-out
+    # `attribution: unattributed`.  Scale shape (both modes): ONE
+    # entity-keyed join (the range rides the equi-join condition,
+    # never a cartesian); first_touch adds a (conv-event)-grain
+    # aggregate and a distinct over attributed bases — both frames are
+    # candidate-pair-sized, never fact re-scans.  Metric-level
+    # `filter` narrows BASE rows (same contract as simple metrics);
     # `conversion_filter` is the lite stand-in for a filtered
     # conversion semantic model.
 
@@ -492,9 +508,32 @@ class MetricLayer:
                     f"conversion metric {m.name!r}: window "
                     f"{m.window!r} — expected 'N unit'") from None
         gcols = [F.col(g) for g in group_by]
-        converted = (bb.join(cc, cond, "left_semi")
-                     .groupBy(*gcols)
-                     .agg(F.count(F.lit(1)).alias("__conv")))
+        if m.attribution == "first_touch":
+            # MetricFlow semantics: each conversion EVENT attributes to
+            # at most one base event — the earliest in its window.  The
+            # same entity-keyed equi-join produces candidate pairs; a
+            # (conv-event)-grain MIN over the (base_ts, dims) struct
+            # picks the first touch (struct comparison is lexicographic,
+            # so base_ts leads and dim values break exact-ts ties
+            # deterministically); DISTINCT collapses multiple
+            # conversions attributing to the same base event AND
+            # identical duplicate base rows.  Two conversion events
+            # sharing (entity, ts) collapse into one attribution — they
+            # are indistinguishable rows of the conversion frame.
+            battr = F.struct(F.col("__bts"),
+                             *[F.col(g) for g in group_by])
+            attributed = (
+                cc.join(bb, cond, "inner")
+                .groupBy("__cent", "__cts")
+                .agg(F.min(battr).alias("__b"))
+                .select("__cent", "__b.*")
+                .distinct())
+            converted = (attributed.groupBy(*gcols)
+                         .agg(F.count(F.lit(1)).alias("__conv")))
+        else:
+            converted = (bb.join(cc, cond, "left_semi")
+                         .groupBy(*gcols)
+                         .agg(F.count(F.lit(1)).alias("__conv")))
         totals = bb.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__base"))
         if group_by:
             jcond = None
@@ -673,7 +712,8 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
                                 if m.get("type") == "conversion" else "")),
             base_measure=_name_of(tp.get("base_measure")),
             conversion_measure=_name_of(tp.get("conversion_measure")),
-            conversion_filter=str(tp.get("conversion_filter") or ""))
+            conversion_filter=str(tp.get("conversion_filter") or ""),
+            attribution=str(tp.get("attribution") or "first_touch"))
     for sq in doc.get("saved_queries", []) or []:
         qp = sq.get("query_params", {}) or {}
         layer.saved_queries[sq["name"]] = SavedQuery(
@@ -694,6 +734,11 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             raise ValueError(
                 f"conversion metric {m.name!r} needs entity, "
                 "base_measure, and conversion_measure")
+        if (m.type == "conversion"
+                and m.attribution not in ("first_touch", "unattributed")):
+            raise ValueError(
+                f"conversion metric {m.name!r}: attribution must be "
+                f"first_touch | unattributed, got {m.attribution!r}")
         if ((m.fill_nulls_with is not None or m.join_to_timespine)
                 and m.type != "simple"):
             raise ValueError(

@@ -395,6 +395,15 @@ metrics:
       conversion_filter: "event_type = 'purchase'"
 """
 
+# opt-out YAML: metric 1 gets the attribution line after its window;
+# metric 2 (last block in the doc) gets it appended at the end
+_CONV_YAML_UNATTR = (_CONV_YAML.replace(
+    "      window: 7 days",
+    "      window: 7 days\n      attribution: unattributed")
+    + "      attribution: unattributed\n")
+
+# the pre-r13 lite semantics (attribution: unattributed): EXISTS —
+# every base event with >= 1 in-window conversion counts
 _CONV_ORACLE = """
     WITH base AS (
         SELECT user_id, ts,
@@ -408,20 +417,48 @@ _CONV_ORACLE = """
     FROM base b GROUP BY 1
 """
 
+# first_touch (the r13 default, MetricFlow semantics): each conversion
+# event attributes to the earliest in-window base event (ties on base
+# ts broken by the dim tuple), a base event counts once, duplicate
+# identical base rows collapse
+_CONV_FT_ORACLE = """
+    WITH base AS (
+        SELECT user_id, ts,
+               CAST(date_trunc('month', ts) AS DATE) AS event_month
+        FROM events WHERE event_type = 'view'
+    ), conv AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT c.user_id, c.ts AS cts, b.ts AS bts, b.event_month,
+               ROW_NUMBER() OVER (PARTITION BY c.user_id, c.ts
+                                  ORDER BY b.ts, b.event_month) AS rn
+        FROM conv c JOIN base b
+          ON b.user_id = c.user_id AND c.ts >= b.ts {window_pred}
+    ), attributed AS (
+        SELECT DISTINCT user_id, bts, event_month FROM pairs WHERE rn = 1
+    ), conv_counts AS (
+        SELECT event_month, COUNT(*) AS n_conv FROM attributed GROUP BY 1
+    ), totals AS (
+        SELECT event_month, COUNT(*) AS n_base FROM base GROUP BY 1
+    )
+    SELECT t.event_month AS event_month, {select}
+    FROM totals t LEFT JOIN conv_counts c USING (event_month)
+"""
+
 
 def test_conversion_rate_matches_duckdb(spark):
+    """first_touch default: the rate twin uses per-conversion-event
+    ROW_NUMBER attribution in DuckDB."""
     layer = parse_metric_layer(_CONV_YAML)
     rels = {"events": load_table(spark, SF_GATE, "events")}
     out = layer.query(rels, ["view_to_purchase_7d"],
                       group_by=["event_month"], grain="month")
     con = duckdb_connection(SF_GATE)
     r = compare("metrics_conversion_rate", out, con,
-                _CONV_ORACLE.format(select="""
-           CAST(COUNT(CASE WHEN EXISTS (
-                    SELECT 1 FROM conv c
-                    WHERE c.user_id = b.user_id AND c.ts >= b.ts
-                      AND c.ts <= b.ts + INTERVAL 7 DAY) THEN 1 END)
-                AS DOUBLE) / COUNT(*) AS view_to_purchase_7d"""))
+                _CONV_FT_ORACLE.format(
+                    window_pred="AND c.ts <= b.ts + INTERVAL 7 DAY",
+                    select=("CAST(COALESCE(c.n_conv, 0) AS DOUBLE) "
+                            "/ t.n_base AS view_to_purchase_7d")))
     assert r.ok, r.detail
 
 
@@ -432,12 +469,94 @@ def test_conversion_counts_match_duckdb(spark):
                       group_by=["event_month"], grain="month")
     con = duckdb_connection(SF_GATE)
     r = compare("metrics_conversions", out, con,
+                _CONV_FT_ORACLE.format(
+                    window_pred="",
+                    select=("CAST(COALESCE(c.n_conv, 0) AS BIGINT) "
+                            "AS view_conversions_ever")))
+    assert r.ok, r.detail
+
+
+def test_conversion_unattributed_optout_matches_duckdb(spark):
+    """attribution: unattributed keeps the pre-r13 lite semantics
+    (EXISTS — one conversion event may convert several base events),
+    pinned against the original DuckDB twins."""
+    layer = parse_metric_layer(_CONV_YAML_UNATTR)
+    assert layer.metrics["view_to_purchase_7d"].attribution == \
+        "unattributed"
+    assert layer.metrics["view_conversions_ever"].attribution == \
+        "unattributed"
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    con = duckdb_connection(SF_GATE)
+    out = layer.query(rels, ["view_to_purchase_7d"],
+                      group_by=["event_month"], grain="month")
+    r = compare("metrics_conv_rate_unattr", out, con,
+                _CONV_ORACLE.format(select="""
+           CAST(COUNT(CASE WHEN EXISTS (
+                    SELECT 1 FROM conv c
+                    WHERE c.user_id = b.user_id AND c.ts >= b.ts
+                      AND c.ts <= b.ts + INTERVAL 7 DAY) THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS view_to_purchase_7d"""))
+    assert r.ok, r.detail
+    out = layer.query(rels, ["view_conversions_ever"],
+                      group_by=["event_month"], grain="month")
+    r = compare("metrics_conv_counts_unattr", out, con,
                 _CONV_ORACLE.format(select="""
            COUNT(CASE WHEN EXISTS (
                     SELECT 1 FROM conv c
                     WHERE c.user_id = b.user_id AND c.ts >= b.ts)
                  THEN 1 END) AS view_conversions_ever"""))
     assert r.ok, r.detail
+
+
+def test_conversion_first_touch_vs_unattributed_differ(spark):
+    """VERDICT r12 item 5: the tiny frame where the two semantics
+    diverge — one purchase in the window of TWO views.  first_touch
+    attributes the purchase to the EARLIEST view only (conversions=1,
+    rate=0.5); unattributed converts both (2, 1.0).  Duplicate
+    identical base rows sharing the conversion's timestamp collapse to
+    one attribution under first_touch."""
+    import datetime as _dt
+
+    rows = [(7, "view", _dt.datetime(2024, 3, 1, 10)),
+            (7, "view", _dt.datetime(2024, 3, 2, 10)),
+            (7, "purchase", _dt.datetime(2024, 3, 3, 10))]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+
+    def rate_and_count(yaml_text):
+        layer = parse_metric_layer(yaml_text)
+        r = layer.query({"events": df}, ["view_to_purchase_7d"],
+                        group_by=["event_month"],
+                        grain="month").collect()[0].view_to_purchase_7d
+        c = layer.query({"events": df}, ["view_conversions_ever"],
+                        group_by=["event_month"],
+                        grain="month").collect()[0].view_conversions_ever
+        return r, c
+
+    assert rate_and_count(_CONV_YAML) == (0.5, 1)
+    assert rate_and_count(_CONV_YAML_UNATTR) == (1.0, 2)
+
+    # duplicate identical base rows + same-timestamp conversion:
+    # first_touch collapses them to one attribution target
+    dup = spark.createDataFrame(
+        [(9, "view", _dt.datetime(2024, 3, 1, 12)),
+         (9, "view", _dt.datetime(2024, 3, 1, 12)),
+         (9, "purchase", _dt.datetime(2024, 3, 1, 12))],
+        "user_id long, event_type string, ts timestamp")
+    layer = parse_metric_layer(_CONV_YAML)
+    got = layer.query({"events": dup}, ["view_conversions_ever"],
+                      group_by=["event_month"], grain="month").collect()
+    assert got[0].view_conversions_ever == 1
+    layer_u = parse_metric_layer(_CONV_YAML_UNATTR)
+    got = layer_u.query({"events": dup}, ["view_conversions_ever"],
+                        group_by=["event_month"], grain="month").collect()
+    assert got[0].view_conversions_ever == 2
+
+    # bad attribution value raises at parse
+    with pytest.raises(ValueError, match="first_touch | unattributed"):
+        parse_metric_layer(_CONV_YAML.replace(
+            "window: 7 days",
+            "window: 7 days\n      attribution: last_touch"))
 
 
 def test_conversion_error_matrix(spark):
@@ -464,15 +583,19 @@ metrics:
 
 def test_conversion_plan_is_entity_keyed(spark):
     """The range predicate rides the entity equi-join — never a
-    cartesian or nested-loop plan (the 100 TB shape)."""
-    layer = parse_metric_layer(_CONV_YAML)
+    cartesian or nested-loop plan (the 100 TB shape), in BOTH
+    attribution modes.  first_touch's candidate-pair join is an inner
+    equi-join; unattributed keeps the left-semi."""
     rels = {"events": load_table(spark, SF_GATE, "events")}
-    out = layer.query(rels, ["view_to_purchase_7d"],
-                      group_by=["event_month"], grain="month")
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+    for yaml_text, marker in ((_CONV_YAML, "Inner"),
+                              (_CONV_YAML_UNATTR, "LeftSemi")):
+        layer = parse_metric_layer(yaml_text)
+        out = layer.query(rels, ["view_to_purchase_7d"],
+                          group_by=["event_month"], grain="month")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, marker
+        assert "BroadcastNestedLoopJoin" not in plan, marker
+        assert marker in plan, plan[:2000]
 
 
 def test_grain_to_date_cumulative_matches_duckdb(spark):
