@@ -523,6 +523,11 @@ def _bm25_oracle() -> str:
 CORPUS_BM25_ORACLE = _bm25_oracle()
 
 
+@query(
+    "corpus_bm25_topk",
+    oracle=CORPUS_BM25_ORACLE,
+    tags=("X98", "retrieval", "bm25"),
+)
 def corpus_bm25_topk(spark: SparkSession, sf_dir: str,
                      k: int = 20) -> DataFrame:
     """BM25 top-k document retrieval against a fixed query term set

@@ -243,9 +243,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "tpch_q6_forecast_revenue",
-    oracle=f"""
+TPCH_Q6_ORACLE = f"""
         SELECT SUM({sql_scaled_long('l_extendedprice')} * {sql_scaled_long('l_discount')}) / 10000.0
                    AS revenue,
                COUNT(*) AS qualifying_lines
@@ -254,13 +252,22 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.02 AND l_discount <= 0.04
           AND l_quantity < 24
-    """,
-    tags=("P5", "A4", "A6"),
-)
+"""
+
+
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filter + global aggregate — the predicate-pushdown
     showcase.  All four predicates reach the parquet scan as PushedFilters;
-    only 3 columns are read (check .explain ReadSchema)."""
+    only 3 columns are read (check .explain ReadSchema).
+
+    Demoted from the 50-row driver catalog in r13 (slot funds
+    corpus_bm25_topk, VERDICT r12 item 7 — q6 and q1 overlap as
+    pricing-filter shapes): its P5/A4/A6 operator tags stay gated via
+    tpch_q1 and grain_check_fanout, the pushdown showcase stays
+    plan-asserted in tests/test_plan_quality.py, and the DuckDB
+    differential continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle.  It also remains the
+    stable interleaving control row in the receipt tools."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(

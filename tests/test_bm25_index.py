@@ -1,0 +1,71 @@
+"""Persisted BM25 corpus-stats index (operators/bm25.py, r13 — VERDICT
+r12 item 6): served == inline on the gate corpus; two-batch incremental
+ingest reproduces one-shot stats bit-for-bit; absent terms contribute
+zero exactly like the inline row."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dbt_demo_spark.operators.bm25 import (Bm25StatsIndex, bm25_topk_served,
+                                           build_bm25_stats,
+                                           ingest_bm25_stats)
+from dbt_demo_spark.queries.text_filters import (BM25_QUERY_TERMS,
+                                                 corpus_bm25_topk)
+from dbt_demo_spark.sources.parquet import load_table
+from tests.conftest import SF_GATE
+
+
+def _docs(spark):
+    return load_table(spark, SF_GATE, "documents").select("doc_id", "text")
+
+
+def test_served_matches_inline_on_gate_corpus(spark, tmp_path):
+    """The index-served scorer returns the identical ordered k-set and
+    scores as the inline catalog row — the stats pass is replaced by a
+    metadata-weight index read, nothing else changes."""
+    docs = _docs(spark)
+    idx = build_bm25_stats(docs, str(tmp_path / "bm25"))
+    inline = corpus_bm25_topk(spark, SF_GATE).collect()
+    served = bm25_topk_served(spark, docs, idx, BM25_QUERY_TERMS).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inline]
+
+
+def test_two_batch_ingest_equals_one_shot(spark, tmp_path):
+    """Incremental maintenance: ingesting the corpus in two batches
+    yields byte-identical stats to the one-shot build (df/N/sum_dl are
+    integer partials under union), so the served scores cannot drift."""
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "inc")
+    ingest_bm25_stats(a, inc_path)     # first ingest = fresh build
+    ingest_bm25_stats(b, inc_path)     # second folds the new batch in
+    one_path = str(tmp_path / "one")
+    build_bm25_stats(docs, one_path)
+
+    inc, one = Bm25StatsIndex(inc_path), Bm25StatsIndex(one_path)
+    assert (spark.read.parquet(inc.scalars_path).collect()
+            == spark.read.parquet(one.scalars_path).collect())
+    tdf = lambda i: sorted(map(tuple, spark.read.parquet(  # noqa: E731
+        i.term_df_path).collect()))
+    assert tdf(inc) == tdf(one)
+
+    # and the incrementally-maintained index serves the same top-k
+    served_inc = bm25_topk_served(spark, docs, inc,
+                                  BM25_QUERY_TERMS).collect()
+    inline = corpus_bm25_topk(spark, SF_GATE).collect()
+    assert [tuple(r) for r in served_inc] == [tuple(r) for r in inline]
+
+
+def test_absent_term_contributes_zero(spark, tmp_path):
+    """A query term no document contains (df=0, tf=0 everywhere) leaves
+    every score unchanged — the same behavior the inline row's
+    when(tf > 0) gives such a term."""
+    docs = _docs(spark)
+    idx = build_bm25_stats(docs, str(tmp_path / "bm25"))
+    base = bm25_topk_served(spark, docs, idx, BM25_QUERY_TERMS).collect()
+    plus = bm25_topk_served(
+        spark, docs, idx, BM25_QUERY_TERMS + ("zzzznotaterm",)).collect()
+    assert [tuple(r) for r in plus] == [tuple(r) for r in base]

@@ -35,7 +35,13 @@ def test_q6_filters_reach_scan_and_columns_prune(spark):
     """TPC-H Q6 is the pushdown showcase: all predicates must arrive at the
     parquet scan as PushedFilters and the scan must read only the columns
     the query touches (4 of lineitem's 10)."""
-    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    # q6 was demoted from the catalog in r13 (slot funds
+    # corpus_bm25_topk); the pushdown showcase stays asserted on the
+    # function directly
+    from dbt_demo_spark.queries.tpch import tpch_q6_forecast_revenue
+
+    plan = (tpch_q6_forecast_revenue(spark, SF_GATE)
+            ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [" in plan
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert f"isnotnull({col}" in plan.lower() or col in plan.split(
