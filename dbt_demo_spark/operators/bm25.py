@@ -67,6 +67,23 @@ class Bm25StatsIndex:
     def term_df_path(self) -> str:
         return os.path.join(self.path, "term_df")
 
+    @property
+    def batches_path(self) -> str:
+        return os.path.join(self.path, "batches.json")
+
+    def ingested_batches(self) -> set:
+        """Batch ids already folded in — the exactly-once bookkeeping for
+        the streaming maintenance path.  Lives INSIDE the index dir so
+        the staged swap commits stats and bookkeeping atomically: a
+        replayed micro-batch either sees its id here (post-commit
+        replay, no-op) or sees an index that never counted it
+        (pre-commit replay, identical merge)."""
+        import json
+        if not os.path.exists(self.batches_path):
+            return set()
+        with open(self.batches_path) as fh:
+            return set(json.load(fh))
+
 
 def _batch_stats(docs: DataFrame, text_col: str):
     """(scalars_df, term_df_df) aggregated from one batch of documents."""
@@ -81,26 +98,55 @@ def _batch_stats(docs: DataFrame, text_col: str):
     return scalars, term_df
 
 
-def build_bm25_stats(docs: DataFrame, path: str,
-                     text_col: str = "text") -> Bm25StatsIndex:
-    """Build the index from scratch (overwrites ``path``)."""
+def _write_batches(idx: Bm25StatsIndex, ids: set) -> None:
+    import json
+    if not ids:
+        return
+    with open(idx.batches_path, "w") as fh:
+        json.dump(sorted(ids), fh)
+
+
+def build_bm25_stats(docs: DataFrame, path: str, text_col: str = "text",
+                     batch_id: int | None = None) -> Bm25StatsIndex:
+    """Build the index from scratch (overwrites ``path``).  Staged like
+    the ingest path so the FIRST streaming batch is also replay-safe: a
+    crash mid-build leaves either the prior index or nothing — never a
+    half-built index whose missing batch bookkeeping would let a replay
+    double-count."""
     scalars, term_df = _batch_stats(docs, text_col)
-    idx = Bm25StatsIndex(path)
-    scalars.write.mode("overwrite").parquet(idx.scalars_path)
-    term_df.write.mode("overwrite").parquet(idx.term_df_path)
-    return idx
+    stage = path + "__stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    sidx = Bm25StatsIndex(stage)
+    scalars.write.mode("overwrite").parquet(sidx.scalars_path)
+    term_df.write.mode("overwrite").parquet(sidx.term_df_path)
+    _write_batches(sidx, set() if batch_id is None else {batch_id})
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(stage, path)
+    return Bm25StatsIndex(path)
 
 
 def ingest_bm25_stats(new_docs: DataFrame, path: str,
-                      text_col: str = "text") -> Bm25StatsIndex:
+                      text_col: str = "text",
+                      batch_id: int | None = None) -> Bm25StatsIndex:
     """Incrementally fold one NEW batch into an existing index (builds
     fresh if ``path`` has no index yet).  Only the batch is scanned;
     the merge is a vocabulary-grain sum on the term key.  Staged swap:
     the merged index is written beside the live one and renamed into
-    place, so a concurrent reader never sees partial state."""
+    place, so a concurrent reader never sees partial state.
+
+    ``batch_id`` (the streaming maintenance path, streaming/ingest.py
+    bm25_stats_maintenance): exactly-once under micro-batch replay.
+    The id set rides INSIDE the swapped directory, so stats and
+    bookkeeping commit together — a replay after the swap finds its id
+    and no-ops; a replay after a crash BEFORE the swap merges against
+    an index that never counted the batch, producing the identical
+    result.  Double-count is impossible in either window."""
     idx = Bm25StatsIndex(path)
     if not os.path.isdir(idx.scalars_path):
-        return build_bm25_stats(new_docs, path, text_col)
+        return build_bm25_stats(new_docs, path, text_col, batch_id)
+    done = idx.ingested_batches()
+    if batch_id is not None and batch_id in done:
+        return idx  # post-commit replay: already counted
     spark = new_docs.sparkSession
     b_scalars, b_term_df = _batch_stats(new_docs, text_col)
     old_scalars = spark.read.parquet(idx.scalars_path)
@@ -116,6 +162,8 @@ def ingest_bm25_stats(new_docs: DataFrame, path: str,
     sidx = Bm25StatsIndex(stage)
     merged_scalars.write.mode("overwrite").parquet(sidx.scalars_path)
     merged_term_df.write.mode("overwrite").parquet(sidx.term_df_path)
+    _write_batches(sidx, done | ({batch_id} if batch_id is not None
+                                 else set()))
     live, backup = path, path + "__old"
     shutil.rmtree(backup, ignore_errors=True)
     os.replace(live, backup)

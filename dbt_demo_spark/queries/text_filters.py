@@ -523,13 +523,64 @@ def _bm25_oracle() -> str:
 CORPUS_BM25_ORACLE = _bm25_oracle()
 
 
+_BM25_STATS: dict = {}
+_BM25_STATS_LOCK = __import__("threading").Lock()
+
+
+def bm25_stats_index(spark: SparkSession, sf_dir: str):
+    """Build-once BM25 corpus-stats index for this (session, corpus) —
+    the X104 train-once/serve-many lifecycle applied to the gate row:
+    the stats pass (one corpus scan + the vocabulary-grain shuffle) is
+    paid once per session under .mart_cache, and every retrieval query
+    afterwards is a single corpus scan with the stats as plan literals.
+    Same cache discipline as bucketed_order_marts / the IVF index."""
+    from ..operators.bm25 import build_bm25_stats
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _BM25_STATS.get(key)
+    if idx is not None:
+        return idx
+    with _BM25_STATS_LOCK:
+        idx = _BM25_STATS.get(key)
+        if idx is None:
+            from ..sources.parquet import mart_cache_dir
+
+            docs = load_table(spark, sf_dir, "documents") \
+                .select("doc_id", "text")
+            idx = build_bm25_stats(
+                docs, mart_cache_dir(sf_dir, "bm25_stats"))
+            _BM25_STATS[key] = idx
+    return idx
+
+
 @query(
     "corpus_bm25_topk",
     oracle=CORPUS_BM25_ORACLE,
-    tags=("X98", "retrieval", "bm25"),
+    tags=("X98", "X104", "retrieval", "bm25"),
 )
 def corpus_bm25_topk(spark: SparkSession, sf_dir: str,
                      k: int = 20) -> DataFrame:
+    """BM25 top-k retrieval served from the PERSISTED stats index
+    (X104, r13): the corpus statistics — N, total length, per-term df —
+    come from the build-once index (|query|-many term rows + one scalar
+    row, embedded as plan literals with the exact inline expression
+    structure, so scores are bit-identical to the inline twin below);
+    the per-query cost is ONE corpus scan of row-local tf/dl work plus
+    TakeOrdered.  The DuckDB oracle still computes stats inline from
+    the raw table — index vs inline can never diverge unnoticed
+    (tests/test_bm25_index.py pins bit-identity; the inline twin keeps
+    its own differential).  At 100 TB: the stats pass amortizes across
+    every retrieval query, and streaming ingest keeps the index current
+    (streaming/ingest.py bm25_stats_maintenance)."""
+    from ..operators.bm25 import bm25_topk_served
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk_served(spark, docs, bm25_stats_index(spark, sf_dir),
+                            BM25_QUERY_TERMS, k=k, k1=BM25_K1, b=BM25_B)
+
+
+def corpus_bm25_topk_inline(spark: SparkSession, sf_dir: str,
+                            k: int = 20) -> DataFrame:
     """BM25 top-k document retrieval against a fixed query term set
     (X98 [public knowledge: Robertson & Zaragoza 2009, the BM25
     probabilistic relevance function] — the scoring step of

@@ -117,3 +117,34 @@ def clean_ingest(stream_docs: DataFrame, index_dir: str, out_dir: str,
         .option("checkpointLocation", checkpoint)
         .foreachBatch(write_batch)
     )
+
+
+def bm25_stats_maintenance(stream_docs: DataFrame, index_dir: str,
+                           checkpoint: str,
+                           text_col: str = "text") -> DataStreamWriter:
+    """Streaming twin of the X104 BM25 stats index: each micro-batch of
+    landing documents folds into the persisted corpus statistics
+    (operators/bm25.ingest_bm25_stats) — the retrieval scorer always
+    serves CURRENT n_docs / avgdl / per-term df without ever re-scanning
+    the corpus.  Exactly-once under replay without streaming state: the
+    micro-batch id commits INSIDE the index's staged swap, so a replayed
+    batch either finds its id (no-op) or an index that never counted it
+    (identical merge) — the same two-window convergence argument as
+    clean_ingest's warehouse/index pair, here collapsed into ONE atomic
+    rename.  Caller picks the trigger::
+
+        q = bm25_stats_maintenance(stream, idx_dir, ckpt) \\
+            .trigger(availableNow=True).start()
+    """
+    from ..operators.bm25 import ingest_bm25_stats
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_bm25_stats(batch_df, index_dir, text_col=text_col,
+                          batch_id=batch_id)
+
+    return (
+        stream_docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )

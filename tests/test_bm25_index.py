@@ -10,8 +10,8 @@ import pyspark.sql.functions as F
 from dbt_demo_spark.operators.bm25 import (Bm25StatsIndex, bm25_topk_served,
                                            build_bm25_stats,
                                            ingest_bm25_stats)
-from dbt_demo_spark.queries.text_filters import (BM25_QUERY_TERMS,
-                                                 corpus_bm25_topk)
+from dbt_demo_spark.queries.text_filters import (
+    BM25_QUERY_TERMS, corpus_bm25_topk_inline)
 from dbt_demo_spark.sources.parquet import load_table
 from tests.conftest import SF_GATE
 
@@ -26,7 +26,7 @@ def test_served_matches_inline_on_gate_corpus(spark, tmp_path):
     metadata-weight index read, nothing else changes."""
     docs = _docs(spark)
     idx = build_bm25_stats(docs, str(tmp_path / "bm25"))
-    inline = corpus_bm25_topk(spark, SF_GATE).collect()
+    inline = corpus_bm25_topk_inline(spark, SF_GATE).collect()
     served = bm25_topk_served(spark, docs, idx, BM25_QUERY_TERMS).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in inline]
 
@@ -55,7 +55,7 @@ def test_two_batch_ingest_equals_one_shot(spark, tmp_path):
     # and the incrementally-maintained index serves the same top-k
     served_inc = bm25_topk_served(spark, docs, inc,
                                   BM25_QUERY_TERMS).collect()
-    inline = corpus_bm25_topk(spark, SF_GATE).collect()
+    inline = corpus_bm25_topk_inline(spark, SF_GATE).collect()
     assert [tuple(r) for r in served_inc] == [tuple(r) for r in inline]
 
 
@@ -69,3 +69,54 @@ def test_absent_term_contributes_zero(spark, tmp_path):
     plus = bm25_topk_served(
         spark, docs, idx, BM25_QUERY_TERMS + ("zzzznotaterm",)).collect()
     assert [tuple(r) for r in plus] == [tuple(r) for r in base]
+
+def test_streaming_maintenance_converges_and_replays(spark, tmp_path):
+    """streaming/ingest.py bm25_stats_maintenance: micro-batches of
+    landing documents fold into the persisted stats; the final index
+    equals the one-shot build, and BOTH replay windows converge — a
+    post-commit replay no-ops on its batch id (committed inside the
+    staged swap), a pre-commit replay merges into an index that never
+    counted the batch."""
+    from dbt_demo_spark.operators.bm25 import ingest_bm25_stats
+    from dbt_demo_spark.streaming.ingest import (bm25_stats_maintenance,
+                                                 read_document_stream)
+
+    docs = load_table(spark, SF_GATE, "documents")
+    landing = str(tmp_path / "landing")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    a.write.parquet(landing + "/batch_a")
+    b.write.parquet(landing + "/batch_b")
+
+    idx_dir = str(tmp_path / "idx")
+    stream = read_document_stream(spark, landing + "/*",
+                                  max_files_per_trigger=1)
+    q = (bm25_stats_maintenance(stream, idx_dir, str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    one = build_bm25_stats(docs.select("doc_id", "text"),
+                           str(tmp_path / "one"))
+    streamed = Bm25StatsIndex(idx_dir)
+    assert (spark.read.parquet(streamed.scalars_path).collect()
+            == spark.read.parquet(one.scalars_path).collect())
+    assert len(streamed.ingested_batches()) >= 1
+
+    # post-commit replay: re-invoking an already-committed batch id
+    # leaves the stats byte-identical (no double count)
+    before = spark.read.parquet(streamed.scalars_path).collect()
+    replay_id = max(streamed.ingested_batches())
+    ingest_bm25_stats(b, idx_dir, batch_id=replay_id)
+    assert spark.read.parquet(streamed.scalars_path).collect() == before
+
+    # pre-commit replay on the FIRST batch: a crash before the staged
+    # swap leaves no index at all, so the replayed batch rebuilds to the
+    # exact single-batch stats
+    fresh = str(tmp_path / "fresh")
+    ingest_bm25_stats(a, fresh, batch_id=0)
+    once = spark.read.parquet(Bm25StatsIndex(fresh).scalars_path).collect()
+    import shutil as _sh
+    _sh.rmtree(fresh)                      # crash window: nothing swapped
+    ingest_bm25_stats(a, fresh, batch_id=0)   # replay
+    assert (spark.read.parquet(Bm25StatsIndex(fresh).scalars_path)
+            .collect() == once)

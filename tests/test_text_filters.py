@@ -170,14 +170,16 @@ def test_row_local_plan_has_no_exchange(spark):
 
 
 def test_bm25_topk_matches_oracle_and_plan(spark):
-    """X98 BM25 top-k: DuckDB differential at the gate scale (identical
-    rounded scores AND identical k-set under the rounded-score+doc_id
-    order), plus the scale-shape asserts — no explode (term frequencies
-    are row-local higher-order functions), stats reach the scorer as a
-    1-row broadcast, and top-k executes as TakeOrdered, not a full
-    sort."""
+    """X98/X104 BM25 top-k: DuckDB differential at the gate scale
+    (identical rounded scores AND identical k-set under the
+    rounded-score+doc_id order), plus the scale-shape asserts.  The
+    catalog row serves stats from the persisted index as plan LITERALS
+    (r13) — its plan must show no explode, no extra exchange at all
+    (the stats pass is gone), and TakeOrdered; the inline twin keeps
+    the 1-row stats broadcast shape and its own differential."""
     from dbt_demo_spark.queries.text_filters import (CORPUS_BM25_ORACLE,
-                                                     corpus_bm25_topk)
+                                                     corpus_bm25_topk,
+                                                     corpus_bm25_topk_inline)
 
     con = duckdb_connection(SF_GATE)
     out = corpus_bm25_topk(spark, SF_GATE)
@@ -185,9 +187,19 @@ def test_bm25_topk_matches_oracle_and_plan(spark):
     assert res.ok, res.detail
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan          # no explode
-    assert "BroadcastExchange" in plan     # stats row broadcast
-    assert "TakeOrderedAndProject" in plan # top-k, not global sort
-    # larger scale too: same differential at sf0.1
+    assert "BroadcastExchange" not in plan  # stats are literals now
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+    inline = corpus_bm25_topk_inline(spark, SF_GATE)
+    res_i = compare("corpus_bm25_topk_inline", inline, con,
+                    CORPUS_BM25_ORACLE)
+    assert res_i.ok, res_i.detail
+    iplan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in iplan
+    assert "BroadcastExchange" in iplan    # inline: 1-row stats broadcast
+    assert "TakeOrderedAndProject" in iplan
+    # larger scale too: same differential at sf0.1 for the catalog row
     con1 = duckdb_connection("/root/testdata/sf0.1")
     res1 = compare("corpus_bm25_topk_sf01",
                    corpus_bm25_topk(spark, "/root/testdata/sf0.1"),
