@@ -120,3 +120,43 @@ def test_streaming_maintenance_converges_and_replays(spark, tmp_path):
     ingest_bm25_stats(a, fresh, batch_id=0)   # replay
     assert (spark.read.parquet(Bm25StatsIndex(fresh).scalars_path)
             .collect() == once)
+
+def test_ingest_associativity_property(spark, tmp_path):
+    """Property (hypothesis): for ANY partition of the corpus into
+    batches, sequential ingest reproduces the one-shot stats exactly —
+    df/N/sum_dl are integer partials, so batch order and boundaries
+    cannot matter."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs = _docs(spark).limit(60).cache()
+    docs.count()
+    one = build_bm25_stats(docs, str(tmp_path / "prop_one"))
+    want_scalars = spark.read.parquet(one.scalars_path).collect()
+    want_tdf = sorted(map(tuple,
+                          spark.read.parquet(one.term_df_path).collect()))
+    runs = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(cuts=st.sets(st.integers(min_value=1, max_value=59),
+                        max_size=3))
+    def check(cuts):
+        runs[0] += 1
+        path = str(tmp_path / f"prop_{runs[0]}")
+        bounds = sorted(cuts) + [60]
+        lo = 0
+        for hi in bounds:
+            batch = docs.filter((F.col("doc_id") % 60 >= lo)
+                                & (F.col("doc_id") % 60 < hi))
+            ingest_bm25_stats(batch, path)
+            lo = hi
+        idx = Bm25StatsIndex(path)
+        assert spark.read.parquet(idx.scalars_path).collect() \
+            == want_scalars
+        assert sorted(map(tuple, spark.read.parquet(
+            idx.term_df_path).collect())) == want_tdf
+
+    try:
+        check()
+    finally:
+        docs.unpersist()

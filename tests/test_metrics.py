@@ -881,3 +881,27 @@ metrics:
     with _pytest.raises(ValueError, match="no\\s+declared grain"):
         layer2.query({"events": df}, ["purchases"],
                      group_by=["event_month"], grain=None)
+
+def test_conversion_first_touch_global_and_empty(spark):
+    """first_touch edge cases: empty group_by (global frame — the
+    struct-MIN is single-field, the final agg is a 1-row global) and a
+    frame with zero conversion events (coalesces to 0, never loses the
+    totals row)."""
+    import datetime as _dt
+
+    layer = parse_metric_layer(_CONV_YAML)
+    rows = [(7, "view", _dt.datetime(2024, 3, 1, 10)),
+            (7, "view", _dt.datetime(2024, 3, 2, 10)),
+            (7, "purchase", _dt.datetime(2024, 3, 3, 10))]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    got = layer.query({"events": df}, ["view_conversions_ever"],
+                      group_by=[], grain=None).collect()
+    assert [r.view_conversions_ever for r in got] == [1]
+
+    no_conv = spark.createDataFrame(
+        [(7, "view", _dt.datetime(2024, 3, 1, 10))],
+        "user_id long, event_type string, ts timestamp")
+    got = layer.query({"events": no_conv}, ["view_conversions_ever"],
+                      group_by=[], grain=None).collect()
+    assert [r.view_conversions_ever for r in got] == [0]
