@@ -61,6 +61,13 @@ class ModelDef:
     batch_size: str = ""                 # hour | day | month | year
     lookback: int = 1                    # periods re-processed for late data
     begin: str = ""                      # first-build start timestamp
+    # aggregate strategy (X107, r13): fold NEW batch partials into an
+    # existing GRAIN mart — ((column, fn), ...) with fn in
+    # sum | count | min | max; unique_key is the grain key.  The model
+    # fn emits batch-level partials (typically bounded by
+    # watermark_col); the materialization combines them with the stored
+    # partials on the grain key, touching only affected partitions.
+    combine: tuple = ()
     tags: tuple[str, ...] = ()           # dbt tags (selection: tag:x)
     zorder_by: tuple[str, ...] = ()      # Morton-clustered file layout
     zorder_files: int = 0                # target file count (0 = let AQE)
@@ -101,7 +108,7 @@ class ModelRegistry:
                 f"model {mdef.name}: watermark_col only applies to "
                 "incremental materialization")
         if mdef.incremental_strategy not in ("insert_overwrite", "merge",
-                                             "microbatch"):
+                                             "microbatch", "aggregate"):
             raise ValueError(
                 f"model {mdef.name}: unknown incremental_strategy "
                 f"{mdef.incremental_strategy!r}")
@@ -138,19 +145,52 @@ class ModelRegistry:
                 raise ValueError(
                     f"model {mdef.name}: lookback only applies to the "
                     "microbatch strategy")
-        if mdef.incremental_strategy == "merge":
+        if mdef.incremental_strategy in ("merge", "aggregate"):
             if mdef.materialized != "incremental":
                 raise ValueError(
-                    f"model {mdef.name}: the merge strategy only applies "
-                    "to incremental materialization")
+                    f"model {mdef.name}: the {mdef.incremental_strategy} "
+                    "strategy only applies to incremental materialization")
             if not mdef.unique_key:
                 raise ValueError(
-                    f"model {mdef.name}: merge strategy requires "
-                    "unique_key")
+                    f"model {mdef.name}: {mdef.incremental_strategy} "
+                    "strategy requires unique_key")
         elif mdef.unique_key:
             raise ValueError(
                 f"model {mdef.name}: unique_key only applies to the "
-                "merge strategy")
+                "merge/aggregate strategies")
+        if mdef.incremental_strategy == "aggregate":
+            if not mdef.combine:
+                raise ValueError(
+                    f"model {mdef.name}: aggregate strategy requires "
+                    "combine ((column, fn) pairs)")
+            for item in mdef.combine:
+                if (not isinstance(item, tuple) or len(item) != 2
+                        or item[1] not in ("sum", "count", "min", "max")):
+                    raise ValueError(
+                        f"model {mdef.name}: combine entries must be "
+                        "(column, fn) with fn in sum | count | min | "
+                        f"max, got {item!r}")
+            overlap = set(mdef.unique_key) & {c for c, _ in mdef.combine}
+            if overlap:
+                raise ValueError(
+                    f"model {mdef.name}: combine columns overlap the "
+                    f"grain key: {sorted(overlap)}")
+            if mdef.bucket_by:
+                raise ValueError(
+                    f"model {mdef.name}: aggregate strategy folds via "
+                    "staged path swaps — bucketed (catalog-registered) "
+                    "layouts are not supported; bucket the SERVING mart "
+                    "built from this one instead")
+            if not set(mdef.partition_by) <= set(mdef.unique_key):
+                raise ValueError(
+                    f"model {mdef.name}: aggregate strategy partition "
+                    "columns must be part of the grain key (the fold "
+                    "prunes the existing mart to the partitions the "
+                    "batch touches)")
+        elif mdef.combine:
+            raise ValueError(
+                f"model {mdef.name}: combine only applies to the "
+                "aggregate strategy")
         if mdef.on_schema_change not in ("ignore", "fail",
                                          "append_new_columns"):
             raise ValueError(

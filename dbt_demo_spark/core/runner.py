@@ -707,6 +707,10 @@ class Runner:
                 df = self._materialize_merge(name, df, mdef.partition_by,
                                              mdef.unique_key,
                                              mdef.on_schema_change)
+            elif mdef.incremental_strategy == "aggregate":
+                df = self._materialize_aggregate(
+                    name, df, mdef.partition_by, mdef.unique_key,
+                    mdef.combine, mdef.on_schema_change)
             else:
                 df = self._materialize_incremental(name, df,
                                                    mdef.partition_by,
@@ -1174,6 +1178,115 @@ class Runner:
                                os.path.join(path, f))
         shutil.rmtree(stage, ignore_errors=True)
         return self._read_back(name, path, merge_schema=merge_schema)
+
+    def _materialize_aggregate(self, name: str, df: DataFrame,
+                               partition_by: tuple[str, ...],
+                               unique_key: tuple[str, ...],
+                               combine: tuple,
+                               on_schema_change: str = "ignore") -> DataFrame:
+        """``aggregate`` incremental strategy (X107, r13): fold NEW batch
+        PARTIALS into an existing grain mart.  The model fn emits
+        batch-level partials at the mart's grain (typically bounding its
+        source scans with watermark_col / is_incremental); this
+        materialization combines them with the stored partials on the
+        grain key using the declared associative functions —
+        sum/count add, min takes least, max greatest — so the folded
+        mart is bit-identical to a full rebuild (long arithmetic is
+        associative; pinned by the two-batch == one-shot pytest).
+
+        This is the growth story for the r13 grain-mart family
+        (partsupp offers, hourly user grain, BM25 stats): at 100 TB a
+        grain mart is never rebuilt — the day's batch folds in.  With
+        ``partition_by`` (required ⊆ grain key), the existing mart is
+        pre-pruned with a broadcast semi join on the batch's affected
+        partition values and ONLY those partitions are re-written and
+        swapped — the fold reads and writes O(affected), not O(mart).
+        Same stage-and-swap commit (and the same plain-parquet
+        non-atomicity caveat) as the merge strategy."""
+        keys = list(unique_key)
+        cmb = dict(combine)
+        extra = [c for c in df.columns if c not in keys and c not in cmb]
+        if extra:
+            raise ValueError(
+                f"model {name}: aggregate strategy output carries "
+                f"columns that are neither grain key nor combine "
+                f"columns: {extra} — every stored column must either "
+                "identify the grain or declare its fold function")
+        missing = [c for c in list(cmb) + keys if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"model {name}: aggregate strategy output is missing "
+                f"declared columns: {missing}")
+        path = os.path.join(self.warehouse_dir, name)
+        writer_cols = list(partition_by)
+        if not os.path.isdir(path):
+            w = df.write.mode("overwrite")
+            if writer_cols:
+                w = w.partitionBy(*writer_cols)
+            w.parquet(path)
+            return self._read_back(name, path)
+        if on_schema_change == "append_new_columns":
+            raise ValueError(
+                f"model {name}: on_schema_change='append_new_columns' "
+                "is unsupported for the aggregate strategy — an added "
+                "combine column has no stored partial to fold into; "
+                "full-refresh the mart instead")
+        self._check_schema_change(name, df, path, on_schema_change)
+
+        from pyspark.sql import functions as F
+
+        existing = self.spark.read.parquet(path)
+        if partition_by:
+            affected = df.select(*partition_by).distinct()
+            old_side = existing.join(F.broadcast(affected),
+                                     list(partition_by), "left_semi")
+        else:
+            old_side = existing
+        old, new = old_side.alias("old"), df.alias("new")
+        cond = None
+        for k in keys:
+            c = F.col(f"old.{k}").eqNullSafe(F.col(f"new.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = old.join(new, cond, "full_outer")
+        sel = [F.coalesce(F.col(f"old.{k}"), F.col(f"new.{k}")).alias(k)
+               for k in keys]
+        for c, fn in cmb.items():
+            o, n = F.col(f"old.{c}"), F.col(f"new.{c}")
+            if fn in ("sum", "count"):
+                e = F.when(o.isNull(), n).when(n.isNull(), o).otherwise(o + n)
+            elif fn == "min":
+                e = F.least(o, n)   # least/greatest skip NULLs
+            else:
+                e = F.greatest(o, n)
+            sel.append(e.alias(c))
+        merged = joined.select(*sel)
+
+        stage = path + "__stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        w = merged.write.mode("overwrite")
+        if writer_cols:
+            w = w.partitionBy(*writer_cols)
+        w.parquet(stage)
+        if writer_cols:
+            # replace exactly the staged (affected) partition directories
+            for root, _dirs, files in os.walk(stage):
+                if not any(f.startswith("part-") for f in files):
+                    continue
+                rel = os.path.relpath(root, stage)
+                target = os.path.join(path, rel)
+                shutil.rmtree(target, ignore_errors=True)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                os.replace(root, target)
+        else:
+            for f in os.listdir(path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(path, f))
+            for f in os.listdir(stage):
+                if f.startswith("part-"):
+                    os.replace(os.path.join(stage, f),
+                               os.path.join(path, f))
+        shutil.rmtree(stage, ignore_errors=True)
+        return self._read_back(name, path)
 
     def show(self, sources: dict[str, DataFrame], name: str,
              n: int = 5) -> list:

@@ -753,3 +753,154 @@ def test_snapshot_hard_deletes_downgrade_raises_clearly(spark, tmp_path):
             sr.run(bad, _loans(spark, [("L1", 100, "active",
                                         "2023-01-01 00:00:00")]),
                    as_of=F.lit("2023-02-01 00:00:00"))
+
+def _offer_model(**over):
+    """Offer-grain aggregate model: per-(part, supplier) MIN cost,
+    SUM revenue partials, COUNT rows — the X107 fold test model."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.model import ModelDef
+
+    base = dict(
+        name="offers", deps=("li",), materialized="incremental",
+        incremental_strategy="aggregate",
+        unique_key=("pk", "sk"),
+        combine=(("min_cost", "min"), ("rev", "sum"), ("n", "count")),
+        fn=lambda refs: (
+            refs["li"].groupBy(F.col("l_partkey").alias("pk"),
+                               F.col("l_suppkey").alias("sk"))
+            .agg(F.min(F.col("cost_units")).alias("min_cost"),
+                 F.sum(F.col("cost_units")).alias("rev"),
+                 F.count(F.lit(1)).alias("n"))))
+    base.update(over)
+    return ModelDef(**base)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, cost_units long")
+
+
+def test_aggregate_strategy_fold_equals_one_shot(spark, tmp_path):
+    """X107 aggregate incremental: folding two batches reproduces the
+    one-shot aggregate bit-for-bit (sum/count add, min takes least) —
+    the grain mart never rebuilds, new partials combine on the key."""
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    a = [(1, 10, 500), (1, 10, 300), (2, 20, 900)]
+    b = [(1, 10, 200), (3, 30, 700), (2, 20, 100)]
+
+    reg = ModelRegistry()
+    reg.register(_offer_model())
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        r.run({"li": _li(spark, a)})
+        folded = r.run({"li": _li(spark, b)})["offers"]
+        got = sorted(map(tuple, folded.collect()))
+    finally:
+        r.clean()
+
+    reg2 = ModelRegistry()
+    reg2.register(_offer_model())
+    r2 = Runner(spark, reg2, str(tmp_path / "wh2"))
+    try:
+        one = r2.run({"li": _li(spark, a + b)})["offers"]
+        want = sorted(map(tuple, one.collect()))
+    finally:
+        r2.clean()
+    assert got == want
+    assert (1, 10, 200, 1000, 3) in got     # min folded, sum added
+    assert (3, 30, 700, 700, 1) in got      # new key inserted
+
+
+def test_aggregate_strategy_partition_pruned_fold(spark, tmp_path):
+    """With partition_by (⊆ grain key), a fold touches ONLY the
+    partitions the batch hits: untouched partition directories keep
+    their exact files (byte-level untouched), and the combined result
+    is still the one-shot aggregate."""
+    import os
+
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    def files_of(part_dir):
+        return sorted(
+            (f, os.path.getmtime(os.path.join(part_dir, f)))
+            for f in os.listdir(part_dir) if f.startswith("part-"))
+
+    a = [(1, 10, 500), (2, 20, 900)]       # partitions pk=1, pk=2
+    b = [(2, 20, 100), (3, 30, 700)]       # touches pk=2, pk=3 only
+
+    reg = ModelRegistry()
+    reg.register(_offer_model(partition_by=("pk",)))
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        r.run({"li": _li(spark, a)})
+        p1 = str(tmp_path / "wh" / "offers" / "pk=1")
+        before = files_of(p1)
+        folded = r.run({"li": _li(spark, b)})["offers"]
+        got = sorted(map(tuple, folded.select(
+            "pk", "sk", "min_cost", "rev", "n").collect()))
+        assert files_of(p1) == before       # pk=1 never rewritten
+        assert got == [(1, 10, 500, 500, 1), (2, 20, 100, 1000, 2),
+                       (3, 30, 700, 700, 1)]
+    finally:
+        r.clean()
+
+
+def test_aggregate_strategy_error_matrix(spark, tmp_path):
+    """Declaration-time and materialization-time fail-loud cases."""
+    import pytest as _pytest
+
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    def reg_of(**over):
+        reg = ModelRegistry()
+        reg.register(_offer_model(**over))
+        return reg
+
+    with _pytest.raises(ValueError, match="requires\\s+combine"):
+        reg_of(combine=())
+    with _pytest.raises(ValueError, match="sum | count | min | max"):
+        reg_of(combine=(("min_cost", "median"),))
+    with _pytest.raises(ValueError, match="overlap the"):
+        reg_of(combine=(("pk", "min"),))
+    with _pytest.raises(ValueError, match="requires unique_key"):
+        reg_of(unique_key=())
+    with _pytest.raises(ValueError, match="part of the grain key"):
+        reg_of(partition_by=("min_cost",))
+    with _pytest.raises(ValueError, match="bucketed"):
+        reg_of(bucket_by=("pk",), n_buckets=4)
+    with _pytest.raises(ValueError, match="only applies to the"):
+        # combine outside the aggregate strategy
+        reg = ModelRegistry()
+        reg.register(_offer_model(incremental_strategy="merge",
+                                  combine=(("rev", "sum"),)))
+    with _pytest.raises(ValueError, match="append_new_columns"):
+        reg = ModelRegistry()
+        reg.register(_offer_model(on_schema_change="append_new_columns"))
+        r = Runner(spark, reg, str(tmp_path / "wh_e"))
+        try:
+            r.run({"li": _li(spark, [(1, 10, 5)])})
+            r.run({"li": _li(spark, [(1, 10, 6)])})
+        finally:
+            r.clean()
+
+    # output carrying an undeclared column fails loud
+    import pyspark.sql.functions as F
+    reg = ModelRegistry()
+    reg.register(_offer_model(fn=lambda refs: (
+        refs["li"].groupBy(F.col("l_partkey").alias("pk"),
+                           F.col("l_suppkey").alias("sk"))
+        .agg(F.min("cost_units").alias("min_cost"),
+             F.sum("cost_units").alias("rev"),
+             F.count(F.lit(1)).alias("n"),
+             F.max("cost_units").alias("stray")))))
+    r = Runner(spark, reg, str(tmp_path / "wh_x"))
+    try:
+        with _pytest.raises(ValueError, match="stray"):
+            r.run({"li": _li(spark, [(1, 10, 5)])})
+    finally:
+        r.clean()
