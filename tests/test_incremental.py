@@ -904,3 +904,54 @@ def test_aggregate_strategy_error_matrix(spark, tmp_path):
             r.run({"li": _li(spark, [(1, 10, 5)])})
     finally:
         r.clean()
+
+def test_offer_mart_incremental_maintenance_end_to_end(spark, tmp_path):
+    """X106 + X107 together: the partsupp offer grain (the r13 mart
+    behind tpch_q2/q11) maintained INCREMENTALLY — new lineitem batches
+    fold into the stored offer partials instead of rebuilding — and the
+    folded mart still reproduces the per-part MIN/SUM rollups of a
+    one-shot build over the full fact.  This is the production growth
+    path; the catalog's bucketed build-once variant stays the serving
+    layout."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+    from dbt_demo_spark.functions.numeric import scaled_long
+    from dbt_demo_spark.queries.tpch import _revenue_cents
+    from dbt_demo_spark.sources.parquet import load_table
+    from tests.conftest import SF_GATE
+
+    li = load_table(spark, SF_GATE, "lineitem")
+    batch1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    batch2 = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    def offer_model():
+        return ModelDef(
+            name="offers", deps=("lineitem",),
+            materialized="incremental", incremental_strategy="aggregate",
+            unique_key=("l_partkey", "l_suppkey"),
+            combine=(("min_cost_units", "min"), ("revenue_units", "sum")),
+            fn=lambda refs: (
+                refs["lineitem"].groupBy("l_partkey", "l_suppkey")
+                .agg(F.min(scaled_long(F.col("l_extendedprice")))
+                     .alias("min_cost_units"),
+                     F.sum(_revenue_cents()).alias("revenue_units"))))
+
+    reg = ModelRegistry()
+    reg.register(offer_model())
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        r.run({"lineitem": batch1})
+        folded = r.run({"lineitem": batch2})["offers"]
+        got = sorted(map(tuple, folded.collect()))
+    finally:
+        r.clean()
+
+    # one-shot ground truth over the full fact (what the catalog's
+    # build-once mart computes)
+    one_shot = (li.groupBy("l_partkey", "l_suppkey")
+                .agg(F.min(scaled_long(F.col("l_extendedprice")))
+                     .alias("min_cost_units"),
+                     F.sum(_revenue_cents()).alias("revenue_units")))
+    assert got == sorted(map(tuple, one_shot.collect()))
