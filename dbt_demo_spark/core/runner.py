@@ -484,7 +484,16 @@ class Runner:
                  ",".join(mdef.bucket_by), str(mdef.n_buckets),
                  mdef.watermark_col, ",".join(mdef.zorder_by),
                  str(mdef.zorder_files),
-                 ",".join("=".join(c) for c in mdef.contract)]
+                 ",".join("=".join(c) for c in mdef.contract),
+                 # EVERY materialization-affecting field participates: a
+                 # changed strategy / merge key / fold spec / schema
+                 # policy / microbatch window must rebuild — omitting
+                 # them let refresh="changed" false-skip onto a table
+                 # built under the OLD semantics (r13 review)
+                 mdef.incremental_strategy, ",".join(mdef.unique_key),
+                 ",".join(f"{c}={fn}" for c, fn in mdef.combine),
+                 mdef.on_schema_change, mdef.event_time, mdef.batch_size,
+                 str(mdef.lookback), mdef.begin]
         try:
             parts.append(inspect.getsource(mdef.fn))
             # SQL-text models share the adapter factory's Python source;

@@ -647,3 +647,39 @@ def test_empty_run_microbatch_raises(spark, tmp_path):
             r.run({"ev": ev}, empty=True)
     finally:
         r.clean()
+
+def test_changed_materialization_params_invalidate_state(spark, tmp_path):
+    """r13 review: the build-state fingerprint must cover EVERY
+    materialization-affecting field — before this fix a model whose
+    incremental unique_key (or strategy / combine / on_schema_change /
+    microbatch window) changed kept the SAME fingerprint, and a
+    refresh="changed" run false-skipped onto a table built under the
+    old semantics."""
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, v long") \
+        .write.parquet(str(tmp_path / "src"))
+    src = spark.read.parquet(str(tmp_path / "src"))
+
+    def build(unique_key):
+        reg = ModelRegistry()
+        reg.register(ModelDef(
+            name="m", deps=("src",), materialized="incremental",
+            incremental_strategy="merge", unique_key=unique_key,
+            fn=lambda refs: refs["src"].selectExpr("k", "v")))
+        return Runner(spark, reg, str(tmp_path / "wh"))
+
+    r = build(("k",))
+    try:
+        r.run({"src": src})
+        r.run({"src": src}, refresh="changed")
+        assert "m" in r.last_refresh_report["skipped"]  # sanity: can skip
+    finally:
+        pass
+    # SAME warehouse, changed unique_key: must REBUILD, not skip
+    r2 = build(("k", "v"))
+    try:
+        r2.run({"src": src}, refresh="changed")
+        assert "m" in r2.last_refresh_report["built"]
+    finally:
+        r2.clean()
