@@ -1245,6 +1245,17 @@ class Runner:
         from pyspark.sql import functions as F
 
         existing = self.spark.read.parquet(path)
+        drift = (set(existing.columns) ^ set(df.columns))
+        if drift:
+            # even under on_schema_change='ignore' the fold cannot
+            # proceed: a column on one side only has no stored/new
+            # partial to combine with — fail with the real reason
+            # instead of an opaque missing-column AnalysisException
+            raise ValueError(
+                f"model {name}: aggregate fold schema drift "
+                f"({sorted(drift)} on one side only) — every grain/"
+                "combine column must exist in both the stored mart and "
+                "the batch output; full-refresh to change the schema")
         if partition_by:
             affected = df.select(*partition_by).distinct()
             old_side = existing.join(F.broadcast(affected),

@@ -955,3 +955,35 @@ def test_offer_mart_incremental_maintenance_end_to_end(spark, tmp_path):
                      .alias("min_cost_units"),
                      F.sum(_revenue_cents()).alias("revenue_units")))
     assert got == sorted(map(tuple, one_shot.collect()))
+
+def test_aggregate_strategy_schema_drift_fails_loud(spark, tmp_path):
+    """Even under on_schema_change='ignore', a fold against a mart whose
+    stored schema differs from the batch output raises the real reason,
+    not an opaque missing-column AnalysisException."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    reg = ModelRegistry()
+    reg.register(_offer_model())
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    try:
+        r.run({"li": _li(spark, [(1, 10, 5)])})
+    finally:
+        pass
+    reg2 = ModelRegistry()
+    reg2.register(_offer_model(
+        combine=(("min_cost", "min"), ("rev", "sum")),
+        fn=lambda refs: (
+            refs["li"].groupBy(F.col("l_partkey").alias("pk"),
+                               F.col("l_suppkey").alias("sk"))
+            .agg(F.min("cost_units").alias("min_cost"),
+                 F.sum("cost_units").alias("rev")))))
+    r2 = Runner(spark, reg2, str(tmp_path / "wh"))
+    try:
+        with _pytest.raises(ValueError, match="schema drift"):
+            r2.run({"li": _li(spark, [(1, 10, 6)])})
+    finally:
+        r2.clean()
