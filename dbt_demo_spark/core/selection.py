@@ -68,7 +68,14 @@ def node_code_state(registry: ModelRegistry) -> dict[str, str | None]:
                  m.incremental_strategy, ",".join(m.unique_key),
                  ",".join(m.zorder_by), str(m.zorder_files),
                  ",".join("=".join(c) for c in m.contract),
-                 ",".join(m.deps), ",".join(sorted(m.tags))]
+                 ",".join(m.deps), ",".join(sorted(m.tags)),
+                 # r13: EVERY materialization-affecting field counts as
+                 # code — a changed fold spec / schema policy /
+                 # microbatch window is a modified node (mirrors the
+                 # runner's build-state fingerprint)
+                 ",".join(f"{c}={fn}" for c, fn in m.combine),
+                 m.on_schema_change, m.event_time, m.batch_size,
+                 str(m.lookback), m.begin]
         try:
             parts.append(inspect.getsource(m.fn))
             parts.append(getattr(m.fn, "__sql_text__", ""))

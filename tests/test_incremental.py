@@ -987,3 +987,23 @@ def test_aggregate_strategy_schema_drift_fails_loud(spark, tmp_path):
             r2.run({"li": _li(spark, [(1, 10, 6)])})
     finally:
         r2.clean()
+
+def test_state_modified_sees_materialization_param_changes(spark):
+    """r13: node_code_state (the state:modified comparator) must change
+    when ANY materialization-affecting field changes — fold spec,
+    on_schema_change, microbatch window — mirroring the runner's
+    build-state fingerprint fix."""
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.selection import node_code_state
+
+    def state_of(**over):
+        reg = ModelRegistry()
+        reg.register(_offer_model(**over))
+        return node_code_state(reg)["offers"]
+
+    base = state_of()
+    assert base is not None
+    assert state_of(combine=(("min_cost", "min"), ("rev", "sum"),
+                             ("n", "sum"))) != base
+    assert state_of(on_schema_change="fail") != base
+    assert state_of(unique_key=("pk",)) != base
