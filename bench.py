@@ -51,6 +51,53 @@ def loadavg() -> tuple[float, float, float]:
     return float(a), float(b), float(c)
 
 
+# CONTAMINATION SELF-GUARD (r14, VERDICT r13 item 1).  BENCH_r13 recorded a
+# 19.2s throughput that never happened: the machine-speed probe pair read
+# [0.33, 0.116] — the host was ~3x slower DURING the timed passes than
+# right after them — yet the JSON still presented the number unflagged
+# (load_contaminated samples one instant and missed the sustained
+# pressure).  The probe already measures the truth; this acts on it:
+# a before/after ratio beyond PROBE_RATIO_MAX means the machine's speed
+# CHANGED across the timed region, so the walls measured something other
+# than the code.  Independent r13 re-runs reproduce the signature:
+# 11.885s wall at probe 0.184 while pytest load drained, 2.263s at a
+# clean 0.147/0.116 pair, identical code.
+PROBE_RATIO_MAX = 1.3
+
+
+def probe_contaminated(probe_before: float, probe_after: float,
+                       ratio_max: float = PROBE_RATIO_MAX) -> bool:
+    """True when the machine-speed probe pair shows the host ran at
+    materially different speeds before vs after the timed passes —
+    i.e. the wall-clock numbers in between are untrustworthy.
+
+    Direction-agnostic: contamination draining away mid-run (slow
+    before, fast after — the BENCH_r13 shape) and arriving mid-run
+    (fast before, slow after) both invalidate the walls.  Non-positive
+    probes are impossible for a real timed workload and are treated as
+    contaminated rather than risking a ZeroDivision pass-through.
+    """
+    lo, hi = sorted((probe_before, probe_after))
+    if lo <= 0.0:
+        return True
+    return hi / lo > ratio_max
+
+
+def pick_attempt(attempts: list[dict]) -> dict:
+    """Choose the attempt of record from timed-region attempts.
+
+    First clean-probe attempt wins (its walls were measured on a
+    constant-speed machine).  If every attempt is contaminated, take
+    the one with the lowest throughput wall — the least-taxed
+    measurement — and the caller stamps machine_contaminated so the
+    number can never silently become the number of record.
+    """
+    for a in attempts:
+        if not a["machine_contaminated"]:
+            return a
+    return min(attempts, key=lambda a: a["value"])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "16"))
@@ -127,8 +174,6 @@ def main() -> None:
                 .format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
-
-    probe_before = machine_probe()
 
     names = [name for name, spec in CATALOG.items() if spec.bench]
 
@@ -218,43 +263,76 @@ def main() -> None:
             # the block so every query reads the cached projections
             dfs.update({n: CATALOG[n].fn(spark, sf_dir) for n in names
                         if n not in two_pass})
-        # Flush filesystem writeback BEFORE the clock starts (r13): handle
-        # construction above just (re)wrote the bucketed/grain marts and
-        # ANN indexes into .mart_cache, and a PRIOR process may have left
-        # its own dirty pages — background writeback then competes with
-        # the timed reads of those same files.  r13 measured the pattern:
-        # the first bench after another Spark JVM read ~13.8s sequential
-        # vs 10.9s on the immediate re-run, with the CPU probe IDENTICAL
-        # (0.17s both) and the inflation concentrated in mart/index-
-        # reading rows.  sync() moves the flush off the clock
-        # deterministically instead of letting it tax run #1.
-        os.sync()
-        time.sleep(2.0)
-        passes = []
-        for _ in range(3):
-            spark._jvm.System.gc()
-            time.sleep(1.0)
-            passes.append({name: run(name) for name in names})
-        timings = {name: round(min(p[name] for p in passes), 3)
-                   for name in names}
-        sequential_total = round(sum(timings.values()), 3)
-        sequential_relational = round(
-            sum(t for n, t in timings.items() if n not in NON_RELATIONAL), 3)
 
-        # THROUGHPUT: full workload concurrently, wall-clock; best of 3
-        # passes to damp thread-scheduler/GC/ambient noise (r6 measured
-        # back-to-back full-bench walls spanning 3.8-8.5s under shared-host
-        # load; the DuckDB side of tools/scale_bench.py uses the same pass
-        # count).
-        walls = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            with ThreadPoolExecutor(threads) as ex:
-                list(ex.map(run, names))
-            walls.append(time.perf_counter() - t0)
-        throughput_wall = round(min(walls), 3)
+        def timed_region() -> dict:
+            """One full measurement: sync, probe, power pass (min of 3),
+            throughput pass (min of 3), probe again.  The probe pair
+            brackets everything timed, so a ratio beyond PROBE_RATIO_MAX
+            proves the machine changed speed mid-measurement."""
+            # Flush filesystem writeback BEFORE the clock starts (r13):
+            # handle construction above just (re)wrote the bucketed/grain
+            # marts and ANN indexes into .mart_cache, and a PRIOR process
+            # may have left its own dirty pages — background writeback then
+            # competes with the timed reads of those same files.  r13
+            # measured the pattern: the first bench after another Spark JVM
+            # read ~13.8s sequential vs 10.9s on the immediate re-run, with
+            # the CPU probe IDENTICAL (0.17s both) and the inflation
+            # concentrated in mart/index-reading rows.  sync() moves the
+            # flush off the clock deterministically.
+            os.sync()
+            time.sleep(2.0)
+            probe_before = machine_probe()
+            passes = []
+            for _ in range(3):
+                spark._jvm.System.gc()
+                time.sleep(1.0)
+                passes.append({name: run(name) for name in names})
+            timings = {name: round(min(p[name] for p in passes), 3)
+                       for name in names}
+            # THROUGHPUT: full workload concurrently, wall-clock; best of 3
+            # passes to damp thread-scheduler/GC/ambient noise (r6 measured
+            # back-to-back full-bench walls spanning 3.8-8.5s under
+            # shared-host load; the DuckDB side of tools/scale_bench.py
+            # uses the same pass count).
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                with ThreadPoolExecutor(threads) as ex:
+                    list(ex.map(run, names))
+                walls.append(time.perf_counter() - t0)
+            probe_after = machine_probe()
+            return {
+                "queries": timings,
+                "sequential_total_sec": round(sum(timings.values()), 3),
+                "sequential_relational_sec": round(
+                    sum(t for n, t in timings.items()
+                        if n not in NON_RELATIONAL), 3),
+                "value": round(min(walls), 3),
+                "probe": [probe_before, probe_after],
+                "machine_contaminated": probe_contaminated(
+                    probe_before, probe_after),
+            }
 
-    probe_after = machine_probe()
+        # Measure; if the probe pair flags contamination, re-run the whole
+        # timed region ONCE (the r13 writeback/co-tenant pressure that
+        # produced the 19.2s phantom drains within one full pass) — the
+        # retry's own probes decide whether the flag sticks.
+        attempts = [timed_region()]
+        if attempts[0]["machine_contaminated"]:
+            print(json.dumps({
+                "event": "probe_contamination_retry",
+                "probe": attempts[0]["probe"],
+                "discarded_value": attempts[0]["value"],
+            }), file=sys.stderr)
+            attempts.append(timed_region())
+
+    chosen = pick_attempt(attempts)
+    timings = chosen["queries"]
+    sequential_total = chosen["sequential_total_sec"]
+    sequential_relational = chosen["sequential_relational_sec"]
+    throughput_wall = chosen["value"]
+    probe_before, probe_after = chosen["probe"]
+    machine_contaminated = chosen["machine_contaminated"]
 
     # Scale evidence lives in the committed SCALE_BENCH.json (produced by
     # tools/make_scale.py + tools/scale_bench.py): a Spark-vs-DuckDB pair
@@ -304,6 +382,13 @@ def main() -> None:
         # across runs before attributing a wall-clock delta to code
         "machine_probe_before_sec": probe_before,
         "machine_probe_after_sec": probe_after,
+        # True when the probe pair's ratio exceeds PROBE_RATIO_MAX even
+        # after the one automatic retry: the machine changed speed across
+        # the timed region and the walls above measured the host, not the
+        # code (the BENCH_r13 19.2s phantom, probe [0.33, 0.116]).  Never
+        # trust value/sequential_total_sec from a run with this flag set.
+        "machine_contaminated": machine_contaminated,
+        "timed_attempts": len(attempts),
         "metric": "catalog_workload_wall_sec",
         "sequential_relational_sec": sequential_relational,
         "sequential_total_sec": sequential_total,
@@ -323,6 +408,7 @@ def main() -> None:
         "load1_before": load_before[0],
         "load_contaminated": load_contaminated,
         "probe": [probe_before, probe_after],
+        "machine_contaminated": machine_contaminated,
     }))
     sys.stdout.flush()
     spark.stop()

@@ -192,17 +192,27 @@ def _metrics_section(layer) -> str:
                                f"{m.conversion_measure} by {m.entity}"
                                + (f" within {m.window}" if m.window
                                   else "")
-                               + (" (window inclusive of base ts; "
-                                  "first-touch attribution — each "
-                                  "conversion event counts at most one "
-                                  "base event, MetricFlow semantics)"
-                                  if m.attribution == "first_touch" else
+                               + {"last_touch":
+                                  " (window inclusive of base ts; "
+                                  "last-touch attribution — each "
+                                  "conversion event attributed to the "
+                                  "most recent in-window base event, "
+                                  "counting conversion events; "
+                                  "MetricFlow semantics)",
+                                  "earliest_touch":
+                                  " (window inclusive of base ts; "
+                                  "attribution: earliest_touch — "
+                                  "earliest base event, counting "
+                                  "distinct attributed base events; "
+                                  "deviation from MetricFlow, opt-out "
+                                  "of the default last_touch)",
+                                  "unattributed":
                                   " (window inclusive of base ts; "
                                   "attribution: unattributed — one "
                                   "conversion event may convert several "
                                   "base events; deviation from full "
                                   "MetricFlow, opt-out of the default "
-                                  "first_touch)"))
+                                  "last_touch)"}[m.attribution])
                 }.get(m.type, "")
         rows.append(f"<tr><td><code>{e(m.name)}</code></td>"
                     f"<td>{e(m.type)}</td><td>{e(what)}</td></tr>")

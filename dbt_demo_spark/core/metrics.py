@@ -110,13 +110,21 @@ class Metric:
     conversion_filter: str = ""  # lite extension: SQL predicate on the
                                  # conversion model's rows (stands in
                                  # for a filtered semantic model)
-    attribution: str = "first_touch"  # conversion (r13): "first_touch"
-                                 # (MetricFlow semantics — each
-                                 # conversion event attributed to at
-                                 # most one base event, the earliest in
-                                 # window) | "unattributed" (the pre-r13
-                                 # lite opt-out: one conversion event
-                                 # may convert several base events)
+    attribution: str = "last_touch"  # conversion (r14, ADVICE r13):
+                                 # "last_touch" (MetricFlow semantics —
+                                 # each conversion EVENT attributed to
+                                 # the MOST RECENT in-window base
+                                 # event, counting conversion events) |
+                                 # "earliest_touch" (the r13 deviation,
+                                 # renamed from first_touch: earliest
+                                 # base, counts DISTINCT attributed
+                                 # base events) | "unattributed" (the
+                                 # pre-r13 lite opt-out: one conversion
+                                 # event may convert several base
+                                 # events).  "first_touch" is rejected
+                                 # with a migration error — its r13
+                                 # behavior was earliest_touch while
+                                 # claiming MetricFlow parity.
     # X100 [public MetricFlow surface: measure-input properties on
     # simple metrics — fill_nulls_with: <literal> and
     # join_to_timespine: true].  fill_nulls_with replaces NULL metric
@@ -428,24 +436,26 @@ class MetricLayer:
     # counts converted base events, `conversion_rate` divides by all
     # base events.
     #
-    # ATTRIBUTION (r13, VERDICT r12 item 5): default `first_touch`
-    # matches MetricFlow — each conversion EVENT is attributed to at
-    # most one base event, the earliest base in its window (ties on
-    # base_ts broken by the lexicographically smallest dim tuple, a
-    # deterministic stand-in for MetricFlow's arbitrary row_number
-    # pick); a base event counts once however many conversions
-    # attribute to it, and identical duplicate base rows collapse to
-    # one attribution target.  The pre-r13 lite semantics — one
-    # conversion event may convert several base events of the same
-    # entity — remain as the documented opt-out
-    # `attribution: unattributed`.  Scale shape (both modes): ONE
+    # ATTRIBUTION (r14, ADVICE r13 medium): default `last_touch`
+    # matches MetricFlow — each conversion EVENT is attributed to the
+    # MOST RECENT base event in its window (MetricFlow's SQL:
+    # first_value ... ORDER BY base ts DESC over the candidate pairs),
+    # group-by dims come from that base event, and the metric counts
+    # attributed CONVERSION events — two conversions inside one base's
+    # window count 2.  `earliest_touch` keeps the r13 behavior under
+    # an honest name (it shipped as `first_touch` mis-documented as
+    # MetricFlow parity): earliest base, counting DISTINCT attributed
+    # base events; `first_touch` itself now raises a migration error
+    # so existing YAML cannot silently change meaning.  The pre-r13
+    # lite semantics — one conversion event may convert several base
+    # events of the same entity — remain as the documented opt-out
+    # `attribution: unattributed`.  Scale shape (all modes): ONE
     # entity-keyed join (the range rides the equi-join condition,
-    # never a cartesian); first_touch adds a (conv-event)-grain
-    # aggregate and a distinct over attributed bases — both frames are
-    # candidate-pair-sized, never fact re-scans.  Metric-level
-    # `filter` narrows BASE rows (same contract as simple metrics);
-    # `conversion_filter` is the lite stand-in for a filtered
-    # conversion semantic model.
+    # never a cartesian); the attributed modes add a (conv-event)-
+    # grain aggregate over candidate pairs — candidate-pair-sized,
+    # never fact re-scans.  Metric-level `filter` narrows BASE rows
+    # (same contract as simple metrics); `conversion_filter` is the
+    # lite stand-in for a filtered conversion semantic model.
 
     def _model_time_expr(self, sm: SemanticModel) -> str:
         tds = [d for d in sm.dimensions.values() if d.type == "time"]
@@ -508,18 +518,51 @@ class MetricLayer:
                     f"conversion metric {m.name!r}: window "
                     f"{m.window!r} — expected 'N unit'") from None
         gcols = [F.col(g) for g in group_by]
-        if m.attribution == "first_touch":
-            # MetricFlow semantics: each conversion EVENT attributes to
-            # at most one base event — the earliest in its window.  The
-            # same entity-keyed equi-join produces candidate pairs; a
-            # (conv-event)-grain MIN over the (base_ts, dims) struct
-            # picks the first touch (struct comparison is lexicographic,
-            # so base_ts leads and dim values break exact-ts ties
-            # deterministically); DISTINCT collapses multiple
-            # conversions attributing to the same base event AND
-            # identical duplicate base rows.  Two conversion events
-            # sharing (entity, ts) collapse into one attribution — they
-            # are indistinguishable rows of the conversion frame.
+        if m.attribution == "last_touch":
+            # MetricFlow semantics (r14, ADVICE r13): each conversion
+            # EVENT attributes to the MOST RECENT in-window base event
+            # (MetricFlow's generated SQL: first_value over the
+            # candidate pairs ordered by base ts DESC), its group-by
+            # dims come from THAT base event, and the metric counts
+            # attributed conversion EVENTS — two conversions inside one
+            # base's window count 2.  The conversion frame is
+            # pre-aggregated to (entity, ts, n_events) so identical
+            # duplicate conversion rows each count while the candidate
+            # join stays (conv-grain x candidate-bases)-sized; a
+            # (conv-event)-grain MAX over the (base_ts, dims) struct
+            # picks the last touch (struct comparison is lexicographic,
+            # so base_ts leads; exact-ts ties break on the
+            # lexicographically largest dim tuple — a deterministic
+            # stand-in for MetricFlow's arbitrary row_number pick).
+            cgrain = (cc.groupBy("__cent", "__cts")
+                      .agg(F.count(F.lit(1)).alias("__n")))
+            cond_g = (bb["__ent"] == cgrain["__cent"]) \
+                & (cgrain["__cts"] >= bb["__bts"])
+            if m.window:
+                count_s, unit = m.window.split()
+                cond_g = cond_g & (
+                    cgrain["__cts"] <= bb["__bts"]
+                    + F.expr(f"INTERVAL {int(count_s)} "
+                             f"{unit.rstrip('s')}"))
+            battr = F.struct(F.col("__bts"),
+                             *[F.col(g) for g in group_by])
+            attributed = (
+                cgrain.join(bb, cond_g, "inner")
+                .groupBy("__cent", "__cts")
+                .agg(F.max(battr).alias("__b"),
+                     F.min("__n").alias("__n"))  # constant per group
+                .select("__n", "__b.*"))
+            converted = (attributed.groupBy(*gcols)
+                         .agg(F.sum("__n").alias("__conv")))
+        elif m.attribution == "earliest_touch":
+            # The r13 behavior, renamed (it shipped as `first_touch`
+            # claiming MetricFlow parity; it is a documented DEVIATION):
+            # each conversion event attributes to the EARLIEST in-window
+            # base event (struct-MIN: base_ts leads, dim values break
+            # exact-ts ties), then the metric counts DISTINCT attributed
+            # BASE events — a base counts once however many conversions
+            # attribute to it, and identical duplicate base rows
+            # collapse to one attribution target.
             battr = F.struct(F.col("__bts"),
                              *[F.col(g) for g in group_by])
             attributed = (
@@ -713,7 +756,7 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             base_measure=_name_of(tp.get("base_measure")),
             conversion_measure=_name_of(tp.get("conversion_measure")),
             conversion_filter=str(tp.get("conversion_filter") or ""),
-            attribution=str(tp.get("attribution") or "first_touch"))
+            attribution=str(tp.get("attribution") or "last_touch"))
     for sq in doc.get("saved_queries", []) or []:
         qp = sq.get("query_params", {}) or {}
         layer.saved_queries[sq["name"]] = SavedQuery(
@@ -734,11 +777,27 @@ def parse_metric_layer(path_or_text: str) -> MetricLayer:
             raise ValueError(
                 f"conversion metric {m.name!r} needs entity, "
                 "base_measure, and conversion_measure")
+        if m.type == "conversion" and m.attribution == "first_touch":
+            # r13 shipped `first_touch` documented as MetricFlow parity
+            # while actually computing earliest-base/count-distinct-base
+            # (ADVICE r13, medium).  Rather than silently change what an
+            # existing YAML means, the old name is a hard error naming
+            # both successors.
+            raise ValueError(
+                f"conversion metric {m.name!r}: attribution "
+                "'first_touch' was renamed — use 'earliest_touch' for "
+                "its old behavior (earliest base event, counts distinct "
+                "attributed base events; a documented deviation from "
+                "MetricFlow) or 'last_touch' (the default: MetricFlow "
+                "semantics — most recent base event, counts conversion "
+                "events)")
         if (m.type == "conversion"
-                and m.attribution not in ("first_touch", "unattributed")):
+                and m.attribution not in ("last_touch", "earliest_touch",
+                                          "unattributed")):
             raise ValueError(
                 f"conversion metric {m.name!r}: attribution must be "
-                f"first_touch | unattributed, got {m.attribution!r}")
+                f"last_touch | earliest_touch | unattributed, got "
+                f"{m.attribution!r}")
         if ((m.fill_nulls_with is not None or m.join_to_timespine)
                 and m.type != "simple"):
             raise ValueError(

@@ -1256,10 +1256,41 @@ class Runner:
                 f"({sorted(drift)} on one side only) — every grain/"
                 "combine column must exist in both the stored mart and "
                 "the batch output; full-refresh to change the schema")
+        # The fold joins old/new partials 1:1 on the grain key — a batch
+        # carrying DUPLICATE grain rows would fan out the full_outer
+        # join, double-count the stored partials, and leave duplicate
+        # grain rows in the mart: silent corruption.  Fail loud instead
+        # (ADVICE r13): one bounded aggregation over the batch partials
+        # (O(batch), never the mart) proves grain uniqueness before
+        # anything is staged.  Models that legitimately emit sub-grain
+        # rows must pre-aggregate with their declared combine functions
+        # — that is a modeling decision, not something to guess here.
+        dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).limit(1).collect())
+        if dup:
+            bad = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"model {name}: aggregate strategy batch is not unique "
+                f"on the grain key {keys} (e.g. {bad} appears "
+                f"{dup[0]['__n']}x) — pre-aggregate the batch to the "
+                "mart grain with the declared combine functions before "
+                "emitting partials")
         if partition_by:
+            # prune the stored mart to the batch's affected partitions.
+            # eqNullSafe per partition column (mirroring the grain-key
+            # condition below): a name-based semi join compares with
+            # null-UNSAFE `=`, so a batch touching a NULL partition
+            # value would exclude the stored NULL-partition rows from
+            # the fold while the staged __HIVE_DEFAULT_PARTITION__
+            # directory still replaced the target — silently discarding
+            # stored partials (ADVICE r13).
             affected = df.select(*partition_by).distinct()
-            old_side = existing.join(F.broadcast(affected),
-                                     list(partition_by), "left_semi")
+            ex, af = existing.alias("ex"), affected.alias("af")
+            pcond = None
+            for p in partition_by:
+                c = F.col(f"ex.{p}").eqNullSafe(F.col(f"af.{p}"))
+                pcond = c if pcond is None else (pcond & c)
+            old_side = ex.join(F.broadcast(af), pcond, "left_semi")
         else:
             old_side = existing
         old, new = old_side.alias("old"), df.alias("new")

@@ -140,10 +140,29 @@ def ingest_bm25_stats(new_docs: DataFrame, path: str,
     bookkeeping commit together — a replay after the swap finds its id
     and no-ops; a replay after a crash BEFORE the swap merges against
     an index that never counted the batch, producing the identical
-    result.  Double-count is impossible in either window."""
+    result.  The commit itself is TWO renames (live→__old, stage→live),
+    not one: a crash between them leaves no index at ``path`` but the
+    full prior index at ``path + '__old'`` — the missing-index branch
+    below recovers from that backup before merging (ADVICE r13), so a
+    replay in that window still converges instead of silently
+    rebuilding from the replayed batch alone.  Double-count remains
+    impossible; the only non-replay-safe state would be losing BOTH
+    directories at once, which no single crash point produces."""
     idx = Bm25StatsIndex(path)
     if not os.path.isdir(idx.scalars_path):
-        return build_bm25_stats(new_docs, path, text_col, batch_id)
+        backup = Bm25StatsIndex(path + "__old")
+        if os.path.isdir(backup.scalars_path):
+            # crash landed between the two commit renames: the live
+            # index was moved to __old but the merged stage never moved
+            # in.  Restore the backup as live and fall through to the
+            # normal merge — the stage's merge was never committed
+            # (its batch id is absent from the restored bookkeeping),
+            # so re-merging the replayed batch is exact, and the stale
+            # stage is clobbered by the rmtree below.
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(backup.path, path)
+        else:
+            return build_bm25_stats(new_docs, path, text_col, batch_id)
     done = idx.ingested_batches()
     if batch_id is not None and batch_id in done:
         return idx  # post-commit replay: already counted

@@ -1174,17 +1174,20 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain mart dedupes to user grain once at build (990k of events' 1M
     rows at sf1 — 'a grain that barely reduces is a mart', the
     AGG_GRAIN precedent) and is bucketed on hour_start, so this rollup
-    is exchange-free: count(*) over the grain IS the exact distinct
-    user count (group-then-count), and n/value_units are associative
-    long partials.  The DuckDB oracle still computes from raw events.
-    events_hourly_rollup_rawscan keeps the fact-scan plan for the
-    receipt and the equivalence pytest."""
+    is exchange-free: count(user_id) over the grain IS the exact
+    distinct user count (group-then-count; counting the COLUMN skips a
+    NULL-user grain row exactly as COUNT(DISTINCT user_id) ignores
+    NULLs — ADVICE r13; NULL-user EVENTS still land in n_events/
+    total_value, same as the oracle's COUNT(*)/SUM), and n/value_units
+    are associative long partials.  The DuckDB oracle still computes
+    from raw events.  events_hourly_rollup_rawscan keeps the fact-scan
+    plan for the receipt and the equivalence pytest."""
     g = hourly_user_grain_mart(spark, sf_dir)
     return (
         g.groupBy("hour_start", "event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.count(F.lit(1)).alias("n_users"),
+            F.count("user_id").alias("n_users"),
             (F.sum("value_units") / 100.0).alias("total_value"),
         )
     )

@@ -121,6 +121,47 @@ def test_streaming_maintenance_converges_and_replays(spark, tmp_path):
     assert (spark.read.parquet(Bm25StatsIndex(fresh).scalars_path)
             .collect() == once)
 
+def test_mid_commit_crash_recovers_from_backup(spark, tmp_path):
+    """ADVICE r13 (low): the ingest commit is TWO renames (live→__old,
+    stage→live); a crash between them leaves no index at ``path`` but
+    the full prior index at ``path + '__old'``.  A replayed batch in
+    that window must recover the backup and MERGE — the pre-r14 code
+    hit the missing-index branch and silently rebuilt from the replayed
+    batch alone, discarding all prior corpus stats.  Simulated by
+    reproducing the exact crash-window filesystem state by hand."""
+    import os
+    import shutil as _sh
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "idx")
+    ingest_bm25_stats(a, path, batch_id=0)
+
+    # crash window: live moved to __old, stage (merged a+b) written but
+    # never moved in — path is GONE, backup holds batch-a stats, and a
+    # stale stage directory sits beside them
+    _sh.copytree(path, path + "__stage")       # stand-in stale stage
+    os.replace(path, path + "__old")
+    assert not os.path.isdir(path)
+
+    # the replayed batch must fold into the RESTORED backup
+    ingest_bm25_stats(b, path, batch_id=1)
+
+    one = build_bm25_stats(docs, str(tmp_path / "one"))
+    got = spark.read.parquet(Bm25StatsIndex(path).scalars_path).collect()
+    want = spark.read.parquet(one.scalars_path).collect()
+    assert got == want
+    tdf = lambda p: sorted(map(tuple, spark.read.parquet(  # noqa: E731
+        Bm25StatsIndex(p).term_df_path).collect()))
+    assert tdf(path) == tdf(str(tmp_path / "one"))
+    # bookkeeping carried through the recovery: both batch ids present,
+    # backup cleaned up by the completed commit
+    assert Bm25StatsIndex(path).ingested_batches() == {0, 1}
+    assert not os.path.isdir(path + "__old")
+
+
 def test_ingest_associativity_property(spark, tmp_path):
     """Property (hypothesis): for ANY partition of the corpus into
     batches, sequential ingest reproduces the one-shot stats exactly —

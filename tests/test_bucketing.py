@@ -256,6 +256,51 @@ def test_cube_grain_preagg_matches_expand_twin(spark):
     b = sorted(map(tuple, twin.collect()), key=key)
     assert a == b, "grain pre-agg cube diverged from Expand plan"
 
+def test_hourly_rollup_null_user_matches_count_distinct(spark, tmp_path):
+    """ADVICE r13 (low): events with NULL user_id.  COUNT(DISTINCT
+    user_id) ignores NULLs, so the mart-served n_users must count only
+    non-NULL-user grain rows (count(user_id), not count(*)) — while
+    the NULL-user EVENTS still land in n_events/total_value exactly as
+    the oracle's COUNT(*)/SUM do.  Pre-r14 the serve counted every
+    grain row, an off-by-one per (hour, type) wherever a NULL-user
+    event exists."""
+    import datetime as _dt
+    import shutil as _sh
+
+    from dbt_demo_spark.queries import CATALOG
+    from dbt_demo_spark.queries.llm_pipeline import (
+        events_hourly_rollup_rawscan)
+    from dbt_demo_spark.sources.parquet import mart_cache_dir
+
+    h = _dt.datetime(2024, 5, 1, 10)
+    rows = [(1, h, 7, "view", 1.0, "{}"),
+            (2, h, 8, "view", 2.0, "{}"),
+            (3, h, None, "view", 4.0, "{}"),     # NULL-user event
+            (4, h, None, "click", 8.0, "{}")]    # NULL-only group
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    sf_dir = str(tmp_path / "sfnull")
+    ev.coalesce(1).write.parquet(sf_dir + "/events.parquet")
+    try:
+        served = {(r.hour_start, r.event_type):
+                  (r.n_events, r.n_users, r.total_value)
+                  for r in CATALOG["events_hourly_rollup"]
+                  .fn(spark, sf_dir).collect()}
+        raw = {(r.hour_start, r.event_type):
+               (r.n_events, r.n_users, r.total_value)
+               for r in events_hourly_rollup_rawscan(spark, sf_dir)
+               .collect()}
+        assert served == raw
+        # the NULL-user event counts in n_events/value but NOT n_users
+        assert served[(h, "view")] == (3, 2, 7.0)
+        # a group whose only event has NULL user: present, n_users 0
+        assert served[(h, "click")] == (1, 0, 8.0)
+    finally:
+        _sh.rmtree(mart_cache_dir(sf_dir, "hourly_grain"),
+                   ignore_errors=True)
+
+
 def test_r13_mart_served_rows_match_rawscan_twins(spark):
     """r13 (VERDICT r12 items 1-2): q2/q11 serve from the partsupp offer
     mart (the reconstructed TPC-H partsupp, Q2_RECEIPT.json) and

@@ -402,6 +402,13 @@ _CONV_YAML_UNATTR = (_CONV_YAML.replace(
     "      window: 7 days\n      attribution: unattributed")
     + "      attribution: unattributed\n")
 
+# the r13 deviation under its honest r14 name (earliest base event,
+# counts distinct attributed base events)
+_CONV_YAML_EARLIEST = (_CONV_YAML.replace(
+    "      window: 7 days",
+    "      window: 7 days\n      attribution: earliest_touch")
+    + "      attribution: earliest_touch\n")
+
 # the pre-r13 lite semantics (attribution: unattributed): EXISTS —
 # every base event with >= 1 in-window conversion counts
 _CONV_ORACLE = """
@@ -417,11 +424,42 @@ _CONV_ORACLE = """
     FROM base b GROUP BY 1
 """
 
-# first_touch (the r13 default, MetricFlow semantics): each conversion
-# event attributes to the earliest in-window base event (ties on base
-# ts broken by the dim tuple), a base event counts once, duplicate
+# last_touch (the r14 default, MetricFlow semantics — ADVICE r13):
+# each conversion EVENT attributes to the MOST RECENT in-window base
+# event (ties on base ts broken by the largest dim tuple), dims come
+# from that base event, and the metric counts attributed conversion
+# events — duplicate identical conversion rows each count (cid gives
+# every conversion row its own identity, MetricFlow's per-row uuid)
+_CONV_LT_ORACLE = """
+    WITH base AS (
+        SELECT user_id, ts,
+               CAST(date_trunc('month', ts) AS DATE) AS event_month
+        FROM events WHERE event_type = 'view'
+    ), conv AS (
+        SELECT user_id, ts, ROW_NUMBER() OVER () AS cid
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT c.cid, b.ts AS bts, b.event_month,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                                  ORDER BY b.ts DESC,
+                                           b.event_month DESC) AS rn
+        FROM conv c JOIN base b
+          ON b.user_id = c.user_id AND c.ts >= b.ts {window_pred}
+    ), conv_counts AS (
+        SELECT event_month, COUNT(*) AS n_conv FROM pairs
+        WHERE rn = 1 GROUP BY 1
+    ), totals AS (
+        SELECT event_month, COUNT(*) AS n_base FROM base GROUP BY 1
+    )
+    SELECT t.event_month AS event_month, {select}
+    FROM totals t LEFT JOIN conv_counts c USING (event_month)
+"""
+
+# earliest_touch (the r13 deviation, renamed): each conversion event
+# attributes to the earliest in-window base event (ties on base ts
+# broken by the dim tuple), a base event counts once, duplicate
 # identical base rows collapse
-_CONV_FT_ORACLE = """
+_CONV_ET_ORACLE = """
     WITH base AS (
         SELECT user_id, ts,
                CAST(date_trunc('month', ts) AS DATE) AS event_month
@@ -447,18 +485,47 @@ _CONV_FT_ORACLE = """
 
 
 def test_conversion_rate_matches_duckdb(spark):
-    """first_touch default: the rate twin uses per-conversion-event
-    ROW_NUMBER attribution in DuckDB."""
+    """last_touch default (MetricFlow semantics): the rate twin uses
+    per-conversion-event ROW_NUMBER(... ORDER BY base ts DESC)
+    attribution in DuckDB, counting conversion events."""
     layer = parse_metric_layer(_CONV_YAML)
+    assert layer.metrics["view_to_purchase_7d"].attribution == \
+        "last_touch"
     rels = {"events": load_table(spark, SF_GATE, "events")}
     out = layer.query(rels, ["view_to_purchase_7d"],
                       group_by=["event_month"], grain="month")
     con = duckdb_connection(SF_GATE)
     r = compare("metrics_conversion_rate", out, con,
-                _CONV_FT_ORACLE.format(
+                _CONV_LT_ORACLE.format(
                     window_pred="AND c.ts <= b.ts + INTERVAL 7 DAY",
                     select=("CAST(COALESCE(c.n_conv, 0) AS DOUBLE) "
                             "/ t.n_base AS view_to_purchase_7d")))
+    assert r.ok, r.detail
+
+
+def test_conversion_earliest_touch_matches_duckdb(spark):
+    """attribution: earliest_touch keeps the r13 behavior (earliest
+    base, distinct attributed base events) under its honest name."""
+    layer = parse_metric_layer(_CONV_YAML_EARLIEST)
+    assert layer.metrics["view_to_purchase_7d"].attribution == \
+        "earliest_touch"
+    rels = {"events": load_table(spark, SF_GATE, "events")}
+    con = duckdb_connection(SF_GATE)
+    out = layer.query(rels, ["view_to_purchase_7d"],
+                      group_by=["event_month"], grain="month")
+    r = compare("metrics_conv_rate_earliest", out, con,
+                _CONV_ET_ORACLE.format(
+                    window_pred="AND c.ts <= b.ts + INTERVAL 7 DAY",
+                    select=("CAST(COALESCE(c.n_conv, 0) AS DOUBLE) "
+                            "/ t.n_base AS view_to_purchase_7d")))
+    assert r.ok, r.detail
+    out = layer.query(rels, ["view_conversions_ever"],
+                      group_by=["event_month"], grain="month")
+    r = compare("metrics_conv_counts_earliest", out, con,
+                _CONV_ET_ORACLE.format(
+                    window_pred="",
+                    select=("CAST(COALESCE(c.n_conv, 0) AS BIGINT) "
+                            "AS view_conversions_ever")))
     assert r.ok, r.detail
 
 
@@ -469,7 +536,7 @@ def test_conversion_counts_match_duckdb(spark):
                       group_by=["event_month"], grain="month")
     con = duckdb_connection(SF_GATE)
     r = compare("metrics_conversions", out, con,
-                _CONV_FT_ORACLE.format(
+                _CONV_LT_ORACLE.format(
                     window_pred="",
                     select=("CAST(COALESCE(c.n_conv, 0) AS BIGINT) "
                             "AS view_conversions_ever")))
@@ -508,22 +575,16 @@ def test_conversion_unattributed_optout_matches_duckdb(spark):
     assert r.ok, r.detail
 
 
-def test_conversion_first_touch_vs_unattributed_differ(spark):
-    """VERDICT r12 item 5: the tiny frame where the two semantics
-    diverge — one purchase in the window of TWO views.  first_touch
-    attributes the purchase to the EARLIEST view only (conversions=1,
-    rate=0.5); unattributed converts both (2, 1.0).  Duplicate
-    identical base rows sharing the conversion's timestamp collapse to
-    one attribution under first_touch."""
+def test_conversion_attribution_modes_differ(spark):
+    """ADVICE r13 medium, the exact divergence frame: TWO purchases in
+    one view's window.  last_touch (MetricFlow) counts conversion
+    EVENTS → 2 (rate 2.0 — MetricFlow rates can exceed 1);
+    earliest_touch counts distinct attributed BASE events → 1;
+    unattributed counts base events with >= 1 in-window conversion
+    → 1."""
     import datetime as _dt
 
-    rows = [(7, "view", _dt.datetime(2024, 3, 1, 10)),
-            (7, "view", _dt.datetime(2024, 3, 2, 10)),
-            (7, "purchase", _dt.datetime(2024, 3, 3, 10))]
-    df = spark.createDataFrame(rows, "user_id long, event_type string, "
-                                     "ts timestamp")
-
-    def rate_and_count(yaml_text):
+    def rate_and_count(yaml_text, df):
         layer = parse_metric_layer(yaml_text)
         r = layer.query({"events": df}, ["view_to_purchase_7d"],
                         group_by=["event_month"],
@@ -533,30 +594,67 @@ def test_conversion_first_touch_vs_unattributed_differ(spark):
                         grain="month").collect()[0].view_conversions_ever
         return r, c
 
-    assert rate_and_count(_CONV_YAML) == (0.5, 1)
-    assert rate_and_count(_CONV_YAML_UNATTR) == (1.0, 2)
+    two_conv = spark.createDataFrame(
+        [(7, "view", _dt.datetime(2024, 3, 1, 10)),
+         (7, "purchase", _dt.datetime(2024, 3, 2, 10)),
+         (7, "purchase", _dt.datetime(2024, 3, 3, 10))],
+        "user_id long, event_type string, ts timestamp")
+    assert rate_and_count(_CONV_YAML, two_conv) == (2.0, 2)
+    assert rate_and_count(_CONV_YAML_EARLIEST, two_conv) == (1.0, 1)
+    assert rate_and_count(_CONV_YAML_UNATTR, two_conv) == (1.0, 1)
 
-    # duplicate identical base rows + same-timestamp conversion:
-    # first_touch collapses them to one attribution target
-    dup = spark.createDataFrame(
+    # one purchase in the window of TWO views: the attributed modes
+    # agree on the count (1) but pick different base events; the
+    # unattributed opt-out converts both views
+    two_base = spark.createDataFrame(
+        [(7, "view", _dt.datetime(2024, 3, 1, 10)),
+         (7, "view", _dt.datetime(2024, 3, 2, 10)),
+         (7, "purchase", _dt.datetime(2024, 3, 3, 10))],
+        "user_id long, event_type string, ts timestamp")
+    assert rate_and_count(_CONV_YAML, two_base) == (0.5, 1)
+    assert rate_and_count(_CONV_YAML_EARLIEST, two_base) == (0.5, 1)
+    assert rate_and_count(_CONV_YAML_UNATTR, two_base) == (1.0, 2)
+
+    # duplicate identical base rows + same-timestamp conversion: one
+    # conversion event attributes once under both attributed modes
+    # (earliest_touch additionally collapses the duplicate bases)
+    dup_base = spark.createDataFrame(
         [(9, "view", _dt.datetime(2024, 3, 1, 12)),
          (9, "view", _dt.datetime(2024, 3, 1, 12)),
          (9, "purchase", _dt.datetime(2024, 3, 1, 12))],
         "user_id long, event_type string, ts timestamp")
-    layer = parse_metric_layer(_CONV_YAML)
-    got = layer.query({"events": dup}, ["view_conversions_ever"],
-                      group_by=["event_month"], grain="month").collect()
-    assert got[0].view_conversions_ever == 1
-    layer_u = parse_metric_layer(_CONV_YAML_UNATTR)
-    got = layer_u.query({"events": dup}, ["view_conversions_ever"],
-                        group_by=["event_month"], grain="month").collect()
-    assert got[0].view_conversions_ever == 2
+    for yaml_text, want in ((_CONV_YAML, 1), (_CONV_YAML_EARLIEST, 1),
+                            (_CONV_YAML_UNATTR, 2)):
+        got = parse_metric_layer(yaml_text).query(
+            {"events": dup_base}, ["view_conversions_ever"],
+            group_by=["event_month"], grain="month").collect()
+        assert got[0].view_conversions_ever == want, yaml_text
+
+    # duplicate identical CONVERSION rows: last_touch counts each
+    # conversion event (MetricFlow's per-row identity), earliest_touch
+    # still counts the single attributed base
+    dup_conv = spark.createDataFrame(
+        [(9, "view", _dt.datetime(2024, 3, 1, 12)),
+         (9, "purchase", _dt.datetime(2024, 3, 2, 12)),
+         (9, "purchase", _dt.datetime(2024, 3, 2, 12))],
+        "user_id long, event_type string, ts timestamp")
+    for yaml_text, want in ((_CONV_YAML, 2), (_CONV_YAML_EARLIEST, 1)):
+        got = parse_metric_layer(yaml_text).query(
+            {"events": dup_conv}, ["view_conversions_ever"],
+            group_by=["event_month"], grain="month").collect()
+        assert got[0].view_conversions_ever == want, yaml_text
 
     # bad attribution value raises at parse
-    with pytest.raises(ValueError, match="first_touch | unattributed"):
+    with pytest.raises(ValueError, match="last_touch | earliest_touch"):
         parse_metric_layer(_CONV_YAML.replace(
             "window: 7 days",
-            "window: 7 days\n      attribution: last_touch"))
+            "window: 7 days\n      attribution: linear"))
+
+    # the r13 name is a hard migration error, never a silent reparse
+    with pytest.raises(ValueError, match="renamed"):
+        parse_metric_layer(_CONV_YAML.replace(
+            "window: 7 days",
+            "window: 7 days\n      attribution: first_touch"))
 
 
 def test_conversion_error_matrix(spark):
@@ -584,7 +682,7 @@ metrics:
 def test_conversion_plan_is_entity_keyed(spark):
     """The range predicate rides the entity equi-join — never a
     cartesian or nested-loop plan (the 100 TB shape), in BOTH
-    attribution modes.  first_touch's candidate-pair join is an inner
+    attribution modes.  last_touch's candidate-pair join is an inner
     equi-join; unattributed keeps the left-semi."""
     rels = {"events": load_table(spark, SF_GATE, "events")}
     for yaml_text, marker in ((_CONV_YAML, "Inner"),
@@ -882,9 +980,9 @@ metrics:
         layer2.query({"events": df}, ["purchases"],
                      group_by=["event_month"], grain=None)
 
-def test_conversion_first_touch_global_and_empty(spark):
-    """first_touch edge cases: empty group_by (global frame — the
-    struct-MIN is single-field, the final agg is a 1-row global) and a
+def test_conversion_attributed_global_and_empty(spark):
+    """last_touch edge cases: empty group_by (global frame — the
+    struct-MAX is single-field, the final agg is a 1-row global) and a
     frame with zero conversion events (coalesces to 0, never loses the
     totals row)."""
     import datetime as _dt
