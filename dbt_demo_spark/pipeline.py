@@ -56,6 +56,9 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  min_bits_per_char: float | None = None,
                  dedup_passages: bool = False,
                  passage_width: int | None = None,
+                 boilerplate_census_dir: str | None = None,
+                 boilerplate_min_docs: int = 3,
+                 boilerplate_batch_id: int | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -70,6 +73,14 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     earlier in THIS batch (operators/dedup.passage_dedup; first occurrence
     wins), dropping whole-duplicate docs — the repeated-boilerplate cut
     whole-doc dedup cannot make.
+
+    ``boilerplate_census_dir``: enable CROSS-BATCH line-level boilerplate
+    removal (X109): the batch folds into the persisted hot-line census at
+    that path (operators/boilerplate.ingest_line_census) and is then
+    stripped of every line hot across the WHOLE ingest history
+    (``boilerplate_min_docs`` documents, ever); docs stripped to empty
+    drop.  Pass ``boilerplate_batch_id`` wherever replays are possible —
+    the census commit is exactly-once on that id.
 
     ``sink``: optional callable receiving the final (split-annotated)
     accepted rows BEFORE the fingerprint index is appended — the
@@ -145,6 +156,32 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     if eval_docs is not None:
         df = tap(decontaminate(df, eval_docs, min_matched=min_matched),
                  "after_decontamination")
+
+    # line-level boilerplate removal (X109, operators/boilerplate.py):
+    # fold THIS batch into the persisted cross-batch hot-line census,
+    # then strip every line hot in the UPDATED census — chrome repeated
+    # across history strips from the very batch that tips it over
+    # min_docs.  Runs on RAW text (after decontamination, which must see
+    # raw grams; before passage dedup and redaction, which rewrite
+    # text).  The ingest is one extra pass over the funnel plan at this
+    # point — the same cost class as the dedup internals — and commits
+    # via the census's staged swap: pass ``boilerplate_batch_id`` when
+    # replays are possible (the streaming twin threads the micro-batch
+    # id through) so a replayed batch never double-counts.  Docs whose
+    # every line was boilerplate drop here (the RefinedWeb posture),
+    # which is what makes `after_boilerplate` a real funnel count.
+    if boilerplate_census_dir is not None:
+        from .operators.boilerplate import (ingest_line_census,
+                                            remove_boilerplate_lines_served)
+
+        census = ingest_line_census(df, boilerplate_census_dir,
+                                    batch_id=boilerplate_batch_id)
+        stripped = remove_boilerplate_lines_served(
+            df, census, min_docs=boilerplate_min_docs)
+        df = tap(stripped.filter(F.col("text") != ""),
+                 "after_boilerplate")
+        if "n_chars" in df.columns:
+            df = df.withColumn("n_chars", F.length("text").cast("long"))
 
     # passage-level dedup (operators/dedup.passage_dedup): rewrite each doc
     # to its surviving passages, drop docs whose every passage repeats.

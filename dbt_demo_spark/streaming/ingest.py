@@ -119,6 +119,32 @@ def clean_ingest(stream_docs: DataFrame, index_dir: str, out_dir: str,
     )
 
 
+def line_census_maintenance(stream_docs: DataFrame, index_dir: str,
+                            checkpoint: str,
+                            text_col: str = "text") -> DataStreamWriter:
+    """Streaming twin of the X109 hot-line census: each micro-batch of
+    landing documents folds into the persisted (line_hash, n_docs)
+    census (operators/boilerplate.ingest_line_census) — boilerplate
+    stripping always serves CURRENT cross-corpus line heat without ever
+    re-censusing the corpus.  Exactly-once under replay without
+    streaming state: the micro-batch id commits INSIDE the census's
+    staged swap — identical convergence argument (and identical code
+    shape) to ``bm25_stats_maintenance`` below, including the
+    two-rename-window __old recovery."""
+    from ..operators.boilerplate import ingest_line_census
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_line_census(batch_df, index_dir, text_col=text_col,
+                           batch_id=batch_id)
+
+    return (
+        stream_docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+
+
 def bm25_stats_maintenance(stream_docs: DataFrame, index_dir: str,
                            checkpoint: str,
                            text_col: str = "text") -> DataStreamWriter:

@@ -11,8 +11,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
-from dbt_demo_spark.operators.boilerplate import (hot_lines,
-                                                  remove_boilerplate_lines)
+from dbt_demo_spark.operators.boilerplate import (
+    LineCensusIndex, build_line_census, hot_lines, ingest_line_census,
+    remove_boilerplate_lines, remove_boilerplate_lines_served)
 from dbt_demo_spark.testing import compare, duckdb_connection
 from tests.conftest import SF_GATE
 
@@ -111,3 +112,120 @@ def test_other_columns_survive_both_paths(spark):
         got = sorted(map(tuple, out.select("doc_id", "text",
                                            "lang").collect()))
         assert got == [(1, "a", "en"), (2, "b", "fr"), (3, "c", "de")]
+
+
+# ------------------------------------------------------------------ #
+# X109: persisted incremental line census                            #
+# ------------------------------------------------------------------ #
+
+def _census_rows(spark, idx):
+    return sorted(map(tuple,
+                      spark.read.parquet(idx.census_path).collect()))
+
+
+def test_two_batch_ingest_equals_one_shot_census(spark, tmp_path):
+    """Folding the corpus in as two batches reproduces the one-shot
+    census exactly — (line_hash, n_docs) are integer partials under
+    sum-merge, so batch boundaries cannot matter."""
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") <= 3)
+    b = docs.filter(F.col("doc_id") > 3)
+
+    inc = str(tmp_path / "inc")
+    ingest_line_census(a, inc)          # first ingest = fresh build
+    ingest_line_census(b, inc)          # second folds in
+    one = build_line_census(docs, str(tmp_path / "one"))
+
+    assert _census_rows(spark, LineCensusIndex(inc)) \
+        == _census_rows(spark, one)
+    # census counts documents, not occurrences (doc 6's in-doc repeat
+    # counts once): HEADER hot in 5 docs, FOOTER in 3
+    import pyspark.sql.functions as _F
+    by_hash = {r.line_hash: r.n_docs
+               for r in spark.read.parquet(one.census_path).collect()}
+    h = {r.line: r.h for r in spark.createDataFrame(
+        [("HEADER",), ("FOOTER",)], "line string")
+        .select("line", _F.xxhash64("line").alias("h")).collect()}
+    assert by_hash[h["HEADER"]] == 5
+    assert by_hash[h["FOOTER"]] == 3
+
+
+def test_served_strip_matches_one_shot_both_paths(spark, tmp_path):
+    """Stripping against the persisted census (hash membership) equals
+    the text-exact one-shot strip on the same corpus — on the row-local
+    IN-list path AND the broadcast-anti join path."""
+    docs = _docs(spark)
+    idx = build_line_census(docs, str(tmp_path / "idx"))
+    want = sorted(map(tuple,
+                      remove_boilerplate_lines(docs, min_docs=3)
+                      .collect()))
+    for rlm in (256, 0):
+        got = sorted(map(tuple, remove_boilerplate_lines_served(
+            docs, idx, min_docs=3, row_local_max=rlm).collect()))
+        assert got == want, f"row_local_max={rlm}"
+    # cross-batch: a NEW batch reusing HEADER/FOOTER is cleaned against
+    # the historical census without those lines being hot in the batch
+    newb = spark.createDataFrame(
+        [(7, "HEADER\nfresh content\nFOOTER")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text for r in remove_boilerplate_lines_served(
+        newb, idx, min_docs=3).collect()}
+    assert got[7] == "fresh content"
+
+
+def test_census_replay_windows_converge(spark, tmp_path):
+    """Exactly-once under replay, all three crash windows: post-commit
+    (batch id found, no-op), pre-commit on the first batch (rebuild to
+    identical), and MID-COMMIT between the two renames (recover the
+    __old backup and merge — never rebuild from the replayed batch
+    alone)."""
+    import os
+    import shutil as _sh
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") <= 3)
+    b = docs.filter(F.col("doc_id") > 3)
+
+    path = str(tmp_path / "idx")
+    ingest_line_census(a, path, batch_id=0)
+    ingest_line_census(b, path, batch_id=1)
+    want = _census_rows(spark, LineCensusIndex(path))
+
+    # post-commit replay: no double count
+    ingest_line_census(b, path, batch_id=1)
+    assert _census_rows(spark, LineCensusIndex(path)) == want
+    assert LineCensusIndex(path).ingested_batches() == {0, 1}
+
+    # pre-commit replay on the FIRST batch
+    fresh = str(tmp_path / "fresh")
+    ingest_line_census(a, fresh, batch_id=0)
+    once = _census_rows(spark, LineCensusIndex(fresh))
+    _sh.rmtree(fresh)
+    ingest_line_census(a, fresh, batch_id=0)
+    assert _census_rows(spark, LineCensusIndex(fresh)) == once
+
+    # mid-commit crash window: live moved to __old, stage never moved
+    mid = str(tmp_path / "mid")
+    ingest_line_census(a, mid, batch_id=0)
+    _sh.copytree(mid, mid + "__stage")       # stale uncommitted stage
+    os.replace(mid, mid + "__old")
+    assert not os.path.isdir(mid)
+    ingest_line_census(b, mid, batch_id=1)   # replay must merge
+    assert _census_rows(spark, LineCensusIndex(mid)) == want
+    assert LineCensusIndex(mid).ingested_batches() == {0, 1}
+    assert not os.path.isdir(mid + "__old")
+
+
+def test_served_guards(spark, tmp_path):
+    """min_docs validation and the max_hot guard hold on the served
+    path too; an empty hot set passes the batch through untouched."""
+    docs = _docs(spark)
+    idx = build_line_census(docs, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="min_docs must be >= 2"):
+        remove_boilerplate_lines_served(docs, idx, min_docs=1)
+    with pytest.raises(ValueError, match="not\\s+boilerplate"):
+        remove_boilerplate_lines_served(docs, idx, min_docs=2, max_hot=1)
+    clean = spark.createDataFrame([(9, "nothing\nhot")],
+                                  "doc_id long, text string")
+    out = remove_boilerplate_lines_served(clean, idx, min_docs=6)
+    assert sorted(map(tuple, out.collect())) == [(9, "nothing\nhot")]

@@ -158,3 +158,57 @@ def test_passage_dedup_stage_composes(spark, tmp_path):
     pd_ref = {r.doc_id: r.clean_text
               for r in dedup.passage_dedup(docs).collect() if r.n_kept > 0}
     assert {k: v.text for k, v in rows.items()} == pd_ref
+
+
+def test_boilerplate_stage_composes_cross_batch(spark, tmp_path):
+    """X109 funnel stage: the batch folds into the persisted hot-line
+    census and is stripped against the UPDATED census — so a second
+    batch loses chrome whose heat accumulated across BOTH batches, a
+    cut the batch-scoped operators cannot make; boilerplate-only docs
+    drop with a real funnel count; replaying a batch id is inert on the
+    census."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.operators.boilerplate import LineCensusIndex
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    neutral = dict(max_dup_trigram_frac=1.0, min_uniq_token_frac=0.0)
+    census_dir = str(tmp_path / "census")
+
+    # batch 1: HEADER appears in 2 docs — below min_docs=3, nothing hot
+    b1 = mk([(0, "HEADER\nalpha body text", "en", "s0", 0),
+             (1, "HEADER\nbeta body text", "en", "s0", 0)])
+    c1, obs1 = clean_corpus(b1, str(tmp_path / "idx1"),
+                            boilerplate_census_dir=census_dir,
+                            boilerplate_batch_id=0, **neutral)
+    rows1 = {r.doc_id: r.text for r in c1.collect()}
+    assert rows1[0] == "HEADER\nalpha body text"     # not hot yet
+
+    # batch 2: one more HEADER doc tips the CROSS-BATCH count to 3 —
+    # the new batch is stripped though HEADER appears once within it
+    b2 = mk([(2, "HEADER\ngamma body text", "en", "s0", 0),
+             (3, "HEADER", "en", "s0", 0)])          # boilerplate-only
+    c2, obs2 = clean_corpus(b2, str(tmp_path / "idx2"),
+                            boilerplate_census_dir=census_dir,
+                            boilerplate_batch_id=1, **neutral)
+    rows2 = {r.doc_id: r.text for r in c2.collect()}
+    counts2 = {k: o.get["rows"] for k, o in obs2.items()}
+    assert rows2[2] == "gamma body text"             # cross-batch cut
+    assert 3 not in rows2                            # emptied doc drops
+    assert counts2["after_boilerplate"] == 1
+    assert {r.doc_id: r.n_chars for r in c2.collect()}[2] == \
+        len("gamma body text")                       # stat recomputed
+
+    # census replay: same batch id again leaves the census untouched
+    before = sorted(map(tuple, spark.read.parquet(
+        LineCensusIndex(census_dir).census_path).collect()))
+    c3, _ = clean_corpus(b2, str(tmp_path / "idx3"),
+                         boilerplate_census_dir=census_dir,
+                         boilerplate_batch_id=1, **neutral)
+    _run(c3)
+    after = sorted(map(tuple, spark.read.parquet(
+        LineCensusIndex(census_dir).census_path).collect()))
+    assert after == before
+    assert LineCensusIndex(census_dir).ingested_batches() == {0, 1}

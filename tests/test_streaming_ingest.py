@@ -214,3 +214,45 @@ def test_streamed_shard_output_replay_safe_and_matches_batch(spark, tmp_path):
         (r.ingest_batch_id, r.split, r.shard, r.bin_id, tuple(r.doc_ids))
         for r in spark.read.parquet(shards).collect())
     assert after == before
+
+
+def test_line_census_maintenance_converges_and_replays(spark, tmp_path):
+    """streaming/ingest.line_census_maintenance (X109): micro-batches of
+    landing documents fold into the persisted hot-line census; the final
+    census equals the one-shot build, and a replayed committed batch id
+    no-ops — the bm25_stats_maintenance contract on the line census."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.operators.boilerplate import (LineCensusIndex,
+                                                      build_line_census,
+                                                      ingest_line_census)
+    from dbt_demo_spark.streaming.ingest import (line_census_maintenance,
+                                                 read_document_stream)
+
+    docs = load_table(spark, SF_GATE, "documents")
+    landing = str(tmp_path / "landing")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    a.write.parquet(landing + "/batch_a")
+    b.write.parquet(landing + "/batch_b")
+
+    idx_dir = str(tmp_path / "census")
+    stream = read_document_stream(spark, landing + "/*",
+                                  max_files_per_trigger=1)
+    q = (line_census_maintenance(stream, idx_dir, str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    one = build_line_census(docs.select("doc_id", "text"),
+                            str(tmp_path / "one"))
+    rows = lambda i: sorted(map(tuple, spark.read.parquet(  # noqa: E731
+        i.census_path).collect()))
+    streamed = LineCensusIndex(idx_dir)
+    assert rows(streamed) == rows(one)
+    assert len(streamed.ingested_batches()) >= 1
+
+    # post-commit replay: no double count
+    before = rows(streamed)
+    ingest_line_census(b, idx_dir,
+                       batch_id=max(streamed.ingested_batches()))
+    assert rows(streamed) == before
