@@ -59,6 +59,8 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  boilerplate_census_dir: str | None = None,
                  boilerplate_min_docs: int = 3,
                  boilerplate_batch_id: int | None = None,
+                 quality_model: tuple | None = None,
+                 min_quality_margin: float | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -81,6 +83,12 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     (``boilerplate_min_docs`` documents, ever); docs stripped to empty
     drop.  Pass ``boilerplate_batch_id`` wherever replays are possible —
     the census commit is exactly-once on that id.
+
+    ``quality_model`` = (weights, bias) + ``min_quality_margin``: the
+    GPT-3-style classifier band (X110, operators/quality.py) — drop docs
+    whose frozen-classifier margin falls below the cut; row-local like
+    the LM band.  Pass operators/quality_frozen.py's weights or a
+    train_quality_classifier result.
 
     ``sink``: optional callable receiving the final (split-annotated)
     accepted rows BEFORE the fingerprint index is appended — the
@@ -114,6 +122,10 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     if lm_table is None and (max_bits_per_char is not None
                              or min_bits_per_char is not None):
         raise ValueError("bits_per_char bounds need lm_table")
+    if (quality_model is None) != (min_quality_margin is None):
+        raise ValueError("quality_model and min_quality_margin go "
+                         "together — a classifier with no cut keeps "
+                         "everything, a cut with no model is undefined")
     obs: dict[str, Observation] = {}
 
     def tap(df: DataFrame, name: str) -> DataFrame:
@@ -147,6 +159,23 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
         if max_bits_per_char is not None:
             cond = cond & (band <= max_bits_per_char)
         df = tap(df.filter(cond), "after_lm_quality")
+
+    # classifier quality band (X110, operators/quality.py): the
+    # GPT-3-style filter — drop documents whose frozen-classifier
+    # margin falls below the cut.  Row-local like the LM band (the
+    # margin is a token-lookup fold, zero Exchange), so it runs before
+    # anything that broadcasts or shuffles; scoring sees RAW text.
+    # Docs with no tokens to score (NULL margin) are dropped — no
+    # evidence either way, same posture as the LM band's NULL drop.
+    if quality_model is not None:
+        from .operators.quality import quality_margin
+
+        qw, qb = quality_model
+        m = quality_margin(F.col("text"), list(qw), qb)
+        df = tap(df.filter(m.isNotNull()
+                           & (m >= float(min_quality_margin))),
+                 "after_quality_classifier")
+
     # eval-set decontamination BEFORE PII redaction: a leaked eval span
     # containing an email/IP must be matched against the eval set's RAW
     # n-grams — redacting first rewrites the corpus side of exactly those

@@ -440,6 +440,53 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hashed-token quality classifier (X110 — promoted to the driver gate, r14)
+# ---------------------------------------------------------------------------
+
+
+def _quality_oracle() -> str:
+    from ..operators import quality
+    from ..operators.quality_frozen import (FROZEN_QUALITY_BIAS,
+                                            FROZEN_QUALITY_WEIGHTS)
+
+    return quality.sql_quality_margin_query(
+        list(FROZEN_QUALITY_WEIGHTS), FROZEN_QUALITY_BIAS,
+        relation="documents")
+
+
+@query(
+    "corpus_quality_classifier",
+    oracle=_quality_oracle(),
+    tags=("llm", "quality", "X110"),
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style classifier quality score [public knowledge: Brown et
+    al. 2020 filter the crawl with a logistic classifier trained on
+    curated-vs-crawl text]: the margin of every document under the
+    FROZEN hashed-token logistic model (operators/quality_frozen.py,
+    trained once by tools/freeze_quality.py — the train-once /
+    score-many lifecycle, same freeze pattern as the LM table).  Scoring
+    is pure weight-lookup + left-fold add + one divide (the margin is
+    monotone in the logistic probability, so no engine ever evaluates a
+    sigmoid), so the JVM fold, the Arrow twin, and the DuckDB oracle are
+    BIT-IDENTICAL (tests/test_quality.py); the plan is Scan -> Project
+    with zero Exchange after the local `spread`.  At 100 TB this is the
+    classifier-filter pass that feeds the clean_corpus quality band
+    (pipeline.py quality_model / min_quality_margin).
+
+    Reference parity: the reference has no classifier stage; this is
+    the §2-extension X110 row (slot funded by demoting tpch_q1 —
+    queries/tpch.py docstring has the demotion note)."""
+    from ..operators import quality
+    from ..operators.quality_frozen import (FROZEN_QUALITY_BIAS,
+                                            FROZEN_QUALITY_WEIGHTS)
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return quality.score_quality(docs, list(FROZEN_QUALITY_WEIGHTS),
+                                 FROZEN_QUALITY_BIAS)
+
+
+# ---------------------------------------------------------------------------
 # Exact-k stratified sampling (pytest-differential — catalog capped at 50)
 # ---------------------------------------------------------------------------
 

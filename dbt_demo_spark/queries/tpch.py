@@ -32,9 +32,7 @@ def _sql_revenue_cents(ext: str = "l_extendedprice", disc: str = "l_discount") -
     return f"{sql_scaled_long(ext)} * {sql_scaled_long(f'1 - {disc}')}"
 
 
-@query(
-    "tpch_q1_pricing_summary",
-    oracle=f"""
+TPCH_Q1_ORACLE = f"""
         SELECT l_returnflag AS return_flag,
                l_linestatus AS line_status,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -48,13 +46,21 @@ def _sql_revenue_cents(ext: str = "l_extendedprice", disc: str = "l_discount") -
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY 1, 2
-    """,
-    tags=("A1", "A4", "A5", "A6", "P5"),
-)
+"""
+
+
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: grouped pricing summary with derived-term sums — the
     heaviest pure-aggregation shape; Spark runs it as partial+final
-    HashAggregate with no join, one shuffle on the 6-value group key."""
+    HashAggregate with no join, one shuffle on the 6-value group key.
+
+    Demoted from the 50-row driver catalog in r14 (slot funds
+    corpus_quality_classifier, VERDICT r13 item 5 — cube_pricing_levels
+    subsumes q1's aggregate shape at the cube's finest grouping set):
+    its A1/A4/A5/A6/P5 operator tags stay gated via agg_monthly_orders,
+    grain_check_fanout, and fct_order_details, and the DuckDB
+    differential continues in tests/test_catalog_parity.py::
+    test_demoted_queries_still_match_oracle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02")
     qty = F.col("l_quantity").cast("long")
@@ -263,7 +269,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Demoted from the 50-row driver catalog in r13 (slot funds
     corpus_bm25_topk, VERDICT r12 item 7 — q6 and q1 overlap as
     pricing-filter shapes): its P5/A4/A6 operator tags stay gated via
-    tpch_q1 and grain_check_fanout, the pushdown showcase stays
+    fct_order_details and grain_check_fanout (tpch_q1 itself demoted
+    r14), the pushdown showcase stays
     plan-asserted in tests/test_plan_quality.py, and the DuckDB
     differential continues in tests/test_catalog_parity.py::
     test_demoted_queries_still_match_oracle.  It also remains the

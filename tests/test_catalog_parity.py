@@ -45,8 +45,9 @@ def test_demoted_queries_still_match_oracle(spark, con):
     tpch_q10 (slot funds events_pivot_daily, r9),
     tpch_q4 (slot funds events_gapfill_ffill, r9),
     tpch_q5 (slot funds dedup_passage_exact, r9),
-    tpch_q16 (slot funds sim_topk_pq_residual, r10), and
-    tpch_q6 (slot funds corpus_bm25_topk, r13)."""
+    tpch_q16 (slot funds sim_topk_pq_residual, r10),
+    tpch_q6 (slot funds corpus_bm25_topk, r13), and
+    tpch_q1 (slot funds corpus_quality_classifier, r14)."""
     from dbt_demo_spark.queries.llm_pipeline import (TEXT_TOKEN_COUNT_ORACLE,
                                                      text_token_count)
     from dbt_demo_spark.queries.reference_surface import (STG_ORDERS_ORACLE,
@@ -54,8 +55,10 @@ def test_demoted_queries_still_match_oracle(spark, con):
     from dbt_demo_spark.queries.text_filters import (
         CORPUS_LENGTH_QUANTILES_ORACLE, STRATIFIED_SAMPLE_ORACLE,
         corpus_length_quantiles, corpus_stratified_sample)
-    from dbt_demo_spark.queries.tpch import (TPCH_Q4_ORACLE, TPCH_Q5_ORACLE,
-                                             TPCH_Q6_ORACLE, TPCH_Q10_ORACLE,
+    from dbt_demo_spark.queries.tpch import (TPCH_Q1_ORACLE, TPCH_Q4_ORACLE,
+                                             TPCH_Q5_ORACLE, TPCH_Q6_ORACLE,
+                                             TPCH_Q10_ORACLE,
+                                             tpch_q1_pricing_summary,
                                              tpch_q4_late_orders,
                                              tpch_q5_local_supplier_volume,
                                              tpch_q6_forecast_revenue,
@@ -85,6 +88,7 @@ def test_demoted_queries_still_match_oracle(spark, con):
                        (tpch_q10_returned_items, TPCH_Q10_ORACLE),
                        (tpch_q4_late_orders, TPCH_Q4_ORACLE),
                        (tpch_q6_forecast_revenue, TPCH_Q6_ORACLE),
+                       (tpch_q1_pricing_summary, TPCH_Q1_ORACLE),
                        (tpch_q5_local_supplier_volume, TPCH_Q5_ORACLE),
                        (corpus_length_quantiles,
                         CORPUS_LENGTH_QUANTILES_ORACLE),
