@@ -1254,6 +1254,7 @@ def _build_hourly_user_grain_mart(spark: SparkSession,
     from ..core.model import ModelDef, ModelRegistry
     from ..core.runner import Runner
     from ..sources.parquet import mart_cache_dir
+    from ..session import mart_buckets
 
     digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     name = f"mart_hourly_user_grain_{digest}"
@@ -1270,7 +1271,7 @@ def _build_hourly_user_grain_mart(spark: SparkSession,
                 "event_type", "user_id")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(scaled_long(F.col("value"))).alias("value_units"))),
-        bucket_by=("hour_start",), n_buckets=8))
+        bucket_by=("hour_start",), n_buckets=mart_buckets()))
     wh = mart_cache_dir(sf_dir, "hourly_grain")
     out = Runner(spark, reg, warehouse_dir=wh).run({
         "events": load_events(spark, sf_dir)})

@@ -466,6 +466,7 @@ def _build_bucketed_order_marts(spark: SparkSession, sf_dir: str):
     from ..core.model import ModelDef, ModelRegistry
     from ..core.runner import Runner
     from ..sources.parquet import mart_cache_dir
+    from ..session import mart_buckets
 
     abs_dir = os.path.abspath(sf_dir)
     digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:8]
@@ -477,13 +478,13 @@ def _build_bucketed_order_marts(spark: SparkSession, sf_dir: str):
         fn=lambda refs: refs["orders"].select(
             "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
             "o_orderstatus", "o_totalprice"),
-        bucket_by=("o_orderkey",), n_buckets=8))
+        bucket_by=("o_orderkey",), n_buckets=mart_buckets()))
     reg.register(ModelDef(
         name=l_name, deps=("lineitem",), materialized="table",
         fn=lambda refs: refs["lineitem"].select(
             "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_extendedprice", "l_discount", "l_shipdate"),
-        bucket_by=("l_orderkey",), n_buckets=8))
+        bucket_by=("l_orderkey",), n_buckets=mart_buckets()))
     wh = mart_cache_dir(sf_dir, "bucketed")
     out = Runner(spark, reg, warehouse_dir=wh).run({
         "orders": load_table(spark, sf_dir, "orders"),

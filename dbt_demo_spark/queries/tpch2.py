@@ -913,6 +913,7 @@ def _build_partsupp_offer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.model import ModelDef, ModelRegistry
     from ..core.runner import Runner
     from ..sources.parquet import mart_cache_dir
+    from ..session import mart_buckets
 
     digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     name = f"mart_partsupp_offers_{digest}"
@@ -925,7 +926,7 @@ def _build_partsupp_offer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(scaled_long(F.col("l_extendedprice")))
                  .alias("min_cost_units"),
                  F.sum(_revenue_cents()).alias("revenue_units"))),
-        bucket_by=("l_partkey",), n_buckets=8))
+        bucket_by=("l_partkey",), n_buckets=mart_buckets()))
     wh = mart_cache_dir(sf_dir, "partsupp_offers")
     out = Runner(spark, reg, warehouse_dir=wh).run({
         "lineitem": load_table(spark, sf_dir, "lineitem")})

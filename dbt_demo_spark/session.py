@@ -19,6 +19,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+
+def mart_buckets() -> int:
+    """Bucket count for the build-once grain/bucketed marts (r14,
+    VERDICT r13 item 6 — one shared constant instead of `n_buckets=8`
+    literals in each builder).  Read at BUILD time so a session can
+    override without re-importing.  Sizing rule: like shuffle
+    partitions, buckets ~ cluster cores x a small multiple (2-4x) so
+    co-located bucket joins saturate the executors — but bounded below
+    by file size (each bucket file should stay >= tens of MB to avoid a
+    small-files explosion).  8 is measured-right at the local bench
+    scales (sf0.1-1 on 32 threads); a 1000-executor cluster reading
+    100 TB would set SPARK_GRAFT_MART_BUCKETS to a few thousand."""
+    return int(os.environ.get("SPARK_GRAFT_MART_BUCKETS", "8"))
+
 # Measured local-mode bench tuning (FLOOR_SWEEP.json, the winning sweep
 # combo): the single source of truth for bench.py AND the sweep's combo_all,
 # so the committed bench numbers always reflect the sweep's winner.  LOCAL

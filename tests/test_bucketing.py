@@ -328,3 +328,17 @@ def test_r13_mart_served_rows_match_rawscan_twins(spark):
         b = sorted(map(tuple, twin.collect()))
         assert a == b, (f"{name}: mart-served result diverged from "
                         f"{raw.__name__}")
+
+
+def test_mart_buckets_env_override(monkeypatch):
+    """VERDICT r13 item 6: the grain-mart bucket count is one shared,
+    env-overridable constant (read at BUILD time), not an n_buckets=8
+    literal per builder — the 100 TB deployment sets
+    SPARK_GRAFT_MART_BUCKETS instead of editing four call sites."""
+    from dbt_demo_spark.session import mart_buckets
+
+    assert mart_buckets() == 8                      # local default
+    monkeypatch.setenv("SPARK_GRAFT_MART_BUCKETS", "4096")
+    assert mart_buckets() == 4096                   # cluster sizing
+    monkeypatch.delenv("SPARK_GRAFT_MART_BUCKETS")
+    assert mart_buckets() == 8
