@@ -359,6 +359,23 @@ _LSH_TOPK_ORACLE = f"""
 """
 
 
+_LSH_INDEXES: dict = {}
+
+
+def _lsh_serving_index(spark: SparkSession, sf_dir: str):
+    """Persisted LSH index for sf_dir's embeddings (r14): the corpus
+    bucketize pass is a MATERIALIZATION (build-once, bucket-on-write —
+    operators/similarity.build_lsh_index), not per-query work — the same
+    session-index lifecycle as the IVF/PQ/BM25 rows.  The receipted
+    motivation: the inline row's corpus bucketize dominated its wall
+    (SESSION_LSH_RECEIPT r13: inline LOSES to brute at small corpora;
+    ANN_DISPATCH_RECEIPT r14: indexed 0.53s vs inline 0.72s serve)."""
+    return _session_index(
+        _LSH_INDEXES, ".lsh_index", spark, sf_dir,
+        lambda path: similarity.build_lsh_index(
+            load_table(spark, sf_dir, "embeddings"), path))
+
+
 @query(
     "sim_topk_lsh",
     oracle=_LSH_TOPK_ORACLE,
@@ -367,7 +384,25 @@ _LSH_TOPK_ORACLE = f"""
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: 16-plane hyperplane-LSH buckets with Hamming-1
     multi-probe prune the candidate set ~(1+16)/2^16-fold before exact
-    scoring — the 100 TB path."""
+    scoring — the 100 TB path.  SERVED from the build-once persisted
+    bucket index (r14; `_lsh_serving_index`): only the small query side
+    bucketizes at query time, the corpus side is a plain scan of
+    precomputed (id, vec, norm, bucket) rows — identical results to the
+    inline form (tests/test_operators.py
+    test_lsh_indexed_serving_equals_inline; `sim_topk_lsh_inline` below
+    keeps the raw-scan twin).  The DuckDB oracle still computes from the
+    raw embeddings, so layout can never change answers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _lsh_serving_index(spark, sf_dir)
+    out = similarity.lsh_topk_indexed(
+        emb.filter(F.col("vec_id") % 50 == 0), idx, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def sim_topk_lsh_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-scan twin of sim_topk_lsh (the pre-r14 catalog plan): corpus
+    bucketized inline on every execution.  Kept for the equivalence
+    pytest and receipts."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))

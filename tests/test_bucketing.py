@@ -310,7 +310,7 @@ def test_r13_mart_served_rows_match_rawscan_twins(spark):
     The DuckDB oracle over raw tables remains the primary gate."""
     from dbt_demo_spark.queries import CATALOG
     from dbt_demo_spark.queries.llm_pipeline import (
-        events_hourly_rollup_rawscan)
+        events_hourly_rollup_rawscan, sim_topk_lsh_inline)
     from dbt_demo_spark.queries.tpch2 import (tpch_q2_rejoin,
                                               tpch_q2_singlepass,
                                               tpch_q11_rawscan)
@@ -320,7 +320,8 @@ def test_r13_mart_served_rows_match_rawscan_twins(spark):
             ("tpch_q2_min_cost_supplier", tpch_q2_rejoin),
             ("tpch_q2_min_cost_supplier", tpch_q2_singlepass),
             ("tpch_q11_important_parts", tpch_q11_rawscan),
-            ("events_hourly_rollup", events_hourly_rollup_rawscan)):
+            ("events_hourly_rollup", events_hourly_rollup_rawscan),
+            ("sim_topk_lsh", sim_topk_lsh_inline)):
         served = CATALOG[name].fn(spark, SF_GATE)
         twin = raw(spark, SF_GATE)
         assert served.columns == twin.columns, (name, raw.__name__)

@@ -28,14 +28,23 @@ def test_composed_funnel_at_sf1(spark):
 
     f = art["funnel"]
     # monotone funnel, every stage observed in the one materializing job
+    # (r14 order: quality band before decontamination, cross-batch
+    # boilerplate after it)
     assert (f["ingested"] >= f["after_exact_dedup"] >= f["after_repetition"]
-            >= f["after_decontamination"] >= f["accepted"] > 0)
+            >= f["after_quality_classifier"] >= f["after_decontamination"]
+            >= f["after_boilerplate"] >= f["accepted"] > 0)
     # every stage actually cut something at this corpus except repetition
-    # (the synthetic docs are not repetitive): exact dedup and the
-    # decontamination screen must both bite
+    # (the synthetic docs are not repetitive), the quality band (the
+    # corpus IS the classifier's training distribution — near-zero cut
+    # is the correct reading), and boilerplate (single-line docs with no
+    # repeated post-dedup text; the stage measures census cost): exact
+    # dedup and the decontamination screen must both bite
     assert f["after_exact_dedup"] < f["ingested"]
-    assert f["after_decontamination"] < f["after_repetition"]
+    assert f["after_decontamination"] < f["after_quality_classifier"]
     assert f["accepted"] < f["after_decontamination"]
+    # the no-op stages must be PROVABLY no-op at this corpus, not broken
+    assert f["after_boilerplate"] == f["after_decontamination"]
+    assert f["after_quality_classifier"] >= 0.99 * f["after_repetition"]
     # post-funnel cluster resolution: the incremental dedup already
     # enforces no accepted doc near-matches an earlier accepted doc, so
     # the residual pair graph is empty and nothing more is dropped

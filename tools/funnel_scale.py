@@ -61,9 +61,23 @@ def run_funnel(spark, sf1_dir: str, work_dir: str) -> dict:
     # 50 keeps the stage meaningful here (~23% drop); exact semantics at
     # real thresholds are pinned by the planted fixtures in
     # tests/test_decontaminate.py and the driver-gated catalog row.
+    # r14: the two new row-local/census stages ride the same composed
+    # pass — the frozen quality classifier band (margin >= 0 keeps the
+    # in-domain bulk; the corpus matches the training distribution) and
+    # cross-batch boilerplate removal (the synthetic docs are single-line
+    # word streams with no repeated post-dedup text, so the stage is a
+    # no-op CUT-wise here — what this run measures is the census cost at
+    # scale; line-structured semantics are pinned in test_boilerplate.py)
+    from dbt_demo_spark.operators.quality_frozen import (
+        FROZEN_QUALITY_BIAS, FROZEN_QUALITY_WEIGHTS)
+
     t0 = time.perf_counter()
-    clean, obs = clean_corpus(corpus, index_dir, eval_docs=eval_docs,
-                              min_matched=50)
+    clean, obs = clean_corpus(
+        corpus, index_dir, eval_docs=eval_docs, min_matched=50,
+        quality_model=(list(FROZEN_QUALITY_WEIGHTS), FROZEN_QUALITY_BIAS),
+        min_quality_margin=0.0,
+        boilerplate_census_dir=os.path.join(work_dir, "line_census"),
+        boilerplate_batch_id=0)
     clean.write.mode("overwrite").parquet(out_dir)
     t_funnel = time.perf_counter() - t0
     funnel = {name: int(o.get["rows"]) for name, o in obs.items()}
