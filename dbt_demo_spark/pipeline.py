@@ -2,8 +2,12 @@
 user actually runs, wired from the package's own operators —
 
     ingest -> exact dedup (keep-first) -> repetition filter
+           -> [optional LM perplexity band, on RAW text]
+           -> [optional classifier quality band (X110), on RAW text]
            -> [optional eval-set decontamination, on RAW text]
-           -> PII redaction
+           -> [optional cross-batch boilerplate strip (X109) vs the
+               persisted hot-line census]
+           -> [optional passage dedup] -> PII redaction
            -> [optional source-weighted sampling] -> incremental near-dup
            vs the persisted fingerprint index -> train/val/test split
 
