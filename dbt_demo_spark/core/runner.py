@@ -131,6 +131,7 @@ class Runner:
         self.store_failures = store_failures
         self._full_refresh = False
         self._empty = False
+        self._batch_id: int | None = None
         self.warehouse_dir = warehouse_dir or tempfile.mkdtemp(prefix="sparkbank_wh_")
         # Catalog-table namespace: the session catalog is GLOBAL, so two
         # runners materializing a same-named bucketed model would silently
@@ -211,10 +212,19 @@ class Runner:
             refresh: str = "full",
             state: dict | None = None,
             full_refresh: bool = False,
-            empty: bool = False) -> dict[str, DataFrame]:
+            empty: bool = False,
+            batch_id: int | None = None) -> dict[str, DataFrame]:
         """Execute models in dependency order.  ``sources`` provides seed /
         external relations (the dbt-seed layer); returns every relation
         (sources + built models) by name.
+
+        ``batch_id`` (X112, r14): exactly-once replay bookkeeping for
+        ``aggregate``-strategy materializations driven by a micro-batch
+        engine (streaming/ingest.aggregate_mart_maintenance).  Only the
+        aggregate materialization consumes it — see
+        ``_materialize_aggregate`` for the commit contract; other
+        materializations in the same run simply rebuild (pass it only
+        on single-aggregate-model maintenance runs).
 
         ``empty=True`` is dbt's ``--empty`` flag (X97 [public dbt
         surface: dbt-core 1.8 — schema-only dry runs for CI]): every
@@ -281,6 +291,7 @@ class Runner:
         self._refresh_changed = refresh == "changed"
         self._full_refresh = full_refresh
         self._empty = empty
+        self._batch_id = batch_id
         self._fp_memo: dict[str, str | None] = {}
         self.last_refresh_report = {"built": [], "skipped": []}
         caches = []
@@ -346,6 +357,7 @@ class Runner:
         self._refresh_changed = refresh == "changed"
         self._full_refresh = full_refresh
         self._empty = empty
+        self._batch_id = None
         self._fp_memo = {}
         self.last_refresh_report = {"built": [], "skipped": []}
 
@@ -1211,7 +1223,22 @@ class Runner:
         partition values and ONLY those partitions are re-written and
         swapped — the fold reads and writes O(affected), not O(mart).
         Same stage-and-swap commit (and the same plain-parquet
-        non-atomicity caveat) as the merge strategy."""
+        non-atomicity caveat) as the merge strategy.
+
+        EXACTLY-ONCE MODE (X112, r14 — ``Runner.run(batch_id=...)``,
+        the streaming-maintenance path): the fold must survive
+        micro-batch REPLAY, which the default per-partition in-place
+        swap cannot (a replayed batch would double-fold).  With a
+        batch_id the commit becomes the ingest_bm25_stats contract:
+        ingested ids ride in ``_ingested_batches.json`` INSIDE the mart
+        directory (Spark ignores ``_``-prefixed files on read), the
+        whole mart swaps via two renames (live→__old, stage→live) with
+        __old recovery for the mid-commit crash window, and a replayed
+        id no-ops.  O(affected) is preserved: untouched leaf partition
+        directories are HARDLINKED into the stage (same filesystem by
+        construction; parquet files are immutable once written), so the
+        data actually written remains the affected partitions + the
+        id file — only directory metadata is per-mart."""
         keys = list(unique_key)
         cmb = dict(combine)
         extra = [c for c in df.columns if c not in keys and c not in cmb]
@@ -1228,11 +1255,48 @@ class Runner:
                 f"declared columns: {missing}")
         path = os.path.join(self.warehouse_dir, name)
         writer_cols = list(partition_by)
+        batch_id = self._batch_id
+        done: set = set()
+        if batch_id is not None:
+            backup = path + "__old"
+            if self._full_refresh:
+                # full refresh already dropped the mart — a stale crash
+                # backup must not resurrect it
+                shutil.rmtree(backup, ignore_errors=True)
+            elif not os.path.isdir(path) and os.path.isdir(backup):
+                # crash between the two commit renames: restore the
+                # backup as live and fold against it — the stale stage
+                # was never committed (its id is absent from the
+                # restored bookkeeping) and is clobbered below
+                os.replace(backup, path)
+            done = self._ingested_batch_ids(path)
+            if batch_id in done:
+                return self._read_back(name, path)  # post-commit replay
         if not os.path.isdir(path):
+            # first build: staged when replay-tracked so a crash
+            # mid-write leaves nothing (a replay rebuilds identically),
+            # in place otherwise
+            target = path
+            if batch_id is not None:
+                target = path + "__stage"
+                shutil.rmtree(target, ignore_errors=True)
             w = df.write.mode("overwrite")
             if writer_cols:
                 w = w.partitionBy(*writer_cols)
-            w.parquet(path)
+            w.parquet(target)
+            if not any(f.startswith("part-")
+                       for _r, _d, fs in os.walk(target) for f in fs):
+                # EMPTY first batch (a streaming micro-batch engine can
+                # open with one): a partitioned write of zero rows emits
+                # no part files, leaving an unreadable "mart" — create
+                # nothing instead.  Folding nothing is inert, so an
+                # untracked replay of the empty batch is safe without
+                # bookkeeping (there is no mart directory to hold it).
+                shutil.rmtree(target, ignore_errors=True)
+                return df
+            if batch_id is not None:
+                self._write_batch_book(target, {batch_id})
+                os.replace(target, path)
             return self._read_back(name, path)
         if on_schema_change == "append_new_columns":
             raise ValueError(
@@ -1318,7 +1382,31 @@ class Runner:
         if writer_cols:
             w = w.partitionBy(*writer_cols)
         w.parquet(stage)
-        if writer_cols:
+        if batch_id is not None:
+            # exactly-once commit: complete the stage into a FULL mart
+            # (hardlink untouched leaf partitions — same inode, same
+            # bytes, no data copied), put the id set inside, then swap
+            # whole directories so stats and bookkeeping commit together
+            if writer_cols:
+                for root, _dirs, files in os.walk(path):
+                    if not any(f.startswith("part-") for f in files):
+                        continue
+                    rel = os.path.relpath(root, path)
+                    sdir = os.path.join(stage, rel)
+                    if os.path.isdir(sdir):
+                        continue  # affected: the merged output wins
+                    os.makedirs(sdir, exist_ok=True)
+                    for f in files:
+                        if f.startswith("part-"):
+                            os.link(os.path.join(root, f),
+                                    os.path.join(sdir, f))
+            self._write_batch_book(stage, done | {batch_id})
+            backup = path + "__old"
+            shutil.rmtree(backup, ignore_errors=True)
+            os.replace(path, backup)
+            os.replace(stage, path)
+            shutil.rmtree(backup, ignore_errors=True)
+        elif writer_cols:
             # replace exactly the staged (affected) partition directories
             for root, _dirs, files in os.walk(stage):
                 if not any(f.startswith("part-") for f in files):
@@ -1338,6 +1426,26 @@ class Runner:
                                os.path.join(path, f))
         shutil.rmtree(stage, ignore_errors=True)
         return self._read_back(name, path)
+
+    @staticmethod
+    def _ingested_batch_ids(path: str) -> set:
+        """Ids already folded into an aggregate mart (X112) — the
+        exactly-once bookkeeping, committed INSIDE the swapped mart
+        directory (read contract mirrors Bm25StatsIndex
+        .ingested_batches)."""
+        import json
+        book = os.path.join(path, "_ingested_batches.json")
+        if not os.path.exists(book):
+            return set()
+        with open(book) as fh:
+            return set(json.load(fh))
+
+    @staticmethod
+    def _write_batch_book(dirpath: str, ids: set) -> None:
+        import json
+        with open(os.path.join(dirpath, "_ingested_batches.json"),
+                  "w") as fh:
+            json.dump(sorted(ids), fh)
 
     def show(self, sources: dict[str, DataFrame], name: str,
              n: int = 5) -> list:

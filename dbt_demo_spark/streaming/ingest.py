@@ -119,6 +119,55 @@ def clean_ingest(stream_docs: DataFrame, index_dir: str, out_dir: str,
     )
 
 
+def aggregate_mart_maintenance(stream_rows: DataFrame, mdef,
+                               source_name: str, warehouse_dir: str,
+                               checkpoint: str) -> DataStreamWriter:
+    """Streaming twin of the X107 ``aggregate`` incremental strategy
+    (X112, r14): each micro-batch of source rows runs through the REAL
+    Runner materialization path — the model fn emits batch partials at
+    the mart grain, and the fold combines them with the stored partials
+    on the grain key — so a grain mart (offer mins, hourly rollups) is
+    maintained continuously without ever rebuilding.  Exactly-once
+    under replay without streaming state: the micro-batch id rides
+    ``Runner.run(batch_id=...)`` and commits INSIDE the mart's staged
+    whole-directory swap (untouched partitions hardlinked, O(affected)
+    data written) — a replayed batch either finds its id (no-op) or a
+    mart that never counted it (identical fold); the two-rename window
+    recovers from __old.  Identical convergence argument (and commit
+    shape) to ``bm25_stats_maintenance`` / ``line_census_maintenance``
+    below, lifted from a single index to ANY declared aggregate model.
+
+    ``mdef`` is a ModelDef with materialized='incremental',
+    incremental_strategy='aggregate' whose single dep is
+    ``source_name``.  Caller picks the trigger::
+
+        q = aggregate_mart_maintenance(stream, offer_model(), "lineitem",
+                                       wh, ckpt) \\
+            .trigger(availableNow=True).start()
+    """
+    from ..core.model import ModelRegistry
+    from ..core.runner import Runner
+
+    if getattr(mdef, "incremental_strategy", None) != "aggregate":
+        raise ValueError(
+            "aggregate_mart_maintenance needs an aggregate-strategy "
+            f"model, got {getattr(mdef, 'incremental_strategy', None)!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        reg = ModelRegistry()
+        reg.register(mdef)
+        Runner(batch_df.sparkSession, reg,
+               warehouse_dir=warehouse_dir).run(
+            {source_name: batch_df}, batch_id=batch_id)
+
+    return (
+        stream_rows.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+
+
 def line_census_maintenance(stream_docs: DataFrame, index_dir: str,
                             checkpoint: str,
                             text_col: str = "text") -> DataStreamWriter:

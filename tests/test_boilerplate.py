@@ -229,3 +229,39 @@ def test_served_guards(spark, tmp_path):
                                   "doc_id long, text string")
     out = remove_boilerplate_lines_served(clean, idx, min_docs=6)
     assert sorted(map(tuple, out.collect())) == [(9, "nothing\nhot")]
+
+
+def test_census_ingest_associativity_property(spark, tmp_path):
+    """Property (hypothesis): for ANY partition of the corpus into
+    batches, sequential census ingest reproduces the one-shot census
+    exactly — (line_hash, n_docs) are integer partials under sum-merge,
+    so batch order and boundaries cannot matter (the bm25 associativity
+    property on the line census)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs = _docs(spark).cache()
+    docs.count()
+    one = build_line_census(docs, str(tmp_path / "prop_one"))
+    want = _census_rows(spark, one)
+    runs = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(cuts=st.sets(st.integers(min_value=1, max_value=5),
+                        max_size=2))
+    def check(cuts):
+        runs[0] += 1
+        path = str(tmp_path / f"prop_{runs[0]}")
+        bounds = sorted(cuts) + [7]
+        lo = 0
+        for hi in bounds:
+            batch = docs.filter((F.col("doc_id") >= lo)
+                                & (F.col("doc_id") < hi))
+            ingest_line_census(batch, path)
+            lo = hi
+        assert _census_rows(spark, LineCensusIndex(path)) == want
+
+    try:
+        check()
+    finally:
+        docs.unpersist()

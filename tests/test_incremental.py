@@ -922,6 +922,77 @@ def test_aggregate_strategy_duplicate_grain_batch_fails_loud(spark,
         r.clean()
 
 
+def test_aggregate_batch_id_exactly_once(spark, tmp_path):
+    """X112: with Runner.run(batch_id=...) the aggregate fold is
+    replay-safe — ids commit inside the mart's whole-directory swap, a
+    replayed id no-ops byte-for-byte, untouched partitions survive as
+    the SAME inodes (hardlinked, no data rewritten), and the mid-commit
+    crash window (live moved to __old, stage never moved in) recovers
+    the backup and converges."""
+    import os
+
+    from dbt_demo_spark.core.model import ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+
+    a = [(1, 10, 500), (2, 20, 900)]       # partitions pk=1, pk=2
+    b = [(2, 20, 100), (3, 30, 700)]       # touches pk=2, pk=3 only
+
+    def files_of(part_dir):
+        return sorted(
+            (f, os.stat(os.path.join(part_dir, f)).st_ino)
+            for f in os.listdir(part_dir) if f.startswith("part-"))
+
+    reg = ModelRegistry()
+    reg.register(_offer_model(partition_by=("pk",)))
+    r = Runner(spark, reg, str(tmp_path / "wh"))
+    mart = str(tmp_path / "wh" / "offers")
+    try:
+        r.run({"li": _li(spark, a)}, batch_id=0)
+        assert Runner._ingested_batch_ids(mart) == {0}
+        p1_before = files_of(mart + "/pk=1")
+        folded = r.run({"li": _li(spark, b)}, batch_id=1)["offers"]
+        got = sorted(map(tuple, folded.select(
+            "pk", "sk", "min_cost", "rev", "n").collect()))
+        assert got == [(1, 10, 500, 500, 1), (2, 20, 100, 1000, 2),
+                       (3, 30, 700, 700, 1)]
+        assert Runner._ingested_batch_ids(mart) == {0, 1}
+        # untouched pk=1: same file names, same INODES — hardlinked
+        # through the swap, never rewritten
+        assert files_of(mart + "/pk=1") == p1_before
+
+        # post-commit replay: byte-identical mart, same bookkeeping
+        def tree_state(root):
+            out = []
+            for dirpath, _dirs, files in os.walk(root):
+                for f in sorted(files):
+                    p = os.path.join(dirpath, f)
+                    out.append((os.path.relpath(p, root),
+                                os.path.getsize(p)))
+            return sorted(out)
+
+        before = tree_state(mart)
+        again = r.run({"li": _li(spark, b)}, batch_id=1)["offers"]
+        assert sorted(map(tuple, again.select(
+            "pk", "sk", "min_cost", "rev", "n").collect())) == got
+        assert tree_state(mart) == before
+
+        # mid-commit crash window: live -> __old done, stage stranded;
+        # the replayed batch must restore the backup and fold into it
+        import shutil as _sh
+        _sh.copytree(mart, mart + "__stage")
+        os.replace(mart, mart + "__old")
+        assert not os.path.isdir(mart)
+        rec = r.run({"li": _li(spark, [(4, 40, 50)])},
+                    batch_id=2)["offers"]
+        got2 = sorted(map(tuple, rec.select(
+            "pk", "sk", "min_cost", "rev", "n").collect()))
+        assert got2 == got + [(4, 40, 50, 50, 1)]
+        assert Runner._ingested_batch_ids(mart) == {0, 1, 2}
+        assert not os.path.isdir(mart + "__old")
+    finally:
+        r.clean()
+
+
 def test_aggregate_strategy_error_matrix(spark, tmp_path):
     """Declaration-time and materialization-time fail-loud cases."""
     import pytest as _pytest

@@ -256,3 +256,79 @@ def test_line_census_maintenance_converges_and_replays(spark, tmp_path):
     ingest_line_census(b, idx_dir,
                        batch_id=max(streamed.ingested_batches()))
     assert rows(streamed) == before
+
+
+def test_aggregate_mart_maintenance_converges_and_replays(spark, tmp_path):
+    """streaming/ingest.aggregate_mart_maintenance (X112): micro-batches
+    of fact rows fold into a persisted grain mart through the real
+    Runner aggregate path; the final mart equals the one-shot aggregate
+    over all rows, and a replayed committed batch id no-ops — the
+    bm25/census maintenance contract lifted to ANY declared aggregate
+    model."""
+    import pyspark.sql.functions as F
+
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+    from dbt_demo_spark.core.runner import Runner
+    from dbt_demo_spark.streaming.ingest import aggregate_mart_maintenance
+
+    def offer_model():
+        return ModelDef(
+            name="offers", deps=("li",), materialized="incremental",
+            incremental_strategy="aggregate", unique_key=("pk", "sk"),
+            partition_by=("pk",),
+            combine=(("min_cost", "min"), ("rev", "sum"), ("n", "count")),
+            fn=lambda refs: (
+                refs["li"].groupBy("pk", "sk")
+                .agg(F.min("cost").alias("min_cost"),
+                     F.sum("cost").alias("rev"),
+                     F.count(F.lit(1)).alias("n"))))
+
+    schema = "pk long, sk long, cost long"
+    landing = str(tmp_path / "landing")
+    a = [(1, 10, 500), (2, 20, 900)]
+    b = [(2, 20, 100), (3, 30, 700), (1, 10, 200)]
+    spark.createDataFrame(a, schema).write.parquet(landing + "/batch_a")
+    spark.createDataFrame(b, schema).write.parquet(landing + "/batch_b")
+
+    wh = str(tmp_path / "wh")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing + "/*"))
+    q = (aggregate_mart_maintenance(stream, offer_model(), "li", wh,
+                                    str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    mart = spark.read.parquet(wh + "/offers")
+    got = sorted(map(tuple, mart.select(
+        "pk", "sk", "min_cost", "rev", "n").collect()))
+    # one-shot ground truth over all rows
+    reg = ModelRegistry()
+    reg.register(offer_model())
+    r2 = Runner(spark, reg, str(tmp_path / "wh2"))
+    try:
+        one = r2.run({"li": spark.createDataFrame(a + b, schema)})["offers"]
+        want = sorted(map(tuple, one.select(
+            "pk", "sk", "min_cost", "rev", "n").collect()))
+    finally:
+        r2.clean()
+    assert got == want
+    ids = Runner._ingested_batch_ids(wh + "/offers")
+    assert len(ids) >= 1
+
+    # post-commit replay of the highest committed id: mart unchanged
+    reg3 = ModelRegistry()
+    reg3.register(offer_model())
+    r3 = Runner(spark, reg3, wh)
+    r3.run({"li": spark.createDataFrame(b, schema)},
+           batch_id=max(ids))
+    again = sorted(map(tuple, spark.read.parquet(wh + "/offers").select(
+        "pk", "sk", "min_cost", "rev", "n").collect()))
+    assert again == got
+
+    # a non-aggregate model rejects the maintenance wrapper loudly
+    import pytest as _pytest
+    bad = ModelDef(name="x", deps=("li",), materialized="table",
+                   fn=lambda refs: refs["li"])
+    with _pytest.raises(ValueError, match="aggregate-strategy"):
+        aggregate_mart_maintenance(stream, bad, "li", wh,
+                                   str(tmp_path / "ckpt2"))
