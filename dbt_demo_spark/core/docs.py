@@ -192,6 +192,13 @@ def _metrics_section(layer) -> str:
                                f"{m.conversion_measure} by {m.entity}"
                                + (f" within {m.window}" if m.window
                                   else "")
+                               # .get with a fallback, never a bare
+                               # subscript: attribution is validated
+                               # only for conversion metrics, and every
+                               # dict-literal VALUE evaluates eagerly —
+                               # a stray attribution string on any
+                               # metric type would otherwise KeyError
+                               # the whole docs site (r14 self-review)
                                + {"last_touch":
                                   " (window inclusive of base ts; "
                                   "last-touch attribution — each "
@@ -212,7 +219,7 @@ def _metrics_section(layer) -> str:
                                   "conversion event may convert several "
                                   "base events; deviation from full "
                                   "MetricFlow, opt-out of the default "
-                                  "last_touch)"}[m.attribution])
+                                  "last_touch)"}.get(m.attribution, ""))
                 }.get(m.type, "")
         rows.append(f"<tr><td><code>{e(m.name)}</code></td>"
                     f"<td>{e(m.type)}</td><td>{e(what)}</td></tr>")

@@ -1253,25 +1253,66 @@ class Runner:
             raise ValueError(
                 f"model {name}: aggregate strategy output is missing "
                 f"declared columns: {missing}")
+        # Evaluate the batch plan ONCE (r14 self-review): the dup-grain
+        # guard collect, the affected-partition distinct, and the stage
+        # write are separate Spark actions over the same model-fn
+        # lineage — without a persist each action re-executes it, so
+        # O(batch) was paid three times per fold (the streaming
+        # maintenance path pays it per micro-batch).
+        df = df.persist()
+        try:
+            return self._aggregate_fold(name, df, partition_by, keys,
+                                        cmb, on_schema_change)
+        finally:
+            df.unpersist()
+
+    def _aggregate_fold(self, name: str, df: DataFrame,
+                        partition_by: tuple[str, ...], keys: list,
+                        cmb: dict, on_schema_change: str) -> DataFrame:
+        """The body of the aggregate materialization (validated, batch
+        plan persisted by the caller)."""
+        from ..core.atomic import (restore_crashed_backup, swap_commit,
+                                   write_batch_ids)
+        from pyspark.sql import functions as F
+
         path = os.path.join(self.warehouse_dir, name)
         writer_cols = list(partition_by)
         batch_id = self._batch_id
         done: set = set()
         if batch_id is not None:
-            backup = path + "__old"
             if self._full_refresh:
                 # full refresh already dropped the mart — a stale crash
                 # backup must not resurrect it
-                shutil.rmtree(backup, ignore_errors=True)
-            elif not os.path.isdir(path) and os.path.isdir(backup):
-                # crash between the two commit renames: restore the
-                # backup as live and fold against it — the stale stage
-                # was never committed (its id is absent from the
-                # restored bookkeeping) and is clobbered below
-                os.replace(backup, path)
+                shutil.rmtree(path + "__old", ignore_errors=True)
+            else:
+                # between-renames crash window: restore __old and fold
+                # against it (core/atomic.py documents the argument)
+                restore_crashed_backup(path, os.path.isdir)
             done = self._ingested_batch_ids(path)
             if batch_id in done:
                 return self._read_back(name, path)  # post-commit replay
+        # The fold joins old/new partials 1:1 on the grain key — a batch
+        # carrying DUPLICATE grain rows would fan out the full_outer
+        # join, double-count the stored partials, and leave duplicate
+        # grain rows in the mart: silent corruption.  Fail loud instead
+        # (ADVICE r13): one bounded aggregation over the batch partials
+        # (O(batch), never the mart) proves grain uniqueness before
+        # anything is written.  Checked BEFORE the first build too (r14
+        # self-review): a dup-grain FIRST batch would otherwise seed a
+        # permanently corrupt mart the later checks never see.  Models
+        # that legitimately emit sub-grain rows must pre-aggregate with
+        # their declared combine functions — a modeling decision, not
+        # something to guess here.
+        dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).limit(1).collect())
+        if dup:
+            bad = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"model {name}: aggregate strategy batch is not unique "
+                f"on the grain key {keys} (e.g. {bad} appears "
+                f"{dup[0]['__n']}x) — pre-aggregate the batch to the "
+                "mart grain with the declared combine functions before "
+                "emitting partials")
         if not os.path.isdir(path):
             # first build: staged when replay-tracked so a crash
             # mid-write leaves nothing (a replay rebuilds identically),
@@ -1295,7 +1336,8 @@ class Runner:
                 shutil.rmtree(target, ignore_errors=True)
                 return df
             if batch_id is not None:
-                self._write_batch_book(target, {batch_id})
+                write_batch_ids(os.path.join(
+                    target, "_ingested_batches.json"), {batch_id})
                 os.replace(target, path)
             return self._read_back(name, path)
         if on_schema_change == "append_new_columns":
@@ -1305,8 +1347,6 @@ class Runner:
                 "combine column has no stored partial to fold into; "
                 "full-refresh the mart instead")
         self._check_schema_change(name, df, path, on_schema_change)
-
-        from pyspark.sql import functions as F
 
         existing = self.spark.read.parquet(path)
         drift = (set(existing.columns) ^ set(df.columns))
@@ -1320,25 +1360,6 @@ class Runner:
                 f"({sorted(drift)} on one side only) — every grain/"
                 "combine column must exist in both the stored mart and "
                 "the batch output; full-refresh to change the schema")
-        # The fold joins old/new partials 1:1 on the grain key — a batch
-        # carrying DUPLICATE grain rows would fan out the full_outer
-        # join, double-count the stored partials, and leave duplicate
-        # grain rows in the mart: silent corruption.  Fail loud instead
-        # (ADVICE r13): one bounded aggregation over the batch partials
-        # (O(batch), never the mart) proves grain uniqueness before
-        # anything is staged.  Models that legitimately emit sub-grain
-        # rows must pre-aggregate with their declared combine functions
-        # — that is a modeling decision, not something to guess here.
-        dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-               .where(F.col("__n") > 1).limit(1).collect())
-        if dup:
-            bad = {k: dup[0][k] for k in keys}
-            raise ValueError(
-                f"model {name}: aggregate strategy batch is not unique "
-                f"on the grain key {keys} (e.g. {bad} appears "
-                f"{dup[0]['__n']}x) — pre-aggregate the batch to the "
-                "mart grain with the declared combine functions before "
-                "emitting partials")
         if partition_by:
             # prune the stored mart to the batch's affected partitions.
             # eqNullSafe per partition column (mirroring the grain-key
@@ -1400,12 +1421,9 @@ class Runner:
                         if f.startswith("part-"):
                             os.link(os.path.join(root, f),
                                     os.path.join(sdir, f))
-            self._write_batch_book(stage, done | {batch_id})
-            backup = path + "__old"
-            shutil.rmtree(backup, ignore_errors=True)
-            os.replace(path, backup)
-            os.replace(stage, path)
-            shutil.rmtree(backup, ignore_errors=True)
+            write_batch_ids(os.path.join(
+                stage, "_ingested_batches.json"), done | {batch_id})
+            swap_commit(path, stage)
         elif writer_cols:
             # replace exactly the staged (affected) partition directories
             for root, _dirs, files in os.walk(stage):
@@ -1431,21 +1449,12 @@ class Runner:
     def _ingested_batch_ids(path: str) -> set:
         """Ids already folded into an aggregate mart (X112) — the
         exactly-once bookkeeping, committed INSIDE the swapped mart
-        directory (read contract mirrors Bm25StatsIndex
-        .ingested_batches)."""
-        import json
-        book = os.path.join(path, "_ingested_batches.json")
-        if not os.path.exists(book):
-            return set()
-        with open(book) as fh:
-            return set(json.load(fh))
-
-    @staticmethod
-    def _write_batch_book(dirpath: str, ids: set) -> None:
-        import json
-        with open(os.path.join(dirpath, "_ingested_batches.json"),
-                  "w") as fh:
-            json.dump(sorted(ids), fh)
+        directory.  Protocol: core/atomic.py (the ONE shared
+        implementation, also behind the BM25 and line-census
+        indexes)."""
+        from ..core.atomic import read_batch_ids
+        return read_batch_ids(os.path.join(path,
+                                           "_ingested_batches.json"))
 
     def show(self, sources: dict[str, DataFrame], name: str,
              n: int = 5) -> list:

@@ -77,12 +77,10 @@ class Bm25StatsIndex:
         the staged swap commits stats and bookkeeping atomically: a
         replayed micro-batch either sees its id here (post-commit
         replay, no-op) or sees an index that never counted it
-        (pre-commit replay, identical merge)."""
-        import json
-        if not os.path.exists(self.batches_path):
-            return set()
-        with open(self.batches_path) as fh:
-            return set(json.load(fh))
+        (pre-commit replay, identical merge).  Protocol:
+        core/atomic.py (the ONE shared implementation)."""
+        from ..core.atomic import read_batch_ids
+        return read_batch_ids(self.batches_path)
 
 
 def _batch_stats(docs: DataFrame, text_col: str):
@@ -99,11 +97,10 @@ def _batch_stats(docs: DataFrame, text_col: str):
 
 
 def _write_batches(idx: Bm25StatsIndex, ids: set) -> None:
-    import json
+    from ..core.atomic import write_batch_ids
     if not ids:
-        return
-    with open(idx.batches_path, "w") as fh:
-        json.dump(sorted(ids), fh)
+        return  # absent file == nothing ingested (non-streaming builds)
+    write_batch_ids(idx.batches_path, ids)
 
 
 def build_bm25_stats(docs: DataFrame, path: str, text_col: str = "text",
@@ -148,20 +145,16 @@ def ingest_bm25_stats(new_docs: DataFrame, path: str,
     rebuilding from the replayed batch alone.  Double-count remains
     impossible; the only non-replay-safe state would be losing BOTH
     directories at once, which no single crash point produces."""
+    from ..core.atomic import restore_crashed_backup, swap_commit
+
     idx = Bm25StatsIndex(path)
     if not os.path.isdir(idx.scalars_path):
-        backup = Bm25StatsIndex(path + "__old")
-        if os.path.isdir(backup.scalars_path):
-            # crash landed between the two commit renames: the live
-            # index was moved to __old but the merged stage never moved
-            # in.  Restore the backup as live and fall through to the
-            # normal merge — the stage's merge was never committed
-            # (its batch id is absent from the restored bookkeeping),
-            # so re-merging the replayed batch is exact, and the stale
-            # stage is clobbered by the rmtree below.
-            shutil.rmtree(path, ignore_errors=True)
-            os.replace(backup.path, path)
-        else:
+        # between-renames crash window: restore __old and fall through
+        # to the normal merge (core/atomic.py documents the argument);
+        # otherwise this is a genuine fresh build
+        if not restore_crashed_backup(
+                path, lambda b: os.path.isdir(
+                    Bm25StatsIndex(b).scalars_path)):
             return build_bm25_stats(new_docs, path, text_col, batch_id)
     done = idx.ingested_batches()
     if batch_id is not None and batch_id in done:
@@ -183,11 +176,7 @@ def ingest_bm25_stats(new_docs: DataFrame, path: str,
     merged_term_df.write.mode("overwrite").parquet(sidx.term_df_path)
     _write_batches(sidx, done | ({batch_id} if batch_id is not None
                                  else set()))
-    live, backup = path, path + "__old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.replace(live, backup)
-    os.replace(stage, live)
-    shutil.rmtree(backup, ignore_errors=True)
+    swap_commit(path, stage)
     return idx
 
 

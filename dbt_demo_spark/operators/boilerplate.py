@@ -174,19 +174,15 @@ class LineCensusIndex:
         return os.path.join(self.path, "batches.json")
 
     def ingested_batches(self) -> set:
-        import json
-        if not os.path.exists(self.batches_path):
-            return set()
-        with open(self.batches_path) as fh:
-            return set(json.load(fh))
+        from ..core.atomic import read_batch_ids
+        return read_batch_ids(self.batches_path)
 
 
 def _write_census_batches(idx: LineCensusIndex, ids: set) -> None:
-    import json
+    from ..core.atomic import write_batch_ids
     if not ids:
-        return
-    with open(idx.batches_path, "w") as fh:
-        json.dump(sorted(ids), fh)
+        return  # absent file == nothing ingested (non-streaming builds)
+    write_batch_ids(idx.batches_path, ids)
 
 
 def _batch_line_census(docs: DataFrame, sep: str,
@@ -233,16 +229,16 @@ def ingest_line_census(new_docs: DataFrame, path: str, sep: str = "\n",
     against a census that never counted the batch), and the two-rename
     commit window recovers from ``path + '__old'`` instead of silently
     rebuilding from the replayed batch alone."""
+    from ..core.atomic import restore_crashed_backup, swap_commit
+
     idx = LineCensusIndex(path)
     if not os.path.isdir(idx.census_path):
-        backup = LineCensusIndex(path + "__old")
-        if os.path.isdir(backup.census_path):
-            # crash between the two commit renames: restore the backup
-            # as live and fall through to the normal merge (the stale
-            # stage was never committed; it is clobbered below)
-            shutil.rmtree(path, ignore_errors=True)
-            os.replace(backup.path, path)
-        else:
+        # between-renames crash window: restore __old and fall through
+        # to the normal merge (core/atomic.py documents the argument);
+        # otherwise this is a genuine fresh build
+        if not restore_crashed_backup(
+                path, lambda b: os.path.isdir(
+                    LineCensusIndex(b).census_path)):
             return build_line_census(new_docs, path, sep, text_col,
                                      batch_id)
     done = idx.ingested_batches()
@@ -260,11 +256,7 @@ def ingest_line_census(new_docs: DataFrame, path: str, sep: str = "\n",
     merged.write.mode("overwrite").parquet(sidx.census_path)
     _write_census_batches(sidx, done | ({batch_id} if batch_id is not None
                                         else set()))
-    live, backup_dir = path, path + "__old"
-    shutil.rmtree(backup_dir, ignore_errors=True)
-    os.replace(live, backup_dir)
-    os.replace(stage, live)
-    shutil.rmtree(backup_dir, ignore_errors=True)
+    swap_commit(path, stage)
     return idx
 
 

@@ -181,3 +181,34 @@ saved_queries:
     page2 = open(generate_docs_site(
         reg.manifest(), str(tmp_path / "d2"))).read()
     assert "Semantic layer" not in page2
+
+
+def test_docs_survive_stray_attribution_on_any_metric(spark, tmp_path):
+    """r14 self-review: the conversion card's attribution text is part
+    of a dict literal whose VALUES all evaluate for every metric row —
+    attribution is only validated for conversion metrics, so a stray
+    attribution string on a simple metric must not KeyError the whole
+    docs site (the lookup is .get with a fallback, not a subscript)."""
+    from dbt_demo_spark.core.docs import generate_docs_site
+    from dbt_demo_spark.core.metrics import parse_metric_layer
+    from dbt_demo_spark.core.model import ModelDef, ModelRegistry
+
+    layer = parse_metric_layer("""
+semantic_models:
+  - name: orders_sm
+    model: ref('orders')
+    measures: [{name: n, agg: count, expr: 1}]
+metrics:
+  - name: orders_count
+    type: simple
+    type_params: {measure: n, attribution: whatever}
+""")
+    assert layer.metrics["orders_count"].attribution == "whatever"
+    reg = ModelRegistry()
+    reg.register(ModelDef(name="orders", deps=("src",),
+                          materialized="view",
+                          fn=lambda refs: refs["src"]))
+    page = open(generate_docs_site(
+        reg.manifest(), str(tmp_path / "d"),
+        metric_layer=layer)).read()
+    assert "orders_count" in page

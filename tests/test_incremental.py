@@ -910,11 +910,14 @@ def test_aggregate_strategy_duplicate_grain_batch_fails_loud(spark,
     reg.register(dup_model)
     r = Runner(spark, reg, str(tmp_path / "wh"))
     try:
-        # first build: (1, 10) appears twice in the raw batch — caught
-        # BEFORE any fold exists too?  No: the first build writes the
-        # mart directly, so uniqueness is enforced on the fold path; a
-        # unique first batch seeds the mart, the duplicate second batch
-        # must raise.
+        # FIRST build with duplicate grain rows must raise too (r14
+        # self-review): a dup-grain first batch would otherwise seed a
+        # permanently corrupt mart that every later fold's check — which
+        # only inspects the incoming batch — would never see
+        with _pytest.raises(ValueError, match="not unique on the grain"):
+            r.run({"li": _li(spark, [(1, 10, 500), (1, 10, 600)])})
+        # a unique first batch seeds the mart; the duplicate second
+        # batch is rejected on the fold path
         r.run({"li": _li(spark, [(1, 10, 500), (2, 20, 900)])})
         with _pytest.raises(ValueError, match="not unique on the grain"):
             r.run({"li": _li(spark, [(1, 10, 200), (1, 10, 300)])})
