@@ -241,3 +241,36 @@ def sigmoid(margin: float) -> float:
     calibrated score (NOT used in any engine path — the band filter is
     monotone in the margin, so the engines never pay a transcendental)."""
     return 1.0 / (1.0 + math.exp(-margin))
+
+
+def margin_threshold_for_keep_fraction(docs: DataFrame,
+                                       weights: list[float], bias: float,
+                                       keep_frac: float,
+                                       text_col: str = "text",
+                                       exact: bool = False) -> float:
+    """Calibrate the band cut from a TARGET keep fraction — the 'keep
+    the top X% by classifier score' form of the filter (the
+    deterministic analog of GPT-3's score-based document selection
+    [public knowledge: Brown et al. 2020 appendix A — documents kept by
+    classifier score; LLaMA-style recipes quote keep fractions]):
+    returns the margin at the (1 - keep_frac) quantile, so
+    ``min_quality_margin=<returned>`` keeps ~keep_frac of scoreable
+    docs.  One aggregation over the margins; ``exact=False`` (default)
+    uses approx_percentile — the mergeable Greenwald-Khanna sketch, the
+    100 TB path — while ``exact=True`` runs the exact percentile for
+    small calibration sets.  NULL margins (no tokens) are excluded: the
+    band drops them regardless of the cut."""
+    if not (0.0 < keep_frac < 1.0):
+        raise ValueError(
+            f"keep_frac must be in (0, 1), got {keep_frac} — 1.0 means "
+            "no filter, 0.0 keeps nothing")
+    m = quality_margin(F.col(text_col), weights, bias).alias("__m")
+    scored = docs.select(m).where(F.col("__m").isNotNull())
+    q = 1.0 - keep_frac
+    fn = "percentile" if exact else "approx_percentile"
+    row = scored.agg(F.expr(f"{fn}(__m, {q!r})").alias("t")).first()
+    if row.t is None:
+        raise ValueError(
+            "margin_threshold_for_keep_fraction: no scoreable documents "
+            "(every text NULL/empty) — nothing to calibrate on")
+    return float(row.t)

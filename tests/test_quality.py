@@ -145,3 +145,48 @@ def test_frozen_weights_match_retraining(spark):
         max_sample=FROZEN_QUALITY_MAX_SAMPLE, dim=FROZEN_QUALITY_DIM)
     assert list(FROZEN_QUALITY_WEIGHTS) == w
     assert FROZEN_QUALITY_BIAS == b
+
+
+def test_keep_fraction_calibration(spark):
+    """margin_threshold_for_keep_fraction: the exact-percentile cut
+    keeps ~keep_frac of scoreable docs when applied as the band's
+    min_quality_margin; the approx (sketch) cut lands within the
+    sketch's tolerance; degenerate inputs fail loud."""
+    docs, (w, b) = _train(spark)
+    n = docs.count()
+    for keep in (0.8, 0.5):
+        t = quality.margin_threshold_for_keep_fraction(
+            docs, w, b, keep, exact=True)
+        kept = (quality.score_quality(docs, w, b)
+                .where(F.col("quality_margin") >= t).count())
+        # exact percentile: kept fraction within one doc of target
+        # (ties on the cut value can only ADD docs)
+        assert kept >= int(keep * n) - 1
+        assert kept <= n
+        t_approx = quality.margin_threshold_for_keep_fraction(
+            docs, w, b, keep)
+        kept_a = (quality.score_quality(docs, w, b)
+                  .where(F.col("quality_margin") >= t_approx).count())
+        assert abs(kept_a - keep * n) / n < 0.1
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        quality.margin_threshold_for_keep_fraction(docs, w, b, 1.0)
+    empty = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no scoreable"):
+        quality.margin_threshold_for_keep_fraction(empty, w, b, 0.5)
+
+    # composes with the funnel: the calibrated cut drives the band
+    from dbt_demo_spark.pipeline import clean_corpus
+    import tempfile
+
+    t = quality.margin_threshold_for_keep_fraction(
+        docs, w, b, 0.9, exact=True)
+    with tempfile.TemporaryDirectory() as idx:
+        clean, obs = clean_corpus(docs, idx, quality_model=(w, b),
+                                  min_quality_margin=t,
+                                  max_dup_trigram_frac=1.0,
+                                  min_uniq_token_frac=0.0)
+        clean.write.format("noop").mode("overwrite").save()
+        frac = (obs["after_quality_classifier"].get["rows"]
+                / obs["after_repetition"].get["rows"])
+        assert 0.85 <= frac <= 0.95
