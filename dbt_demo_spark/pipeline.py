@@ -4,6 +4,7 @@ user actually runs, wired from the package's own operators —
     ingest -> exact dedup (keep-first) -> repetition filter
            -> [optional LM perplexity band, on RAW text]
            -> [optional classifier quality band (X110), on RAW text]
+           -> [optional DSIR importance-weight band (X114), on RAW text]
            -> [optional eval-set decontamination, on RAW text]
            -> [optional cross-batch boilerplate strip (X109) vs the
                persisted hot-line census]
@@ -65,6 +66,8 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
                  boilerplate_batch_id: int | None = None,
                  quality_model: tuple | None = None,
                  min_quality_margin: float | None = None,
+                 dsir_table: list | None = None,
+                 min_dsir_logweight: float | None = None,
                  ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run the full preparation funnel over an ingest batch.
 
@@ -93,6 +96,12 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     whose frozen-classifier margin falls below the cut; row-local like
     the LM band.  Pass operators/quality_frozen.py's weights or a
     train_quality_classifier result.
+
+    ``dsir_table`` + ``min_dsir_logweight``: the DSIR importance-weight
+    band (X114, operators/dsir.py) — drop docs whose target-vs-raw log
+    importance weight falls below the cut (calibrate with
+    dsir.logweight_threshold_for_keep_fraction); row-local like the
+    other bands.
 
     ``sink``: optional callable receiving the final (split-annotated)
     accepted rows BEFORE the fingerprint index is appended — the
@@ -129,6 +138,10 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
     if (quality_model is None) != (min_quality_margin is None):
         raise ValueError("quality_model and min_quality_margin go "
                          "together — a classifier with no cut keeps "
+                         "everything, a cut with no model is undefined")
+    if (dsir_table is None) != (min_dsir_logweight is None):
+        raise ValueError("dsir_table and min_dsir_logweight go "
+                         "together — a model with no cut keeps "
                          "everything, a cut with no model is undefined")
     obs: dict[str, Observation] = {}
 
@@ -179,6 +192,20 @@ def clean_corpus(new_docs: DataFrame, index_dir: str, *,
         df = tap(df.filter(m.isNotNull()
                            & (m >= float(min_quality_margin))),
                  "after_quality_classifier")
+
+    # DSIR importance-weight band (X114, operators/dsir.py): drop docs
+    # whose target-vs-raw log importance weight falls below the cut —
+    # row-local like the LM/classifier bands (a bigram-lookup fold,
+    # zero Exchange), scoring RAW text.  Docs too short to score (NULL
+    # weight, < 2 tokens) drop — no feature evidence, same posture as
+    # the other bands.
+    if dsir_table is not None:
+        from .operators.dsir import dsir_logweight
+
+        dw = dsir_logweight(F.col("text"), list(dsir_table))
+        df = tap(df.filter(dw.isNotNull()
+                           & (dw >= float(min_dsir_logweight))),
+                 "after_dsir")
 
     # eval-set decontamination BEFORE PII redaction: a leaked eval span
     # containing an email/IP must be matched against the eval set's RAW

@@ -117,3 +117,28 @@ def test_score_is_row_local_zero_exchange(spark):
     plan = (dsir.score_dsir(docs, table)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, "scoring must not shuffle"
+
+
+def test_clean_corpus_dsir_band_drops_junk(spark, tmp_path):
+    """The funnel's DSIR band: with a calibrated cut the planted
+    gibberish twins drop and (essentially all) clean docs survive, with
+    a real Observation count; the model/cut arguments validate
+    together."""
+    from dbt_demo_spark.pipeline import clean_corpus
+
+    docs, neg, raw, table = _setting(spark)
+    t = dsir.logweight_threshold_for_keep_fraction(raw, table, 0.5,
+                                                   exact=True)
+    clean, obs = clean_corpus(raw, str(tmp_path / "idx"),
+                              dsir_table=table, min_dsir_logweight=t,
+                              max_dup_trigram_frac=1.0,
+                              min_uniq_token_frac=0.0)
+    kept = {r.doc_id for r in clean.collect()}
+    junk_kept = sum(1 for i in kept if i >= 1_000_000)
+    assert junk_kept / len(kept) < 0.05
+    assert obs["after_dsir"].get["rows"] < obs["after_repetition"].get["rows"]
+
+    with pytest.raises(ValueError, match="go\\s+together"):
+        clean_corpus(raw, str(tmp_path / "i2"), dsir_table=table)
+    with pytest.raises(ValueError, match="go\\s+together"):
+        clean_corpus(raw, str(tmp_path / "i3"), min_dsir_logweight=0.0)
