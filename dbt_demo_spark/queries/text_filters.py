@@ -425,10 +425,21 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained once by tools/freeze_lm.py — the train-once / score-many model
     lifecycle, same freeze pattern as sim_topk_ivf's centroids).  Scoring
     is pure lookup+add over pre-logged doubles, so the JVM fold, the Arrow
-    twin, and the DuckDB oracle are BIT-IDENTICAL (tests/test_lm.py); the
-    plan is Scan -> Project with zero Exchange after the local `spread`.
-    At 100 TB this is the corpus-wide quality pass that feeds the
-    clean_corpus band filter (pipeline.py lm_table / bits_per_char band).
+    twin, and the DuckDB oracle are BIT-IDENTICAL (tests/test_lm.py).
+
+    Served from the ARROW twin since r14 (guide §4.2: per-character work
+    belongs in vectorized native code, not an interpreted expression
+    walker): the JVM higher-order-function fold evaluates ~3 Catalyst
+    expression nodes per character through the interpreted evaluator —
+    measured 1.35 s at sf0.1 vs 0.33 s for the numpy symbol-map +
+    table-gather + cumsum pass over the same rows (interleaved min-of-5,
+    noop sink; scores verified equal to the bit on all 5000 sf0.1 docs,
+    and pinned by tests/test_lm.py::test_jvm_arrow_duckdb_score_bit_identical).
+    Plan shape: Scan -> spread Exchange -> one MapInPandas node -> sink;
+    only (doc_id, text) cross the Python boundary.  At 100 TB the pass is
+    embarrassingly row-local either way; the Arrow form also moves 4x
+    less CPU per byte, and the scan stays column-pruned (ReadSchema:
+    doc_id, text — asserted in plans/r14/text_lm_quality_after.txt).
 
     Reference parity: the reference has no quality stage; this is the
     §2-extension X40 row (CCNet, Wenzek et al. 2020 [public knowledge])."""
@@ -436,7 +447,7 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm_frozen import FROZEN_LM_TABLE
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return lm.score_documents(docs, FROZEN_LM_TABLE)
+    return lm.bits_per_char_arrow(docs, FROZEN_LM_TABLE)
 
 
 # ---------------------------------------------------------------------------
