@@ -65,14 +65,24 @@ def contamination_report(corpus: DataFrame, eval_docs: DataFrame,
     Columns: doc_id, n_grams (doc total, distinct), n_matched (distinct
     grams also in the eval set), matched_frac (round2).  Docs with zero
     matches are absent (at 100 TB the report must stay proportional to the
-    contamination, not the corpus)."""
-    grams = _doc_grams(corpus, text_col, id_col).select(
-        "doc_id",
-        F.array_distinct("grams").alias("grams"),
-    )
-    exploded = grams.select(
-        "doc_id", F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"))
+    contamination, not the corpus).
+
+    The CORPUS side computes its distinct gram sets through the Arrow
+    shingle pass (operators/shingle_arrow.shingle_sets) since r14: the JVM
+    higher-order-function gram fold walks the interpreted expression tree
+    per token and scales linearly with corpus bytes (guide §4.2) —
+    measured 1.81 s -> 0.79 s at sf1 (interleaved min-of-5, noop sink,
+    report rows identical), ~1:1 at sf0.1 where the Python boundary
+    constant equals the interpreter cost.  Sets are integer-identical by
+    construction (same char hash, same Horner shingle, same modulus); the
+    EVAL side keeps the JVM fold — it is benchmark-sized by contract, so
+    a Python boundary round-trip costs more than interpreting it."""
+    from .shingle_arrow import shingle_sets
+
+    feats = shingle_sets(corpus, text_col, id_col)
+    exploded = feats.select(
+        "doc_id", F.col("n").cast("long").alias("n_grams"),
+        F.explode("ss").alias("gram"))
     matched = exploded.join(F.broadcast(eval_gram_set(eval_docs, text_col,
                                                       id_col)),
                             "gram", "left_semi")

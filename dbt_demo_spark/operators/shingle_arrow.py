@@ -55,17 +55,17 @@ def _char_hashes(tokens: np.ndarray) -> np.ndarray:
     return (first * 31 + second * 17 + last * 7 + lens * 131) % HASH_P
 
 
-def _batch_features(doc_ids: list, texts: list,
-                    ab: np.ndarray) -> dict[str, list]:
-    """Whole-batch flat vectorization: one np.char pass hashes every token
-    in the batch; shingle windows are masked at doc boundaries; per-doc
-    minhash minima come from one `np.minimum.reduceat` over the (shingles x
-    K) matrix — no per-doc numpy calls except the final unique()."""
-    tok_lists = [t.split(" ") for t in texts]
+def _flat_shingles(doc_ids: list, texts: list):
+    """Shared flat-vectorized token->shingle core: split every text, hash
+    every token in ONE np.char pass, window 3-token shingles masked at doc
+    boundaries.  Returns (kept_ids, n_sh, sh, starts, ends) for the docs
+    with >= 3 tokens (the only ones that produce a shingle), or None when
+    the batch has no such doc.  NULL text counts as 0 tokens."""
+    tok_lists = [t.split(" ") if t is not None else [] for t in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     keep = counts >= 3
     if not keep.any():
-        return {"doc_id": [], "bks": [], "ss": [], "n": []}
+        return None
     kept_ids = [d for d, k in zip(doc_ids, keep) if k]
     kept_toks = [t for t, k in zip(tok_lists, keep) if k]
     counts = counts[keep]
@@ -79,22 +79,67 @@ def _batch_features(doc_ids: list, texts: list,
     mask = doc_idx[:-2] == doc_idx[2:]
     sh = sh_all[mask]
 
-    # per-doc segment minima of (s*a + b) % P for all K hash fns at once
     n_sh = counts - 2                      # shingles per kept doc (>= 1)
     starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    ends = np.cumsum(n_sh)
+    return kept_ids, n_sh, sh, starts, ends
+
+
+def _batch_features(doc_ids: list, texts: list,
+                    ab: np.ndarray) -> dict[str, list]:
+    """Whole-batch flat vectorization: one np.char pass hashes every token
+    in the batch; shingle windows are masked at doc boundaries; per-doc
+    minhash minima come from one `np.minimum.reduceat` over the (shingles x
+    K) matrix — no per-doc numpy calls except the final unique()."""
+    core = _flat_shingles(doc_ids, texts)
+    if core is None:
+        return {"doc_id": [], "bks": [], "ss": [], "n": []}
+    kept_ids, n_sh, sh, starts, ends = core
+
+    # per-doc segment minima of (s*a + b) % P for all K hash fns at once
     vals = (sh[:, None] * ab[0] + ab[1]) % HASH_P
     mins = np.minimum.reduceat(vals, starts, axis=0)
 
     # Horner band keys over BANDS x ROWS_PER_BAND
-    m = mins.reshape(len(counts), _dedup.BANDS, _dedup.ROWS_PER_BAND)
-    keys = np.zeros((len(counts), _dedup.BANDS), dtype=np.int64)
+    m = mins.reshape(len(kept_ids), _dedup.BANDS, _dedup.ROWS_PER_BAND)
+    keys = np.zeros((len(kept_ids), _dedup.BANDS), dtype=np.int64)
     for r in range(_dedup.ROWS_PER_BAND):
         keys = keys * 31 + m[:, :, r]
 
-    ends = np.cumsum(n_sh)
     ss = [np.unique(sh[s:e]).tolist() for s, e in zip(starts, ends)]
     return {"doc_id": kept_ids, "bks": keys.tolist(), "ss": ss,
             "n": [len(x) for x in ss]}
+
+
+SETS_SCHEMA = "doc_id long, ss array<long>, n int"
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ss: distinct shingle hashes, n = |ss|) via one Arrow pass —
+    the decontamination slice of ``shingle_features``: same flat token->
+    shingle core, NO minhash/band work (the n-gram overlap screen needs
+    only the distinct gram set).  Docs under 3 tokens produce no row, the
+    exact rows the JVM spec path's empty-gram-array form contributes
+    nothing for.  Set-identical to
+    ``array_distinct(shingle_hashes(token_hashes(text)))`` — integer
+    arithmetic end to end (``ss`` is sorted where the JVM form keeps
+    first-occurrence order; downstream explode/count semantics are
+    order-free, pytest-pinned on the gate corpus)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            core = _flat_shingles(list(pdf[id_col]), list(pdf[text_col]))
+            if core is None:
+                continue
+            kept_ids, _n_sh, sh, starts, ends = core
+            ss = [np.unique(sh[s:e]).tolist() for s, e in zip(starts, ends)]
+            yield pd.DataFrame({"doc_id": kept_ids, "ss": ss,
+                                "n": [len(x) for x in ss]})
+
+    from ..sources.parquet import spread
+
+    src = spread(docs.select(F.col(id_col).alias(id_col), text_col), id_col)
+    return src.mapInPandas(run, SETS_SCHEMA)
 
 
 def shingle_features(docs: DataFrame, text_col: str = "text",

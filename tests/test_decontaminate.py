@@ -32,6 +32,34 @@ def test_report_matches_oracle_on_driver_corpus(spark):
     assert res.ok, res.detail
 
 
+def test_arrow_shingle_sets_identical_to_jvm_gram_fold(spark):
+    """The r14 Arrow gram pass (shingle_arrow.shingle_sets) must produce
+    exactly the distinct gram sets the JVM spec fold
+    (array_distinct(shingle_hashes(token_hashes(text)))) produces — same
+    kept docs, same integers (order-insensitive: numpy sorts, the JVM
+    keeps first occurrence), same counts — on the gate corpus AND on a
+    Unicode + degenerate fixture (short docs, NULL text)."""
+    from dbt_demo_spark.operators.decontaminate import _doc_grams
+    from dbt_demo_spark.operators.shingle_arrow import shingle_sets
+
+    fixtures = [load_table(spark, SF_GATE, "documents")]
+    fixtures.append(spark.createDataFrame(
+        [(1, "café au lait était très bon aujourd'hui à paris"),
+         (2, "日本語 の 文書 は 三つ の 単語 が 必要"),
+         (3, "two tokens"), (4, "one"), (5, ""), (6, None),
+         (7, "mixed ascii and émojis 🚀 rocket ship launch")],
+        "doc_id long, text string"))
+    for docs in fixtures:
+        jvm = {r.doc_id: sorted(set(r.grams))
+               for r in _doc_grams(docs, "text", "doc_id").collect()
+               if r.grams}          # <3-token docs: empty array == no row
+        arrow = {r.doc_id: list(r.ss)
+                 for r in shingle_sets(docs).collect()}
+        assert jvm == arrow
+        counts = {r.doc_id: r.n for r in shingle_sets(docs).collect()}
+        assert counts == {d: len(s) for d, s in jvm.items()}
+
+
 def test_decontaminate_complement_on_driver_corpus(spark):
     corpus, ev = _split(spark, SF_GATE)
     bad = {r.doc_id for r in contamination_report(corpus, ev).collect()}
@@ -87,11 +115,21 @@ def test_planted_filter_and_threshold(spark, planted):
 
 def test_corpus_side_never_shuffles_before_the_semi_join(spark):
     """The corpus must reach the broadcast semi join as a narrow pipeline:
-    the only hash exchanges in the whole report plan are the EVAL side's
-    distinct and the post-match groupBy — both bounded by contamination,
-    not corpus size."""
+    the hash exchanges in the report plan are the EVAL side's distinct and
+    the post-match groupBy — both bounded by contamination, not corpus
+    size — plus (r14) the Arrow shingle pass's `spread` of the narrow
+    (doc_id, text) projection, which sources/parquet.spread makes a no-op
+    on cluster-width scans (it never re-shuffles an input already at pool
+    width).  The invariant that matters at 100 TB stays pinned below: the
+    EXPLODED gram stream — the only corpus-gram-sized relation — never
+    hash-shuffles before the semi join cuts it down."""
     corpus, ev = _split(spark, SF_GATE)
     plan = contamination_report(corpus, ev)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the gram explosion feeds the semi join inside ONE stage: no exchange
+    # may sit between the Generate and the LeftSemi BroadcastHashJoin
+    gen = plan.index("Generate explode")
+    join = plan.index("BroadcastHashJoin")
+    assert join < gen or "Exchange" not in plan[join:gen], plan
