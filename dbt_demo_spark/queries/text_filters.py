@@ -81,20 +81,11 @@ TEXT_REPETITION_ORACLE = f"""
 """
 
 
-@query("text_repetition", oracle=TEXT_REPETITION_ORACLE,
-       tags=("corpus", "hygiene", "repetition"))
-def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition signals: distinct-token fraction and the
-    duplicated bigram/trigram fractions (high values flag boilerplate or
-    degenerate generations; the classic cut is dup_trigram_frac > ~0.3).
-    Driver-gated since r5 (displacing tpch_q19): the corpus-preparation
-    funnel's hygiene stage is the repo's flagship surface and deserves a
-    CORRECTNESS row.  Row-local JVM expression work; ``spread`` buys the
-    worker pool for the interpreted HOF folds (higher-order functions don't
-    enter whole-stage codegen, and the single-row-group local scan is one
-    task without it — measured 1.28s -> 0.40s at sf0.1; no-op at cluster
-    scale where scans arrive wide)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+def repetition_stats_jvm(docs: DataFrame) -> DataFrame:
+    """The JVM spec path for text_repetition (the catalog fn pre-r14):
+    row-local higher-order-function folds.  Kept as the cross-engine
+    reference — tests/test_text_filters.py pins the Arrow twin against it
+    to the bit, degenerate docs included."""
     toks = tokens(F.col("text"))
     n = F.size(toks)
     bi = _ngrams(toks, n, 2)
@@ -106,6 +97,98 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(_dup_frac(bi)).alias("dup_bigram_frac"),
         round2(_dup_frac(tri)).alias("dup_trigram_frac"),
     )
+
+
+def repetition_stats_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow twin of ``repetition_stats_jvm`` — bit-identical outputs
+    (pytest-pinned on the gate corpus + degenerate fixture), minus the
+    interpreted-HOF cost.
+
+    Every value reproduces the JVM expression exactly:
+
+      * tokens: Python ``str.split(' ')`` == Java ``split`` with limit -1
+        (leading/trailing/consecutive-space empties all kept);
+      * distinct counts: ``set()`` over tokens / n-gram TUPLES — tokens
+        cannot contain the separator, so tuple distinctness equals the
+        JVM's joined-string distinctness;
+      * fractions: the same IEEE double ops in the same order
+        (count * 1.0 / total, 1.0 - frac), canonicalized with the same
+        floor-trick round2;
+      * NULL text -> NULL stats (size(split(NULL)) is NULL), and empty
+        n-gram arrays -> NULL fractions, via pandas NULLABLE dtypes
+        (Int64/Float64 — plain float64 would smuggle NaN where the JVM
+        path yields NULL).
+
+    Motivation (guide §4.2, measured interleaved min-of-3, noop sink):
+    1.44 s -> 0.33 s at sf1 (4.4x), 0.35 -> 0.25 s at sf0.1 — the HOF
+    fold is linear in corpus bytes, the Python-boundary constant is not."""
+    from collections.abc import Iterator
+    from math import floor
+
+    import pandas as pd
+
+    def r2(x: float) -> float:
+        return floor(x * 100.0 + 0.5) / 100.0
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nt, uq, db, dt = [], [], [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(d)
+                if t is None:
+                    nt.append(None), uq.append(None)
+                    db.append(None), dt.append(None)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                nt.append(n)
+                uq.append(r2(len(set(toks)) * 1.0 / n))
+                if n >= 2:
+                    m = n - 1
+                    db.append(r2(1.0 - len(set(zip(toks, toks[1:]))) * 1.0 / m))
+                else:
+                    db.append(None)
+                if n >= 3:
+                    m = n - 2
+                    dt.append(r2(1.0 - len(set(zip(toks, toks[1:], toks[2:])))
+                                 * 1.0 / m))
+                else:
+                    dt.append(None)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_tokens": pd.array(nt, dtype="Int64"),
+                "uniq_token_frac": pd.array(uq, dtype="Float64"),
+                "dup_bigram_frac": pd.array(db, dtype="Float64"),
+                "dup_trigram_frac": pd.array(dt, dtype="Float64"),
+            })
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(run, "doc_id long, n_tokens long, "
+                              "uniq_token_frac double, "
+                              "dup_bigram_frac double, "
+                              "dup_trigram_frac double"))
+
+
+@query("text_repetition", oracle=TEXT_REPETITION_ORACLE,
+       tags=("corpus", "hygiene", "repetition"))
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: distinct-token fraction and the
+    duplicated bigram/trigram fractions (high values flag boilerplate or
+    degenerate generations; the classic cut is dup_trigram_frac > ~0.3).
+    Driver-gated since r5 (displacing tpch_q19): the corpus-preparation
+    funnel's hygiene stage is the repo's flagship surface and deserves a
+    CORRECTNESS row.
+
+    Served from the ARROW twin since r14 (guide §4.2): the JVM
+    higher-order-function n-gram folds don't enter whole-stage codegen and
+    walk the interpreted expression tree per token — linear in corpus
+    bytes, 1.44 s at sf1, where the Python set/tuple pass reads 0.33 s
+    with bit-identical output (repetition_stats_arrow docstring has the
+    full measurement; repetition_stats_jvm stays as the pinned spec path).
+    ``spread`` buys the worker pool past the one-task local scan (no-op at
+    cluster scale where scans arrive wide)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return repetition_stats_arrow(docs)
 
 
 def repetition_filter(docs: DataFrame, max_dup_trigram_frac: float = 0.3,

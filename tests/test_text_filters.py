@@ -96,6 +96,25 @@ def test_repetition_values(spark, fixture_dir):
     assert rows[8]["dup_trigram_frac"] is None
 
 
+def test_repetition_arrow_twin_bit_identical_to_jvm(spark, fixture_dir):
+    """The r14 Arrow serving path must equal the JVM HOF spec path to the
+    BIT on every gate-corpus document AND on the degenerate fixture plus a
+    NULL-text row (NULL stats, not NaN — the nullable-dtype trap)."""
+    from dbt_demo_spark.queries.text_filters import (repetition_stats_arrow,
+                                                     repetition_stats_jvm)
+    from dbt_demo_spark.sources.parquet import load_table
+
+    frames = [load_table(spark, SF_GATE, "documents"),
+              load_table(spark, fixture_dir, "documents"),
+              spark.createDataFrame(
+                  [(100, None), (101, "a a"), (102, " leading space")],
+                  "doc_id long, text string")]
+    for docs in frames:
+        jvm = sorted(map(tuple, repetition_stats_jvm(docs).collect()))
+        arrow = sorted(map(tuple, repetition_stats_arrow(docs).collect()))
+        assert jvm == arrow
+
+
 def test_repetition_filter_keeps_short_docs(spark, fixture_dir):
     """One short/empty doc in an ingest batch must not kill the batch
     (ADVICE r4): short docs have nothing to repeat, so they pass."""
