@@ -90,3 +90,76 @@ class TestPickAttempt:
         assert chosen is better
         # the flag survives so the consumer sees the number is not of record
         assert chosen["machine_contaminated"] is True
+
+
+class TestStragglerReport:
+    """VERDICT r14 item 5: the concurrent pass's wall must be attributable
+    to a named critical path, not inferred."""
+
+    def test_pole_is_last_finisher_not_longest(self):
+        # c runs longest (1.9s) but b FINISHES last — b is the pole,
+        # because the wall ends when the last query completes
+        spans = [("a", 0.0, 1.0), ("b", 1.1, 2.5), ("c", 0.1, 2.0)]
+        rep = bench.straggler_report(spans)
+        assert rep["pole"] == "b"
+        assert rep["pole_end_sec"] == 2.5
+        assert rep["pole_dur_sec"] == pytest.approx(1.4)
+
+    def test_tail_ordered_by_end_time(self):
+        spans = [("a", 0.0, 3.0), ("b", 0.0, 1.0), ("c", 0.0, 2.0),
+                 ("d", 0.0, 0.5)]
+        rep = bench.straggler_report(spans, top_n=3)
+        assert [e["q"] for e in rep["tail"]] == ["b", "c", "a"]
+
+    def test_empty_pass(self):
+        assert bench.straggler_report([]) == {"pole": None, "tail": []}
+
+
+class TestPerQueryRecord:
+    """VERDICT r14 item 2: per-query timings must reach the driver's tail
+    capture — a compact second-to-last line plus a merged sidecar."""
+
+    def test_record_shape(self):
+        rec = bench.per_query_record({"q1": 0.5}, 0.1, 32, False)
+        assert rec["metric"] == "bench_per_query"
+        assert rec["queries"] == {"q1": 0.5}
+        assert rec["cpus"] == 32 and rec["sf"] == 0.1
+        assert rec["machine_contaminated"] is False
+
+    def test_line_fits_tail_capture_with_headline(self):
+        # the driver keeps a ~2000-char stdout tail; the per-query line
+        # plus the final headline line must both survive it for the REAL
+        # bench catalog (the names are the dominant bytes — pin against
+        # the actual ones so a renamed/added query that would overflow
+        # the tail window fails here, not in PERF_r15)
+        import json
+
+        from dbt_demo_spark.queries import CATALOG
+        timings = {name: 0.123 for name, spec in CATALOG.items()
+                   if spec.bench}
+        line = json.dumps(bench.per_query_record(timings, 0.1, 32, False))
+        assert len(line) <= 1750, (len(line), "per-query line would "
+                                   "overflow the driver's tail capture")
+
+    def test_sidecar_merges_by_cpu_count(self, tmp_path):
+        import json
+        p = str(tmp_path / "BENCH_PER_QUERY.json")
+        bench.write_per_query_sidecar(
+            p, bench.per_query_record({"q": 1.0}, 0.1, 32, False))
+        bench.write_per_query_sidecar(
+            p, bench.per_query_record({"q": 2.0}, 0.1, 8, False))
+        with open(p) as fh:
+            data = json.load(fh)
+        # both the 32- and 8-core runs survive — overwrite would lose one
+        assert data["cpus_32"]["queries"]["q"] == 1.0
+        assert data["cpus_8"]["queries"]["q"] == 2.0
+
+    def test_sidecar_recovers_from_corrupt_file(self, tmp_path):
+        import json
+        p = str(tmp_path / "BENCH_PER_QUERY.json")
+        with open(p, "w") as fh:
+            fh.write("not json{")
+        bench.write_per_query_sidecar(
+            p, bench.per_query_record({"q": 1.0}, 0.1, 32, False))
+        with open(p) as fh:
+            assert json.load(fh)["cpus_32"]["queries"]["q"] == 1.0
