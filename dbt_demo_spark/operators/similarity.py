@@ -236,6 +236,103 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.9,
     )
 
 
+# Task-resident (id -> vector/norm) gather matrix for the indexed
+# near-dup verify (r15, VERDICT r14 item 1): keyed by the index's parquet
+# file list and loaded ONCE per Python worker (guide §4.5 — module-level
+# global survives task reuse because this module is importable on the
+# workers, unlike __main__ closures).  ~50 MB at sf1 (100k x 64 doubles);
+# at 100 TB the corpus matrix shards with the bucket partitioning and each
+# task gathers only from its candidate range — locally the whole matrix
+# fits every worker, which is the measured-fastest layout.
+_GATHER_CACHE: dict[tuple, tuple] = {}
+
+
+def _gather_matrix(files: tuple[str, ...]) -> tuple:
+    """(ids sorted asc, (n, DIM) float64 matrix, norms) read straight from
+    the persisted LSH index parquet with pyarrow — a file read of the
+    receipted build-once artifact, NOT an engine pass (the rejected r14
+    variant collected the matrix through a Spark job at plan-construction
+    time, which the repo's two_pass discipline prices on the clock)."""
+    got = _GATHER_CACHE.get(files)
+    if got is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        paths = [f[7:] if f.startswith("file://") else f for f in files]
+        tbl = pa.concat_tables([
+            pq.read_table(p, columns=["neighbor_id", "cv", "cn"])
+            for p in paths])
+        ids = tbl["neighbor_id"].to_numpy().astype(np.int64, copy=False)
+        flat = tbl["cv"].combine_chunks().flatten().to_numpy()
+        mat = flat.astype(np.float64, copy=False).reshape(len(ids), DIM)
+        norms = tbl["cn"].to_numpy().astype(np.float64, copy=False)
+        order = np.argsort(ids)
+        got = (ids[order], mat[order], norms[order])
+        _GATHER_CACHE[files] = got
+    return got
+
+
+def embedding_near_dups_indexed(index: DataFrame,
+                                threshold: float = 0.9) -> DataFrame:
+    """``embedding_near_dups`` served from a ``build_lsh_index`` table
+    (r15, VERDICT r14 item 1): same candidate generation — multi-probe
+    Hamming-1 self-join on the PRECOMPUTED buckets — but the pair join
+    carries ONLY (id, bucket); the 64-double vector payload never rides
+    the pairs.  The exact-cosine verify gathers both vectors by id from a
+    task-resident matrix read once per worker from the index parquet
+    itself and accumulates the dot SEQUENTIALLY over dimensions — the
+    zip_with/aggregate fold order — against the index's stored norms, so
+    every cosine is bit-identical to the inline JVM fold and the DuckDB
+    oracle (pytest-pinned: test_semdedup.py indexed == inline row sets).
+
+    Plan shape: two scans of the index -> BroadcastHashJoin on bucket ->
+    id filter -> one MapInArrow.  Zero shuffle Exchange: the bucketize
+    passes moved to index build (the same receipted mart lifecycle
+    sim_topk_lsh serves from), and the verify is row-local.  mapInArrow
+    (not mapInPandas) because the verify touches only two int64 columns —
+    the pandas wrapper measured +0.3-0.4 s of pure conversion overhead at
+    sf1 on the 2.6 M-pair stream (interleaved min/med 1.31/1.44 s arrow
+    vs 1.50/1.81 s pandas, EMB_DEDUP_RECEIPT.json)."""
+    import pyarrow as pa
+
+    a = index.select(F.col("neighbor_id").alias("d1"),
+                     F.col("bucket").alias("b1"))
+    probes = a.select(
+        "d1", F.explode(probe_buckets(F.col("b1"))).alias("bucket"))
+    b = index.select(F.col("neighbor_id").alias("d2"), "bucket")
+    pairs = (probes.join(b, "bucket")
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2"))
+    files = tuple(sorted(index.inputFiles()))
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+        got = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if got is None:             # lazy: empty partitions never load
+                got = _gather_matrix(files)
+            ids, mat, norms = got
+            d1 = rb.column(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64, copy=False)
+            d2 = rb.column(1).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64, copy=False)
+            i1 = np.searchsorted(ids, d1)
+            i2 = np.searchsorted(ids, d2)
+            v1, v2 = mat[i1], mat[i2]
+            acc = np.zeros(rb.num_rows, dtype=np.float64)
+            for d in range(DIM):        # sequential in d == the fold order
+                acc += v1[:, d] * v2[:, d]
+            cos = acc / (norms[i1] * norms[i2])
+            keep = cos >= threshold
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(d1[keep]), pa.array(d2[keep]),
+                 pa.array(cos[keep])],
+                names=["d1", "d2", "cosine"])
+
+    return pairs.mapInArrow(run, "d1 long, d2 long, cosine double")
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k with multi-probe: each query scores candidates in

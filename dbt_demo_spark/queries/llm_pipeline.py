@@ -858,8 +858,27 @@ _EMB_NEAR_DUP_ORACLE = f"""
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic-dedup stage:
     multi-probe hyperplane-LSH self-join prunes candidates ~2^16/17-fold,
-    exact fold-order cosine verifies against the threshold
-    (operators/similarity.py embedding_near_dups)."""
+    exact fold-order cosine verifies against the threshold.
+
+    SERVED from the build-once persisted bucket index since r15 (VERDICT
+    r14 item 1; `_lsh_serving_index` — the same artifact sim_topk_lsh
+    serves from): the pair join carries only (id, bucket) and the verify
+    gathers vectors from a task-resident matrix read from the index
+    parquet, killing the JVM dot fold over every candidate pair (2.6 s of
+    the 3.4 s sf1 wall).  Bit-identical rows to the inline form
+    (tests/test_semdedup.py pins indexed == inline;
+    `dedup_embedding_cosine_inline` below keeps the raw-scan twin); the
+    DuckDB oracle still computes from the raw embeddings, so layout can
+    never change answers.  Build receipt: EMB_DEDUP_RECEIPT.json."""
+    idx = _lsh_serving_index(spark, sf_dir)
+    return similarity.embedding_near_dups_indexed(
+        idx, threshold=_EMB_DUP_THRESHOLD)
+
+
+def dedup_embedding_cosine_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-scan twin of dedup_embedding_cosine (the pre-r15 catalog plan):
+    corpus bucketized + verified inline on every execution.  Kept for the
+    equivalence pytest and receipts."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(emb, threshold=_EMB_DUP_THRESHOLD)
 

@@ -208,6 +208,31 @@ def test_lsh_indexed_serving_equals_inline(spark, tmp_path):
     assert plan.count("MapInPandas") == 1  # query side only
 
 
+def test_embedding_near_dups_indexed_equals_inline(spark, tmp_path):
+    """Indexed near-dup serve (r15, VERDICT r14 item 1): candidate pairs
+    from the persisted bucket index with an id-only join, vectors gathered
+    from the task-resident matrix in the verify pass — rows (including
+    cosine doubles) BIT-identical to the inline Arrow-bucketize + JVM-fold
+    form, and the plan never carries the vector payload through the pair
+    join (no cv attribute, no shuffle exchange, exactly one MapInArrow:
+    the verify)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = similarity.build_lsh_index(emb, str(tmp_path / "lsh"))
+    served = similarity.embedding_near_dups_indexed(idx, threshold=0.3)
+    inline = similarity.embedding_near_dups(emb, threshold=0.3)
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got and got == want          # bit-identical, non-trivial
+    plan = (served._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("MapInArrow") == 1        # the verify pass only
+    assert "MapInPandas" not in plan            # no pandas wrapper cost
+    assert "cv#" not in plan                    # payload never rides pairs
+    assert "Exchange hashpartitioning" not in plan   # zero-shuffle serve
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan          # deliberate join strategy
+
+
 def test_ann_dispatch_crossover_pinned():
     """Cost-based serving dispatch (r14, VERDICT r13 item 4): the
     receipted cost model must reproduce SESSION_LSH_RECEIPT's honest

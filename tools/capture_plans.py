@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for every declared catalog query into
-plans/r14/<query>_<tag>.txt — the judge-checkable record of each plan's
+plans/r<N>/<query>_<tag>.txt (N from $SPARK_GRAFT_ROUND, default 15) — the judge-checkable record of each plan's
 shape (Exchange count, join strategy, PushedFilters/ReadSchema,
 BatchEvalPython/ArrowEvalPython nodes) before and after this round's
 optimizations.
@@ -35,7 +35,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", "r" + os.environ.get("SPARK_GRAFT_ROUND", "15"))
     os.makedirs(out_dir, exist_ok=True)
 
     for name, spec in CATALOG.items():
