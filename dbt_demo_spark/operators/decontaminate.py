@@ -83,9 +83,16 @@ def contamination_report(corpus: DataFrame, eval_docs: DataFrame,
     exploded = feats.select(
         "doc_id", F.col("n").cast("long").alias("n_grams"),
         F.explode("ss").alias("gram"))
-    matched = exploded.join(F.broadcast(eval_gram_set(eval_docs, text_col,
-                                                      id_col)),
-                            "gram", "left_semi")
+    # The semi join's build side needs NO distinct (r15, VERDICT r14
+    # item 4): left_semi keeps a left row on >=1 key hit, so duplicate
+    # eval grams in the broadcast hash relation cannot change any row —
+    # and the distinct cost a whole shuffle stage (partial agg + Exchange
+    # + final agg) on the eval subtree, ~0.1 s of the sf0.1 wall for a
+    # benchmark-sized side where the dedup saves almost no broadcast
+    # bytes.  ``eval_gram_set`` stays as the public distinct form.
+    ev_grams = (_doc_grams(eval_docs, text_col, id_col)
+                .select(F.explode("grams").alias("gram")))
+    matched = exploded.join(F.broadcast(ev_grams), "gram", "left_semi")
     return (matched
             .groupBy("doc_id", "n_grams")
             .agg(F.count(F.lit(1)).alias("n_matched"))
