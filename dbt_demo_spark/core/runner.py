@@ -836,7 +836,24 @@ class Runner:
                 raise ValueError(
                     f"model {name}: bucket_by requires n_buckets > 0")
             cat_name = self.catalog_name(name)
-            (writer.option("path", path)
+            # ONE FILE PER BUCKET (r15, VERDICT r14 item 6): a bucketed
+            # scan can only claim its sortBy order — letting downstream
+            # sort-merge joins skip their per-query fact-size Sorts
+            # entirely (session.py sets
+            # spark.sql.legacy.bucketedTableScan.outputOrdering) — when
+            # every bucket is a single file; a multi-task write had been
+            # leaving writer-count x n_buckets files (sf1: 10 per bucket),
+            # silently discarding the sorted layout the write paid for.
+            # repartition on the bucket keys uses the same murmur3 pmod as
+            # the bucket id, so each write task holds exactly one bucket.
+            # The extra exchange is a BUILD-time cost, paid once per
+            # layout; serve plans drop 2 Sort nodes (measured sf1:
+            # mart_bucketed_revenue 0.53 -> 0.30 s interleaved min).
+            df_bk = df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+            w = df_bk.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            (w.option("path", path)
              .bucketBy(n_buckets, *bucket_by)
              .sortBy(*bucket_by)
              .saveAsTable(cat_name))
