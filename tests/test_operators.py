@@ -205,7 +205,7 @@ def test_lsh_indexed_serving_equals_inline(spark, tmp_path):
         sorted(map(tuple, inline.collect()), key=lambda t: t[:2])
     plan = (served._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0])
-    assert plan.count("MapInPandas") == 1  # query side only
+    assert plan.count("MapInArrow") == 1  # query side only
 
 
 def test_embedding_near_dups_indexed_equals_inline(spark, tmp_path):
@@ -297,7 +297,7 @@ def test_ann_dispatch_runs_the_chosen_plan(spark, tmp_path):
     plan2 = (out2._jdf.queryExecution().executedPlan().toString()
              .split("== Initial Plan ==")[0])
     assert "bucket" in plan2
-    assert plan2.count("MapInPandas") == 1   # query side only
+    assert plan2.count("MapInArrow") == 1   # query side only
     want2 = sorted(map(tuple,
                        similarity.lsh_topk_indexed(q, idx, k=5)
                        .collect()), key=lambda t: t[:2])
